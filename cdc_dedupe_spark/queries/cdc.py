@@ -1,0 +1,195 @@
+"""Group 1 — CDC core queries (SURVEY.md §2B), batch-replayed over `events`.
+
+`events` stands in for the CDC stream: event_id = record offset, user_id =
+entity id, event_type = routing key (FIXTURES.md §C). Reference semantics
+cited per query.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cdc import DEFAULT_ROUTING, batch_pack, dedupe_first, fanout, routing_df
+from ..tables import table
+from .registry import register
+
+# DuckDB VALUES list for the routing map, kept in lockstep with DEFAULT_ROUTING.
+_ROUTING_VALUES = ", ".join(
+    f"('{etype}', '{tgt}')" for etype, tgts in DEFAULT_ROUTING.items() for tgt in tgts
+)
+_ROUTING_CTE = f"routing(event_type, target) AS (SELECT * FROM (VALUES {_ROUTING_VALUES}))"
+
+
+@register(
+    "cdc_parse_extract",
+    group="cdc",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def cdc_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parse + int field extract (S3, RedisSource.java:63-66)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "cdc_dedupe_first",
+    group="cdc",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedupe per entity id (S9, WatchStream.java:272-274):
+    earliest event per user_id by (ts, event_id)."""
+    ev = table(spark, sf_dir, "events")
+    first = dedupe_first(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return first.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+
+
+@register(
+    "cdc_dedupe_window",
+    group="cdc",
+    oracle="""
+    SELECT user_id,
+           (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000 AS bucket_us,
+           event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 300000000
+        ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_dedupe_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed first-wins dedupe (S8+S9, WatchStream.java:271-274): first
+    event per (user_id, 5-minute tumbling bucket). Uses F.window — the same
+    primitive the streaming path uses; window starts align to the epoch so
+    the oracle's integer-division bucket matches exactly."""
+    ev = table(spark, sf_dir, "events")
+    win = ev.withColumn("w", F.window("ts", "5 minutes"))
+    first = dedupe_first(win, ["user_id", "w"], [F.col("ts"), F.col("event_id")])
+    return first.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("bucket_us"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+@register(
+    "cdc_fanout_route",
+    group="cdc",
+    oracle=f"""
+    WITH {_ROUTING_CTE}
+    SELECT e.event_id, e.user_id, e.event_type, r.target
+    FROM events e JOIN routing r USING (event_type)
+    """,
+)
+def cdc_fanout_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static fan-out (S6, WatchStream.java:346-352): one row per
+    (event, routed target); routing side broadcast."""
+    ev = table(spark, sf_dir, "events")
+    routed = fanout(ev, routing_df(spark))
+    return routed.select("event_id", "user_id", "event_type", "target")
+
+
+@register(
+    "cdc_ack_expect",
+    group="cdc",
+    oracle=f"""
+    WITH {_ROUTING_CTE}
+    SELECT e.event_id, count(*) AS expect
+    FROM events e JOIN routing r USING (event_type)
+    GROUP BY e.event_id
+    """,
+)
+def cdc_ack_expect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refcount expectation (S5, WatchStream.java:337-344): per event, its
+    fan-out width — the number of target copies that must complete before
+    the source record may be acknowledged."""
+    ev = table(spark, sf_dir, "events")
+    routed = fanout(ev, routing_df(spark))
+    return routed.groupBy("event_id").agg(F.count(F.lit(1)).alias("expect"))
+
+
+@register(
+    "cdc_batch_pack",
+    group="cdc",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), deduped AS (
+      SELECT user_id, ts, event_id FROM firsts WHERE rn = 1
+    ), ordered AS (
+      SELECT user_id,
+             CAST(ceil(row_number() OVER (ORDER BY ts, event_id) / 100.0) AS BIGINT) AS bucket
+      FROM deduped
+    )
+    SELECT bucket,
+           to_json(list_sort(list(user_id))) AS ids_json,
+           count(*) AS n_ids
+    FROM ordered GROUP BY bucket
+    """,
+)
+def cdc_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output batching + JSON encode (S12/S13, WatchStream.java:284-293):
+    deduped ids in arrival order packed into buckets of <=100, each bucket
+    a sorted JSON id array (the `{"ids": "[...]"}` payload)."""
+    ev = table(spark, sf_dir, "events")
+    first = dedupe_first(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return batch_pack(first, "user_id", [F.col("ts"), F.col("event_id")], batch_size=100)
+
+
+_STREAM_SINK_SEQ = itertools.count()
+
+
+@register(
+    "cdc_dedupe_stream",
+    group="cdc",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def cdc_dedupe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 executed on Structured Streaming: replay `events` parquet as a
+    stream, `dropDuplicates` on the entity id, availableNow trigger, memory
+    sink. Output = the distinct entity-id set (which event carries each id
+    first is batch-split dependent in a real stream, so only the id is
+    emitted — the deterministic-first variant is cdc_dedupe_first)."""
+    from ..sources.replay import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    deduped = stream.select("user_id").dropDuplicates(["user_id"])
+    name = f"cdc_dedupe_stream_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,23 @@
+"""The local twin of the driver's correctness gate: run every registered
+query on Spark and, where an oracle exists, the DuckDB SQL side-by-side;
+compare row count + columns + exact values (order-insensitive)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_dedupe_spark.queries import REGISTRY
+
+from .parity import assert_frames_match
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_parity(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only: must run and produce a frame
+        return
+    duck_pdf = duck.execute(q.oracle).df()
+    assert_frames_match(spark_pdf, duck_pdf, name=name)
