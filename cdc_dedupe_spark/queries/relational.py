@@ -1,0 +1,469 @@
+"""Group 2 — relational surface (SURVEY.md §2B) over the TPC-H-ish tables.
+
+Every query is declarative DataFrame/SQL: Catalyst does predicate pushdown,
+column pruning and join-strategy selection; explicit ``broadcast()`` hints
+mark dimension sides that must never shuffle at scale. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from ._determinism import davg, dsum, sql_davg, sql_dsum
+from .registry import register
+
+
+@register(
+    "scan_project_filter",
+    group="relational",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1.0 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_quantity < 24.0 AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with predicate + projection — both must reach the scan
+    (PushedFilters / pruned ReadSchema in explain)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 24.0) & F.col("l_discount").between(0.02, 0.06)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@register(
+    "agg_groupby",
+    group="relational",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Partial (map-side) aggregation means
+    only |groups| rows shuffle — constant-size at any data scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    group="relational",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — Spark expands to a two-phase aggregate; exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    group="relational",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    group="relational",
+    oracle="""
+    SELECT event_type, CAST(year(ts) AS INTEGER) AS yr, COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(ts) AS INTEGER))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.year("ts").alias("yr"))
+        .cube("event_type", "yr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    group="relational",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gsets_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders_gsets_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register("agg_approx_distinct", group="relational", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct — value is algorithm-dependent, rows-only
+    check (SURVEY §2B). The point at 100 TB: no exact-distinct shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts")
+    )
+
+
+@register(
+    "join_inner",
+    group="relational",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'total_price')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join. customer is the smaller side → Spark
+    picks broadcast under AQE at this scale; at 100 TB both sides are large
+    and it becomes a sort-merge join on the shuffled key — correct either
+    way, Catalyst decides from stats."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "join_left",
+    group="relational",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving left join: customers with no orders count 0."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    group="relational",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi — no row multiplication, no payload columns
+    shuffled from the probe side."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    group="relational",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value (>400k) order — the filter on the right
+    side keeps the result non-degenerate at every SF."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    c = table(spark, sf_dir, "customer")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_broadcast",
+    group="relational",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_quantity', 'sum_qty')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): the explicit hint pins the strategy — at any
+    fact-side scale the dimension ships to executors and the 100 TB
+    lineitem never shuffles for this join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "join_range",
+    group="relational",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_late_ship
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate: the equi part drives the shuffle/hash join;
+    the range predicate evaluates as a post-join filter (no nested-loop)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_ship"))
+    )
+
+
+@register(
+    "join_multiway",
+    group="relational",
+    oracle=f"""
+    SELECT r.r_name,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'total_price')}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way chain region→nation→customer→orders. The two tiny dims are
+    broadcast; Catalyst reorders/collapses the chain."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "window_rank",
+    group="relational",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice, rnk, drnk
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+      FROM orders
+    ) WHERE rnk <= 5
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank within o_orderpriority — ties produce identical rank
+    values in both engines, so the rnk<=5 cut is deterministic."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    group="relational",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_ts_us,
+           lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS next_ts_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next event timestamps (as-of style ordering,
+    tie-broken by event_id)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lag(ts_us).over(w).alias("prev_ts_us"),
+        F.lead(ts_us).over(w).alias("next_ts_us"),
+    )
+
+
+@register(
+    "window_running_sum",
+    group="relational",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer; exact DECIMAL accumulation inside the
+    frame, final DOUBLE cast (order-independent hash parity)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "sort_limit_topk",
+    group="relational",
+    oracle=f"""
+    SELECT o_custkey, {sql_dsum('o_totalprice', 'total_spend')}
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by total order value, ties broken by key. Spark
+    executes orderBy().limit() as TakeOrderedAndProject — per-partition
+    top-K then a tiny driver merge, no global sort at scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"))
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+def _typed_users(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    """(user_id, day) pairs for one event type — fine-grained enough that
+    the set differences stay non-empty at every SF."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == etype).select(
+        "user_id", F.col("ts").cast("date").cast("string").alias("day")
+    )
+
+
+@register(
+    "set_union_all",
+    group="relational",
+    oracle="""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _typed_users(spark, sf_dir, "click").unionAll(_typed_users(spark, sf_dir, "purchase"))
+
+
+@register(
+    "set_intersect",
+    group="relational",
+    oracle="""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _typed_users(spark, sf_dir, "click").intersect(_typed_users(spark, sf_dir, "purchase"))
+
+
+@register(
+    "set_except",
+    group="relational",
+    oracle="""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _typed_users(spark, sf_dir, "click").subtract(_typed_users(spark, sf_dir, "purchase"))

@@ -1,0 +1,258 @@
+"""Group 3 — scalar function surface (SURVEY.md §2B).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd). The two UDF entries exist to declare the UDF
+surface itself: a row Python UDF checked against its closed-form SQL, and
+an Arrow-batched pandas grouped aggregate checked against exact SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..tables import table
+from .registry import register
+
+
+@register(
+    "fn_string",
+    group="scalar",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_type, 1, 5) AS type5,
+           concat(p_brand, '#', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+    )
+
+
+@register(
+    "fn_date",
+    group="scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_1998,
+           epoch_us(o_orderdate + INTERVAL 3 DAY) AS plus3d_us
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_start_us"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_1998"),
+        # o_orderdate is TIMESTAMP_NTZ in parquet; cast to TIMESTAMP (session
+        # tz is UTC, so identity) for unix_micros.
+        F.unix_micros(
+            F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 3 DAY")
+        ).alias("plus3d_us"),
+    )
+
+
+@register(
+    "fn_math",
+    group="scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.04) AS abs_disc,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(ln(l_extendedprice), 4) AS ln_price,
+           round(pow(1.0 + l_discount, 2.0), 4) AS pow_disc,
+           ((l_orderkey % 7) + 7) % 7 AS mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendentals (ln/pow) can differ by 1 ulp between libm
+    implementations — ROUND(.,4) absorbs that (SURVEY §2B determinism)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.04).alias("abs_disc"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("ln_price"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2.0), 4).alias("pow_disc"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("mod7"),
+    )
+
+
+@register(
+    "fn_array",
+    group="scalar",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(string_split(text, ' '))[1] AS first_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(toks).getItem(0).alias("first_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@register(
+    "fn_map",
+    group="scalar",
+    # DuckDB's MAP syntax differs; the oracle computes the same VALUES
+    # directly (SURVEY §2B: "DuckDB MAP syntax differs; same values").
+    oracle="""
+    SELECT doc_id,
+           lang AS lang_val,
+           source AS source_val,
+           2 AS n_keys
+    FROM documents
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    group="scalar",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_case_nullif",
+    group="scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'final'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS status_class,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending-masked') AS masked_status,
+           CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                WHEN o_totalprice < 150000.0 THEN 'mid'
+                ELSE 'high' END AS price_bucket
+    FROM orders
+    """,
+)
+def fn_case_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending-masked")).alias(
+            "masked_status"
+        ),
+        F.when(F.col("o_totalprice") < 50000.0, "low")
+        .when(F.col("o_totalprice") < 150000.0, "mid")
+        .otherwise("high")
+        .alias("price_bucket"),
+    )
+
+
+@register(
+    "udf_python",
+    group="scalar",
+    oracle="""
+    SELECT c_custkey,
+           (c_custkey * 2654435761) % 4294967296 + c_custkey % 97 AS checksum
+    FROM customer
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row Python UDF (declared surface) vs its closed-form SQL oracle.
+    Integer math only — exact in arbitrary-precision Python and in BIGINT
+    SQL. UDFs are the slow path; this exists to declare the capability."""
+
+    @F.udf(returnType=LongType())
+    def checksum(key: int) -> int:
+        return (key * 2654435761) % 4294967296 + key % 97
+
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", checksum("c_custkey").alias("checksum"))
+
+
+@register(
+    "udaf_pandas",
+    group="scalar",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(SUM(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched grouped aggregate (applyInPandas) vs exact SQL avg.
+    The python side mirrors the oracle's integer-scaled exact sum so both
+    engines perform identical IEEE divisions."""
+
+    def grp_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["c_acctbal"].mul(10000).round().astype("int64").sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "avg_acctbal": [float(s) / 10000.0 / n],
+                "n_customers": [n],
+            }
+        )
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        grp_mean, schema="c_nationkey int, avg_acctbal double, n_customers long"
+    )
