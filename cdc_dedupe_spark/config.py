@@ -1,0 +1,118 @@
+"""Routing config loader — the engine's "query language" (C1).
+
+Same record shapes and semantics as the reference's ConfigParser
+(ConfigParser.java:16-62): YAML or JSON chosen by file extension, a
+``source``/``buffers``/``target`` header plus the table→column→[targets]
+routing map. ``acknowledge`` defaults to ``simple`` (ConfigParser.java:31-34).
+
+Extra validation the reference lacks (SURVEY.md §2A fine print): source and
+target prefixes must be disjoint, otherwise targets can feed back into
+source streams (the latent config.json misconfig in the reference).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import yaml
+
+
+@dataclass(frozen=True)
+class BufferSpec:
+    size: int
+    time: int  # milliseconds
+
+
+@dataclass(frozen=True)
+class Buffers:
+    source: BufferSpec = BufferSpec(1000, 1000)
+    dedupe: BufferSpec = BufferSpec(100_000, 5000)
+    target: BufferSpec = BufferSpec(1000, 1000)
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    format: str = "compact"  # declared; detection is per-record like the reference
+    prefix: str = ""
+    group: str = "cdc"
+    consumer: str = "cdc"
+    acknowledge: str = "simple"  # simple | delete
+
+
+@dataclass(frozen=True)
+class TargetConfig:
+    prefix: str = ""
+
+
+@dataclass(frozen=True)
+class Config:
+    source: SourceConfig
+    buffers: Buffers
+    target: TargetConfig
+    # table -> column -> [targets]
+    mapping: dict[str, dict[str, list[str]]] = field(default_factory=dict)
+
+    def targets(self) -> list[str]:
+        """Distinct targets in stable order (WatchStream.java:144-157 builds
+        one sink per distinct target)."""
+        seen: dict[str, None] = {}
+        for columns in self.mapping.values():
+            for tgts in columns.values():
+                for t in tgts:
+                    seen.setdefault(t, None)
+        return list(seen)
+
+
+def _buffer(d: dict | None, default: BufferSpec) -> BufferSpec:
+    if not d:
+        return default
+    return BufferSpec(size=int(d.get("size", default.size)), time=int(d.get("time", default.time)))
+
+
+def load_config(path: str | Path) -> Config:
+    """JSON or YAML by extension (ConfigParser.java:55-62)."""
+    path = Path(path)
+    text = path.read_text()
+    raw = json.loads(text) if path.suffix == ".json" else yaml.safe_load(text)
+    src = raw.get("source", {}) or {}
+    buf = raw.get("buffers", {}) or {}
+    tgt = raw.get("target", {}) or {}
+    ack = str(src.get("acknowledge", "simple"))
+    if ack not in ("simple", "delete"):
+        ack = "simple"
+    cfg = Config(
+        source=SourceConfig(
+            format=str(src.get("format", "compact")),
+            prefix=str(src.get("prefix", "")),
+            group=str(src.get("group", "cdc")),
+            consumer=str(src.get("consumer", "cdc")),
+            acknowledge=ack,
+        ),
+        buffers=Buffers(
+            source=_buffer(buf.get("source"), BufferSpec(1000, 1000)),
+            dedupe=_buffer(buf.get("dedupe"), BufferSpec(100_000, 5000)),
+            target=_buffer(buf.get("target"), BufferSpec(1000, 1000)),
+        ),
+        target=TargetConfig(prefix=str(tgt.get("prefix", ""))),
+        mapping={
+            str(tbl): {str(col): [str(t) for t in tgts] for col, tgts in cols.items()}
+            for tbl, cols in (raw.get("mapping", {}) or {}).items()
+        },
+    )
+    _validate(cfg)
+    return cfg
+
+
+def _validate(cfg: Config) -> None:
+    sp, tp = cfg.source.prefix, cfg.target.prefix
+    if sp and tp:
+        for tbl in cfg.mapping:
+            for tgt in cfg.targets():
+                if f"{tp}{tgt}" == f"{sp}{tbl}":
+                    raise ValueError(
+                        f"target stream {tp}{tgt!r} collides with source stream "
+                        f"{sp}{tbl!r}; output would feed back into the source "
+                        "(latent misconfig in the reference's config.json)"
+                    )

@@ -47,12 +47,15 @@ def envelope_payload(fields_col: str = "fields") -> Column:
     ).otherwise(F.element_at(F.col(fields_col), F.lit("value")))
 
 
-def extract_entity_id(payload: Column, column: str) -> Column:
+def extract_entity_id(payload: Column, column: str | Column) -> Column:
     """``after.<column>`` extracted and cast to int32
     (RedisSource.java:63-66; int32 semantics — out-of-range -> null here
-    rather than the reference's ClassCastException)."""
+    rather than the reference's ClassCastException). ``column`` may be a
+    Column expression so the id column can vary per row (general
+    multi-column routing)."""
     parsed = F.from_json(payload, ENVELOPE_SCHEMA)
-    return F.element_at(parsed["after"], column).cast("int")
+    key = F.lit(column) if isinstance(column, str) else column
+    return F.element_at(parsed["after"], key).cast("int")
 
 
 def routing_df(spark: SparkSession, routing: Mapping[str, Sequence[str]] | None = None) -> DataFrame:

@@ -8,3 +8,4 @@ from .registry import REGISTRY, QueryDef, register  # noqa: F401
 from . import cdc  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalar  # noqa: F401,E402
+from . import streaming  # noqa: F401,E402

@@ -1,0 +1,169 @@
+"""Group 4 — streaming semantics (SURVEY.md §2B), each with a
+batch-equivalent DuckDB oracle where the result is deterministic.
+
+Tumbling counts, watermark dedupe and the stateful aggregate run on real
+Structured Streaming (parquet replay source, availableNow trigger);
+sliding/session windows use the same window primitives in batch mode —
+identical operators, deterministic output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..sources.replay import events_stream
+from ..streaming.run import run_to_memory
+from ..tables import table
+from .registry import register
+
+
+@register(
+    "stream_tumbling_counts",
+    group="streaming",
+    oracle="""
+    SELECT event_type,
+           epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per (event_type, 1-hour tumbling window), computed on a real
+    stream (complete output). At scale this is a streaming shuffle on the
+    (type, window) key with state-store backed partial aggregation."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "stream_tumbling_counts", output_mode="complete")
+
+
+@register(
+    "stream_sliding_counts",
+    group="streaming",
+    oracle="""
+    SELECT event_type,
+           (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - k.k) * 900000000 AS window_start_us,
+           COUNT(*) AS n_events
+    FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    GROUP BY event_type, window_start_us
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event lands in exactly
+    4 windows; the oracle generates the 4 aligned starts per event)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_counts",
+    group="streaming",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, e,
+             CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                    OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), g AS (
+      SELECT user_id, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(e) AS session_start_us, COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (session_window — the streaming primitive — in batch mode; the oracle
+    rebuilds sessions with the classic lag+cumsum islands trick)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@register("stream_watermark_dedupe", group="streaming", oracle=None)
+def stream_watermark_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedupe with a 10-minute watermark TTL — the upgrade of
+    the reference's window-scoped dedupe (S9, WatchStream.java:272-274):
+    state is evicted once the watermark passes, so an id recurring after
+    the TTL is re-emitted (late-data unit tests in tests/test_streaming.py;
+    output depends on batch split => rows-only check)."""
+    stream = events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    return run_to_memory(deduped, "stream_watermark_dedupe", output_mode="append")
+
+
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
+_OUT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("n_events", LongType())]
+)
+
+
+def _running_count(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+@register("stream_stateful_agg", group="streaming", oracle=None)
+def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op (applyInPandasWithState): running event count
+    per user — the declarative analogue of the reference's in-flight
+    refcount ledger (S5/S17, WatchStream.java:233-242,183-190). State lives
+    in the checkpointed state store, partitioned by key; emits one row per
+    (user, micro-batch) so the output is batch-split dependent => rows-only
+    (tests assert final counts equal the batch groupBy)."""
+    stream = events_stream(spark, sf_dir).select("user_id")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _running_count,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, "stream_stateful_agg", output_mode="update")

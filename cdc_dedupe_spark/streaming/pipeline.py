@@ -1,0 +1,161 @@
+"""The `watch` engine — the reference's streaming pipeline (WatchStream.java)
+rebuilt on Structured Streaming.
+
+Reference pipeline (SURVEY.md §3.1): Redis XREADGROUP → envelope decode →
+id extract → fan-out to per-target sinks → size-or-time dedupe window →
+first-wins dedupe → ≤1000-id JSON batches → XADD + ack barrier → XACK.
+
+Spark mapping: file-stream source of envelope rows (offset, stream, fields)
+→ one declarative plan per micro-batch inside ``foreachBatch``: broadcast
+routing join (fan-out, S6) → per-target first-wins dedupe scoped to the
+micro-batch (S8+S9; the trigger interval IS the dedupe window) → arrival-
+order packing into ≤target.size JSON id arrays (S12/S13) → one partitioned
+write for all targets (S14) → ack ledger append (S15-S19; the checkpoint
+itself is the real at-least-once/effectively-once contract, the ledger is
+observability parity with XACK).
+
+Scale: no driver-side loops over data — routing is broadcast, dedupe is a
+keyed shuffle (AQE-salted on skew), the multi-target write is a single
+partitioned job. State never accumulates across batches (window-scoped
+semantics, like the reference); the cross-batch variant is
+dropDuplicatesWithinWatermark (queries/streaming.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import Config
+from ..operators.cdc import envelope_payload, extract_entity_id
+
+# FIXTURES.md §A: one row per stream entry.
+ENVELOPE_ROW_SCHEMA = "offset string, stream string, fields map<string,string>"
+
+
+def routing_rows(spark: SparkSession, cfg: Config) -> DataFrame:
+    """(source_stream, column, target_stream) — the full general mapping
+    (every column of every table, WatchStream.java:347-352, with the
+    correct per-column id extraction the reference gets wrong for tables
+    with >1 mapped column; see SURVEY.md §2A fine print)."""
+    rows = [
+        (f"{cfg.source.prefix}{tbl}", col, f"{cfg.target.prefix}{tgt}")
+        for tbl, cols in cfg.mapping.items()
+        for col, tgts in cols.items()
+        for tgt in tgts
+    ]
+    return spark.createDataFrame(rows, "stream string, id_column string, target_stream string")
+
+
+def seed_targets(spark: SparkSession, cfg: Config, output_dir: str) -> None:
+    """Seed every target stream with ``{"ids": "[]"}`` at startup
+    (WatchStream.java:262-265; the reference's tests count on it)."""
+    seeds = spark.createDataFrame(
+        [("[]", f"{cfg.target.prefix}{t}") for t in cfg.targets()],
+        "ids string, target_stream string",
+    )
+    seeds.coalesce(1).write.mode("append").partitionBy("target_stream").json(output_dir)
+
+
+def _process_batch(
+    batch: DataFrame, routes: DataFrame, cfg: Config, output_dir: str, ack_dir: str
+) -> None:
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+
+    # Redis RecordId "millis-seq" -> numeric arrival order.
+    off_ms = F.split("offset", "-").getItem(0).cast("long")
+    off_seq = F.coalesce(F.split("offset", "-").getItem(1).cast("long"), F.lit(0))
+
+    # S2/S3 + S6: decode once, fan out via broadcast routing join; the id
+    # column is resolved per routing row, so multi-column tables extract
+    # each column's own id (correct general semantics).
+    routed = (
+        batch.join(F.broadcast(routes), "stream", "inner")
+        .withColumn("payload", envelope_payload("fields"))
+        .withColumn("entity_id", extract_entity_id(F.col("payload"), F.col("id_column")))
+        .withColumn("_ms", off_ms)
+        .withColumn("_seq", off_seq)
+        .filter(F.col("entity_id").isNotNull())
+    )
+
+    # S9: first-wins per (target, entity_id) within this micro-batch —
+    # keyed by entity id only, like Collectors.toMap (WatchStream.java:272).
+    w_first = Window.partitionBy("target_stream", "entity_id").orderBy("_ms", "_seq")
+    survivors = (
+        routed.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    # S12/S13: arrival-order packing into <= target.size ids per record.
+    size = cfg.buffers.target.size
+    w_order = Window.partitionBy("target_stream").orderBy("_ms", "_seq")
+    packed = (
+        survivors.withColumn("_rn", F.row_number().over(w_order))
+        .withColumn("_bucket", F.ceil(F.col("_rn") / F.lit(size)))
+        .groupBy("target_stream", "_bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("_rn", "entity_id"))).alias("_pairs"))
+        .select(
+            "target_stream",
+            F.to_json(F.transform("_pairs", lambda s: s.entity_id)).alias("ids"),
+        )
+    )
+
+    # S14: one partitioned write covers every target sink.
+    packed.write.mode("append").partitionBy("target_stream").json(output_dir)
+
+    # S15-S19: ack ledger — every input record whose fan-out copies all
+    # landed (all-or-nothing per batch under checkpointing, so that's every
+    # routed record; unroutable records are NOT acked, mirroring the
+    # reference where unmapped streams are never consumed).
+    acks = (
+        batch.join(F.broadcast(routes.select("stream").distinct()), "stream", "inner")
+        .select("stream", "offset")
+        .distinct()
+        .withColumn("ack_mode", F.lit(cfg.source.acknowledge))
+    )
+    acks.write.mode("append").partitionBy("stream").json(ack_dir)
+
+
+@dataclass
+class WatchHandles:
+    query: StreamingQuery
+    output_dir: str
+    ack_dir: str
+
+
+def watch(
+    spark: SparkSession,
+    cfg: Config,
+    source_dir: str,
+    work_dir: str,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+) -> WatchHandles:
+    """Start the watch pipeline over a directory of envelope JSON files.
+
+    availableNow=True drains existing input and stops (the test/replay
+    mode); trigger_seconds mirrors the reference's 5 s dedupe window
+    (config.yaml:17) for continuous runs."""
+    work = Path(work_dir)
+    output_dir = str(work / "targets")
+    ack_dir = str(work / "acks")
+    checkpoint = str(work / "checkpoint")
+
+    routes = routing_rows(spark, cfg)
+    seed_targets(spark, cfg, output_dir)
+
+    stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda b, _id: _process_batch(b, routes, cfg, output_dir, ack_dir)
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = writer.start()
+    return WatchHandles(query=q, output_dir=output_dir, ack_dir=ack_dir)

@@ -1,0 +1,160 @@
+"""E2E replays of the reference's WatchTests scenarios (WatchTests.java)
+through the config-driven pipeline — availableNow triggers instead of the
+reference's 16 s sleeps.
+
+Scenarios:
+ - basic: no input -> target streams exist with exactly the seed record
+   (WatchTests.java:57-93)
+ - compact dedupe: 4 compact events, after-ids 1,2,1,2 -> each mapped
+   target gets the seed plus one batch [1,2] (WatchTests.java:96-157)
+ - extended format: same via the `value` field (WatchTests.java:159-251)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from cdc_dedupe_spark.config import load_config
+from cdc_dedupe_spark.streaming.pipeline import watch
+
+CONFIG_YAML = """\
+source:
+  format: compact
+  prefix: "m2.m2."
+  group: cdc
+  consumer: cdc
+  acknowledge: {ack}
+buffers:
+  source: {{size: 1000, time: 1000}}
+  dedupe: {{size: 100000, time: 5000}}
+  target: {{size: 1000, time: 1000}}
+target:
+  prefix: "target."
+mapping:
+  catalog_category_entity:
+    entity_id:
+      - catalog_product_flat
+      - catalog_category_product
+"""
+
+
+def _write_config(tmp: Path, ack: str = "delete") -> Path:
+    p = tmp / "config.yaml"
+    p.write_text(CONFIG_YAML.format(ack=ack))
+    return p
+
+
+def _envelope_compact(offset: str, entity_id: int) -> dict:
+    payload = json.dumps(
+        {"before": {"entity_id": entity_id, "v": 4}, "after": {"entity_id": entity_id, "v": 4}}
+    )
+    return {"offset": offset, "stream": "m2.m2.catalog_category_entity", "fields": {"key": payload}}
+
+
+def _envelope_extended(offset: str, entity_id: int) -> dict:
+    payload = json.dumps({"before": {"entity_id": entity_id, "v": 3}, "after": {"entity_id": entity_id}})
+    return {
+        "offset": offset,
+        "stream": "m2.m2.catalog_category_entity",
+        "fields": {"key": "{}", "value": payload},
+    }
+
+
+def _run(spark, tmp: Path, events: list[dict], ack: str = "delete"):
+    cfg = load_config(_write_config(tmp, ack))
+    src = tmp / "in"
+    src.mkdir()
+    if events:
+        (src / "batch0.json").write_text("\n".join(json.dumps(e) for e in events))
+    else:
+        (src / "empty.json").write_text("")
+    handles = watch(spark, cfg, str(src), str(tmp / "work"))
+    handles.query.awaitTermination()
+    out = spark.read.json(handles.output_dir)
+    return cfg, handles, out
+
+
+def _target_records(out, target_stream: str) -> list[str]:
+    return [r.ids for r in out.filter(out.target_stream == target_stream).collect()]
+
+
+def test_watch_basic_seed_only(spark, tmp_path):
+    _, handles, out = _run(spark, tmp_path, events=[])
+    for tgt in ("target.catalog_product_flat", "target.catalog_category_product"):
+        assert _target_records(out, tgt) == ["[]"]
+
+
+@pytest.mark.parametrize("mk", [_envelope_compact, _envelope_extended], ids=["compact", "extended"])
+def test_watch_dedupe_both_formats(spark, tmp_path, mk):
+    events = [mk(f"100{i}-0", eid) for i, eid in enumerate([1, 2, 1, 2])]
+    cfg, handles, out = _run(spark, tmp_path, events, ack="delete" if mk is _envelope_compact else "simple")
+    for tgt in ("target.catalog_product_flat", "target.catalog_category_product"):
+        recs = _target_records(out, tgt)
+        assert len(recs) == 2, recs  # seed + one batch
+        assert "[]" in recs
+        batch = next(r for r in recs if r != "[]")
+        assert json.loads(batch) == [1, 2]  # first-occurrence arrival order
+    # ack ledger: all 4 offsets acknowledged, tagged with the ack mode
+    acks = spark.read.json(handles.ack_dir)
+    rows = acks.collect()
+    assert {r.offset for r in rows} == {f"100{i}-0" for i in range(4)}
+    assert {r.ack_mode for r in rows} == {cfg.source.acknowledge}
+
+
+def test_watch_multi_column_general_case(spark, tmp_path):
+    """The reference extracts every column's id from the FIRST mapped column
+    (WatchStream.java:324 — wrong ids for secondary columns; SURVEY §2A).
+    The rebuild extracts each column's own id: one event carrying different
+    values in two mapped columns routes each value to its own target."""
+    cfg_text = """\
+source: {format: compact, prefix: "m2.m2.", group: cdc, consumer: cdc, acknowledge: simple}
+buffers: {source: {size: 1000, time: 1000}, dedupe: {size: 100000, time: 5000}, target: {size: 1000, time: 1000}}
+target: {prefix: "target."}
+mapping:
+  catalog_category_product:
+    category_id: [cat_index]
+    product_id: [prod_index]
+"""
+    p = tmp_path / "config.yaml"
+    p.write_text(cfg_text)
+    cfg = load_config(p)
+    payload = json.dumps({"after": {"category_id": 7, "product_id": 42}})
+    ev = {"offset": "1000-0", "stream": "m2.m2.catalog_category_product", "fields": {"key": payload}}
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.json").write_text(json.dumps(ev))
+    handles = watch(spark, cfg, str(src), str(tmp_path / "work"))
+    handles.query.awaitTermination()
+    out = spark.read.json(handles.output_dir)
+    assert _target_records(out, "target.cat_index") == ["[]", "[7]"] or set(
+        _target_records(out, "target.cat_index")
+    ) == {"[]", "[7]"}
+    assert set(_target_records(out, "target.prod_index")) == {"[]", "[42]"}
+
+
+def test_config_validation_rejects_feedback_loop(tmp_path):
+    cfg_text = """\
+source: {prefix: "m2.m2."}
+target: {prefix: "m2.m2."}
+mapping:
+  catalog_category_product:
+    entity_id: [catalog_category_product]
+"""
+    p = tmp_path / "bad.yaml"
+    p.write_text(cfg_text)
+    with pytest.raises(ValueError, match="collides"):
+        load_config(p)
+
+
+def test_debezium_generate(tmp_path):
+    from cdc_dedupe_spark.debezium import generate
+
+    cfg = load_config(_write_config(tmp_path))
+    out = generate(cfg)
+    assert "debezium.source.topic.prefix=m2" in out
+    assert "debezium.source.table.include.list=m2.catalog_category_entity" in out
+    assert "debezium.source.column.include.list=m2.catalog_category_entity.entity_id" in out
+    assert "{{" not in out  # every placeholder substituted
