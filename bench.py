@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+  {"metric": "declared_query_suite_wall", "value": <total sec>,
+   "unit": "sec", "queries": {"q": sec, ...}, "sf": 0.1}
+
+Per-query time = plan build + execution to a driver-side count (collect of
+aggregates is tiny; wide row-level outputs are counted, not collected, so
+the measurement is engine time, not driver materialization). BASELINE.md
+targets: <= 30 s/query, <= 15 min suite at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else -1.0
+
+    from cdc_dedupe_spark.queries import REGISTRY
+    from cdc_dedupe_spark.session import get_spark
+
+    spark = get_spark("cdc-dedupe-spark-bench")
+
+    # Warm the JVM/Python-worker paths once so per-query numbers measure the
+    # engine, not first-call startup (BASELINE.md: warm JVM, cached session).
+    REGISTRY["cdc_dedupe_first"].spark(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    total = 0.0
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            q.spark(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            per_query[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # record and continue; a failed query must not hide the rest
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+
+    result = {
+        "metric": "declared_query_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,3 +9,5 @@ from . import cdc  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalar  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402
+from . import llm  # noqa: F401,E402
+from . import llm_ext  # noqa: F401,E402

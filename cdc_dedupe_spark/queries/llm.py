@@ -1,0 +1,281 @@
+"""Group 5 — LLM-data-pipeline extensions (SURVEY.md §2B + BASELINE.json
+north_star): text analysis, embedding similarity, near-dup detection,
+multimodal columns. All hot paths are built-in higher-order functions /
+DataFrame ops (JVM-side); MinHash-LSH uses spark.ml.
+
+Scale stance: token/shingle explosion is map-side (no shuffle until the
+aggregate); cosine top-k broadcasts the probe (O(1) rows) so the 100 TB
+embedding table never shuffles; centroids aggregate exactly
+(integer-scaled) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import register
+
+
+@register(
+    "text_tokens_topk",
+    group="llm",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by frequency (tie-broken by term)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    group="llm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf_r,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf_r FROM scored WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf, top-3 terms per doc. Ranking uses integer (tf, term) order —
+    float weights are reported (rounded) but never ordered on, so 1-ulp ln
+    differences can't flip rows. The df side is a term-level aggregate
+    broadcast back onto the tf side."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast single-row DF
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf_r",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_r")
+    )
+
+
+@register(
+    "text_lang_stats",
+    group="llm",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i via zip_with + aggregate (JVM higher-order fns; float ->
+    double promotion is exact, fold order = array order in both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_COS_ORACLE_PAIR = """
+    WITH a AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 1),
+         b AS (SELECT embedding AS eb FROM embeddings WHERE vec_id = 2),
+         z AS (SELECT unnest(ea)::DOUBLE AS av, unnest(eb)::DOUBLE AS bv FROM a, b)
+    SELECT 1 AS vec_a, 2 AS vec_b,
+           round(SUM(av * bv) / (sqrt(SUM(av * av)) * sqrt(SUM(bv * bv))), 4) AS cos_r
+    FROM z
+"""
+
+
+@register("sim_cosine_pair", group="llm", oracle=_COS_ORACLE_PAIR)
+def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between embeddings 1 and 2 (ROUND 4 absorbs
+    sub-ulp accumulation differences)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("ea"))
+    b = e.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("eb"))
+    return a.crossJoin(b).select(
+        F.lit(1).alias("vec_a"),
+        F.lit(2).alias("vec_b"),
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+            4,
+        ).alias("cos_r"),
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    group="llm",
+    oracle="""
+    WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id,
+                  round(
+                    list_sum(list_transform(generate_series(1, len(e.embedding)),
+                             i -> e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE))
+                    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                       * sqrt(list_sum(list_transform(p.pe, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cos_r
+           FROM embeddings e, probe p
+           WHERE e.vec_id <> 0
+         )
+    SELECT vec_id, cos_r FROM scored ORDER BY cos_r DESC, vec_id LIMIT 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors of probe vec_id=0. The probe is a
+    broadcast single row: the big side streams through map-side compute and
+    TakeOrderedAndProject keeps only k rows per partition — no shuffle of
+    the embedding table at any scale. Ordering on (rounded cos, vec_id) is
+    tie-stable across engines."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
+    cand = e.filter(F.col("vec_id") != 0)
+    return (
+        cand.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("pe"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("pe"), F.col("pe")))
+                ),
+                4,
+            ).alias("cos_r"),
+        )
+        .orderBy(F.col("cos_r").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "sim_centroid",
+    group="llm",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(round(val::DOUBLE * 10000000) AS BIGINT)) AS DOUBLE)
+             / 10000000.0 / COUNT(*) AS centroid
+    FROM flat GROUP BY label, pos
+    """,
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, per dimension. Values are integer-scaled (1e7)
+    before summing so the aggregation is exact and order-independent —
+    the float sum would differ between engines/partitionings."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round(F.col("val").cast("double") * 10000000).cast("long")).cast("double")
+            / 10000000.0
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )
+
+
+@register("dedup_near_minhash", group="llm", oracle=None)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate doc pairs via MinHash-LSH (spark.ml): token sets →
+    binary term vectors (HashingTF) → MinHash signatures → LSH-bucketed
+    approx similarity join at Jaccard distance <= 0.5. Algorithmic output
+    (hash-family dependent) => rows-only; the exact-oracle shingle-Jaccard
+    variant is dedup_ngram_jaccard. At scale the join only compares
+    within-bucket candidates — no quadratic pair blowup."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
+    feats = tf.transform(toks).filter(F.expr("size(tokens) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist_r"),
+        )
+    )
+
+
+@register(
+    "multimodal_cols",
+    group="llm",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lang AS meta_lang,
+           n_chars AS meta_chars
+    FROM documents
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed struct metadata round-trip — the
+    multimodal column pattern (image/audio bytes with sidecar metadata).
+    The binary column is real (utf-8 bytes of text here); metadata travels
+    as a struct and is projected back out."""
+    d = table(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+    )
+    return packed.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_chars"),
+    )

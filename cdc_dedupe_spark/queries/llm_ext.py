@@ -1,0 +1,472 @@
+"""Training-data pipeline extensions beyond the declared SURVEY §2B set —
+the operator families a 100 TB pretraining-data pipeline needs (dedup
+variants, ANN, text analysis, multimodal decode plumbing). Each is a
+first-class `queries()` entry with an exact DuckDB oracle wherever the
+semantics are engine-independent.
+
+Scale stances:
+ - pairwise ops (Jaccard/cosine/SimHash pairs) are banded self-joins —
+   candidate pairs bounded by band width, never quadratic;
+ - per-doc hashing/scoring is pure map-side higher-order-function work;
+ - IVF ANN broadcasts the (tiny) centroid set; cluster assignment is
+   map-side, search touches one cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+@register(
+    "dedup_exact_hash",
+    group="llm-ext",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe via content-hash groupBy: one row per distinct text,
+    keeper = lowest doc_id. At scale: hash computed map-side, shuffle only
+    on the 128-bit digest (not the document bytes)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def _token_hash(t: Column) -> Column:
+    """Deterministic, dialect-portable token hash: cheap positional mix of
+    leading char codes + length, spread by a Knuth multiplier into 61 bits.
+    (Not cryptographic — a hash *family* member for sketching.)"""
+    h = (
+        F.ascii(t) * F.lit(130003)
+        + F.ascii(F.substring(t, 2, 1)) * F.lit(1009)
+        + F.ascii(F.substring(t, 3, 1)) * F.lit(31)
+        + F.length(t)
+    )
+    return (h.cast("long") * F.lit(2654435761)) % F.lit(1 << 61)
+
+
+_SQL_TOKEN_HASH = (
+    "((ascii({t}) * 130003 + ascii(substr({t}, 2, 1)) * 1009"
+    " + ascii(substr({t}, 3, 1)) * 31 + length({t})) * 2654435761) % 2305843009213693952"
+)
+
+
+@register(
+    "dedup_simhash",
+    group="llm-ext",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> {_SQL_TOKEN_HASH.format(t='t')}) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, 15), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+               CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+    FROM hashed
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over token hashes: per bit, majority
+    vote of token-hash bits. Pure map-side higher-order functions — the
+    signature costs one pass over tokens, no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    hs = F.transform(F.split("text", " "), _token_hash)
+    def bit(hs_col: Column, i: int) -> Column:
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        vote = F.aggregate(
+            hs_col,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
+    sim = None
+    for i in range(16):
+        term = bit(hs, i)
+        sim = term if sim is None else sim + term
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    group="llm-ext",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
+               i -> substr(substr(text, 1, 200), i, 5))) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard_r
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard over a banded (same-lang, id-window ≤10)
+    candidate self-join — the exact-arithmetic cousin of MinHash-LSH.
+    Intersection/union sizes are integers; only the final ratio is float
+    (identical division both engines)."""
+    d = table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(substr(text, 1, 200)) - 4, 1)),"
+            " i -> substr(substr(text, 1, 200), i, 5))"
+        )
+    )
+    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 10),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard_r"),
+        )
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    group="llm-ext",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+    )
+    SELECT vec_a, vec_b,
+           round(
+             list_sum(list_transform(generate_series(1, len(ea)), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_r
+    FROM pairs
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scoring over a banded candidate join
+    (id-window ≤10). In production the band comes from an LSH/IVF bucket;
+    the scoring kernel is identical."""
+    from .llm import _dot
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    return (
+        a.join(b, (F.col("b.vec_id") > F.col("a.vec_id")) & (F.col("b.vec_id") <= F.col("a.vec_id") + 10))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb))), 4).alias("cos_r"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    group="llm-ext",
+    oracle="""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT e.vec_id,
+             (SELECT c.cid FROM centroids c
+              ORDER BY round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+                           * (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))), 4) ASC,
+                       c.cid ASC
+              LIMIT 1) AS cid
+      FROM embeddings e
+    ), probe AS (
+      SELECT a.cid AS pcid, e.embedding AS pe
+      FROM assign a JOIN embeddings e USING (vec_id) WHERE a.vec_id = 0
+    ), cluster AS (
+      SELECT e.vec_id, e.embedding, p.pe FROM embeddings e
+      JOIN assign a USING (vec_id) JOIN probe p ON a.cid = p.pcid
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(generate_series(1, len(embedding)),
+                      i -> embedding[i]::DOUBLE * pe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_r
+    FROM cluster ORDER BY cos_r DESC, vec_id LIMIT 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 coarse
+    centroids (rounded L2², tie-broken by centroid id), then search top-3
+    by cosine only within the probe's cluster. The scale path: centroids
+    broadcast (map-side assignment, no shuffle), search touches 1/K of the
+    data. Brute-force baseline = sim_cosine_topk."""
+    from .llm import _dot
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    diff = F.zip_with(
+        F.col("embedding"),
+        F.col("ce"),
+        # explicit multiply (not pow): Math.pow(x, 2) is not guaranteed to
+        # equal x*x bit-for-bit, and the oracle multiplies
+        lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+    )
+    l2r = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 4)
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("l2r", l2r)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("l2r").asc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probe_cid = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("pcid"))
+    probe_vec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
+    cluster = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(probe_cid), F.col("cid") == F.col("pcid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe_vec))
+    )
+    cos_r = F.round(
+        _dot(F.col("embedding"), F.col("pe"))
+        / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(_dot(F.col("pe"), F.col("pe")))),
+        4,
+    )
+    return cluster.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+
+
+def _marker_count(text: Column, marker: str) -> Column:
+    replaced = F.expr(f"replace(text, '{marker}', '')")
+    return (F.length(text) - F.length(replaced)) / F.lit(len(marker))
+
+
+def _sql_marker_count(marker: str) -> str:
+    return f"(length(text) - length(replace(text, '{marker}', ''))) / {len(marker)}"
+
+
+@register(
+    "text_langid",
+    group="llm-ext",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST({_sql_marker_count(' the ')} + {_sql_marker_count(' a ')} AS BIGINT) AS score_en,
+             CAST({_sql_marker_count(' data ')} + {_sql_marker_count(' table ')} AS BIGINT) AS score_db
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_db,
+           CASE WHEN score_en >= score_db THEN 'en' ELSE 'db' END AS pred
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-marker language/domain ID heuristic: count marker substrings
+    per class, argmax with fixed precedence. (The synthetic corpus shares
+    one vocab, so the interesting property is the exact cross-engine
+    scoring, not linguistic accuracy.) Map-side only."""
+    d = table(spark, sf_dir, "documents")
+    score_en = (_marker_count(F.col("text"), " the ") + _marker_count(F.col("text"), " a ")).cast("long")
+    score_db = (
+        _marker_count(F.col("text"), " data ") + _marker_count(F.col("text"), " table ")
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        score_en.alias("score_en"),
+        score_db.alias("score_db"),
+        F.when(score_en >= score_db, "en").otherwise("db").alias("pred"),
+    )
+
+
+@register(
+    "text_quality",
+    group="llm-ext",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_txt,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_txt, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_chars_txt AS DOUBLE) / n_tokens AS avg_token_span
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: length, token count, stopword ratio,
+    average token span — the filters a pretraining pipeline applies before
+    dedupe. All built-in expressions."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        (n_stop.cast("double") / F.size(toks)).alias("stop_ratio"),
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_token_span"),
+    )
+
+
+@register(
+    "text_token_count",
+    group="llm-ext",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word tokens, and
+    the chars/4 BPE heuristic."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    group="llm-ext",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '),
+                 t -> (length(t) * 7 + ascii(t))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token stream (mod 1e9+7) —
+    order-sensitive content hash for shift-detection, one fold, map-side."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + (F.length(t) * 7 + F.ascii(t)).cast("long")) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode plumbing
+
+
+_DECODE_SCHEMA = "doc_id long, n_bytes int, width int, height int, n_frames int"
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for image/video decode (the real decoder —
+    PIL/av — is not in this container; see decode_real below). Operates on
+    Arrow record batches exactly as a real decoder would: bytes in,
+    numeric features out."""
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "width": (n % 640).astype("int32"),
+                "height": ((n * 7) % 480).astype("int32"),
+                "n_frames": (n % 30 + 1).astype("int32"),
+            }
+        )
+
+
+def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    """Real decode path: swap for _fake_decode when PIL/av are installed."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image/video decode libraries are not available in this environment; "
+            "use the deterministic _fake_decode stub (same Spark plumbing)"
+        ) from e
+    raise NotImplementedError("wire PIL decode here")
+
+
+@register(
+    "multimodal_decode_stub",
+    group="llm-ext",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode / feature-extract plumbing via mapInPandas: Arrow
+    batches of (doc_id, payload bytes) → decoded metadata. The decode body
+    is a deterministic fake (real libs absent here — decode_real raises
+    NotImplementedError); the Spark side — binary column, Arrow batch
+    shape, schema, partition-parallel map — is real and oracle-checked."""
+    d = table(spark, sf_dir, "documents")
+    packed = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    decoded = packed.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+    return decoded.select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "width",
+        "height",
+        "n_frames",
+    )
