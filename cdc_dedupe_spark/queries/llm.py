@@ -226,29 +226,35 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_near_minhash", group="llm", oracle=None)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate doc pairs via MinHash-LSH (spark.ml): token sets →
-    binary term vectors (HashingTF) → MinHash signatures → LSH-bucketed
-    approx similarity join at Jaccard distance <= 0.5. Algorithmic output
-    (hash-family dependent) => rows-only; the exact-oracle shingle-Jaccard
-    variant is dedup_ngram_jaccard. At scale the join only compares
-    within-bucket candidates — no quadratic pair blowup."""
+    """Near-duplicate detection via MinHash-LSH, production shape:
+    tokens → binary term vectors (HashingTF) → MinHash signatures
+    (spark.ml, seeded) → one bucket per (band, signature) → keep-first per
+    bucket. A doc is a near-dup if ANY band puts it in a bucket whose
+    keeper has a lower doc_id.
+
+    Deliberately NOT approxSimilarityJoin: on a near-dup-heavy corpus the
+    true pair set is O(n²) (this synthetic corpus shares one vocab, so
+    almost every pair is similar) — but dedupe only needs the per-doc
+    keeper, which is a linear groupBy per band. Hash values are
+    Spark-hash-family specific => rows-only; the exact-oracle similarity
+    twin is dedup_ngram_jaccard."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.functions import vector_to_array
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
     feats = tf.transform(toks).filter(F.expr("size(tokens) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist_r"),
-        )
-    )
+    sigs = lsh.fit(feats).transform(feats)
+    banded = sigs.select(
+        "doc_id", F.posexplode("hashes").alias("band", "sig")
+    ).select("doc_id", "band", vector_to_array("sig").getItem(0).cast("long").alias("bucket"))
+    w = Window.partitionBy("band", "bucket")
+    per_band = banded.withColumn("keeper", F.min("doc_id").over(w))
+    return per_band.groupBy("doc_id").agg(
+        F.min("keeper").alias("rep_doc_id"),
+    ).withColumn("is_dup", F.col("rep_doc_id") < F.col("doc_id"))
 
 
 @register(
