@@ -1,0 +1,136 @@
+"""Physical-plan shape assertions backing SCALING.md's claims.
+
+Each test checks the property that makes an operator survive a 100-1000x
+scale-up — pushdown reached the scan, the dimension side broadcast, top-k
+compiled to TakeOrderedAndProject, map-only ops stayed shuffle-free — not
+just that the query returns rows. `.explain("formatted")` is the witness.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from cdc_dedupe_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir: str, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    """Count Exchange nodes in a formatted plan (detail section lines)."""
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    """Predicate + projection must reach the parquet scan (SCALING.md:
+    'no query reads a column it does not output or filter on')."""
+    plan = plan_of(spark, sf_dir, "scan_project_filter")
+    assert "PushedFilters:" in plan
+    # the quantity/discount predicates are pushed, not just IsNotNull
+    assert re.search(r"PushedFilters:.*LessThan\(l_quantity", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_discount", plan)
+    # ReadSchema pruned to the 4 referenced columns (16 in the table)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_linenumber",
+        "l_orderkey",
+        "l_quantity",
+    ]
+
+
+def test_groupby_partial_aggregation(spark, sf_dir):
+    """Q1-style agg must be two-phase (map-side partial) so bytes shuffled
+    = |groups|, not |rows| — and stay inside whole-stage codegen."""
+    plan = plan_of(spark, sf_dir, "agg_groupby")
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
+    # codegen subtrees are only visible pre-execution with AQE off; the
+    # registry re-tunes AQE on at call time, so toggle AFTER plan build
+    # (explain prepares the physical plan lazily, reading conf then)
+    df = REGISTRY["agg_groupby"].spark(spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+        assert m and int(m.group(1)) >= 2, buf.getvalue()[:300]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_broadcast_hint_pins_strategy(spark, sf_dir):
+    """Explicit broadcast(part): the 100 TB fact side must never shuffle
+    for a dimension join."""
+    plan = plan_of(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    # no shuffle of the fact side for the join itself: the only exchanges
+    # allowed are the broadcast one and the final agg shuffle
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+
+
+def test_multiway_dims_broadcast(spark, sf_dir):
+    """region->nation->customer chain: both dim joins broadcast."""
+    plan = plan_of(spark, sf_dir, "join_multiway")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+
+
+def test_fanout_routing_broadcasts(spark, sf_dir):
+    """CDC fan-out (S6): the O(10)-row routing table broadcasts; the event
+    stream never shuffles for routing (SCALING.md CDC family)."""
+    plan = plan_of(spark, sf_dir, "cdc_fanout_route")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition top-k + k-row driver merge, no global sort."""
+    plan = plan_of(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    # no full Sort node materializes outside the top-k operator
+    assert not re.search(r"\bSort \[", plan.split("TakeOrderedAndProject")[0])
+
+
+def test_cosine_topk_broadcasts_probe(spark, sf_dir):
+    """ANN brute-force baseline: probe vector broadcasts (map-side dot
+    product), result via TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "sim_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("name", ["text_quality", "text_token_count", "dedup_simhash", "text_langid"])
+def test_map_only_ops_have_no_shuffle(spark, sf_dir, name):
+    """Per-document scoring ops are pure map-side HOFs — zero Exchange
+    nodes, linear scaling with input splits (SCALING.md LLM family)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Exchange" not in plan, plan
+
+
+def test_exact_dedupe_single_shuffle(spark, sf_dir):
+    """Exact dedupe: map-side hashing then ONE shuffle on the digest."""
+    plan = plan_of(spark, sf_dir, "dedup_exact_hash")
+    assert n_exchanges(plan) == 1
+
+
+def test_window_dedupe_single_shuffle(spark, sf_dir):
+    """First-wins dedupe (S9): exactly one hash-partition exchange on the
+    dedupe key feeds the codegen'd window."""
+    plan = plan_of(spark, sf_dir, "cdc_dedupe_first")
+    assert n_exchanges(plan) == 1
+    # rank-limit pushdown: top-1-per-key pre-filtered on the map side too
+    assert "WindowGroupLimit" in plan
