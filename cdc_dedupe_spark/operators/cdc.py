@@ -48,14 +48,17 @@ def envelope_payload(fields_col: str = "fields") -> Column:
 
 
 def extract_entity_id(payload: Column, column: str | Column) -> Column:
-    """``after.<column>`` extracted and cast to int32
-    (RedisSource.java:63-66; int32 semantics — out-of-range -> null here
-    rather than the reference's ClassCastException). ``column`` may be a
-    Column expression so the id column can vary per row (general
-    multi-column routing)."""
+    """``after.<column>`` extracted and cast to int32 (RedisSource.java:63-66;
+    int32 id semantics). Where the reference throws — ids past int32 raise
+    ClassCastException, a missing field raises JSONException — we degrade to
+    NULL (``try_element_at``/``try_cast``; ANSI mode would otherwise fail the
+    whole job): at 100 TB a single malformed event must not kill the
+    pipeline, and null-id rows are filterable into a dead-letter output.
+    ``column`` may be a Column expression so the id column can vary per row
+    (general multi-column routing)."""
     parsed = F.from_json(payload, ENVELOPE_SCHEMA)
     key = F.lit(column) if isinstance(column, str) else column
-    return F.element_at(parsed["after"], key).cast("int")
+    return F.try_element_at(parsed["after"], key).try_cast("int")
 
 
 def routing_df(spark: SparkSession, routing: Mapping[str, Sequence[str]] | None = None) -> DataFrame:
@@ -119,11 +122,18 @@ def batch_pack_scalable(df: DataFrame, id_col: str, batch_size: int = 1000) -> D
     own ids into full buckets; bucket ids are made globally unique by
     composing (partition_id, local_bucket). Order within the stream is not
     total (the reference's contract only bounds batch SIZE, README.md:7)."""
-    part = F.spark_partition_id()
-    w = Window.partitionBy(part).orderBy(F.monotonically_increasing_id())
+    # Materialize the partition id ONCE: spark_partition_id() is evaluated
+    # where it appears, and the window below shuffles — a second evaluation
+    # after the exchange would see a different id and mix buckets across
+    # source partitions (breaking the <= batch_size bound).
+    df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__seq", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("__seq")
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("bucket", part.cast("long") * F.lit(1 << 32) + F.ceil(F.col("__rn") / F.lit(batch_size)))
+        .withColumn("bucket", F.col("__pid").cast("long") * F.lit(1 << 32) + F.ceil(F.col("__rn") / F.lit(batch_size)))
+        .drop("__pid", "__seq")
         .groupBy("bucket")
         .agg(
             F.to_json(F.sort_array(F.collect_list(id_col))).alias("ids_json"),
