@@ -1,0 +1,80 @@
+"""The watch micro-batch as a pure logical plan.
+
+Input: a batch of envelope rows ``(offset, stream, fields)`` plus the
+broadcastable routing relation compiled from config. Output: the two
+result relations the sinks write — packed id batches per target and the
+ack ledger — with no side effects here, so the plan is unit-testable in
+batch mode and reusable by any sink layer.
+
+Reference stages covered (SURVEY.md §2A): S2/S3 decode+extract, S6 fan-out,
+S9 first-wins dedupe, S12/S13 packing, S15-S19 ack set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import Config
+from ..operators.cdc import envelope_payload, extract_entity_id
+
+
+def compile_watch_plan(
+    batch: DataFrame, routes: DataFrame, cfg: Config
+) -> tuple[DataFrame, DataFrame]:
+    """Compile one micro-batch into ``(packed, acks)`` DataFrames.
+
+    ``packed``: (target_stream, ids) — arrival-ordered, deduped id arrays
+    of <= cfg.buffers.target.size, JSON-encoded (the ``{"ids": "[...]"}``
+    payload, WatchStream.java:284-293).
+    ``acks``: (stream, offset, ack_mode) — every routed input record; under
+    checkpointed foreachBatch all fan-out copies of a batch land atomically,
+    so batch membership IS the refcount barrier (WatchStream.java:183-190).
+    """
+    # Redis RecordId "millis-seq" -> numeric arrival order.
+    off_ms = F.split("offset", "-").getItem(0).cast("long")
+    off_seq = F.coalesce(F.split("offset", "-").getItem(1).cast("long"), F.lit(0))
+
+    # S2/S3 + S6: decode once, fan out via broadcast routing join; the id
+    # column is resolved per routing row, so multi-column tables extract
+    # each column's own id (correct general semantics — the reference
+    # extracts the first column's id for every mapping, SURVEY.md §2A).
+    routed = (
+        batch.join(F.broadcast(routes), "stream", "inner")
+        .withColumn("payload", envelope_payload("fields"))
+        .withColumn("entity_id", extract_entity_id(F.col("payload"), F.col("id_column")))
+        .withColumn("_ms", off_ms)
+        .withColumn("_seq", off_seq)
+        .filter(F.col("entity_id").isNotNull())
+    )
+
+    # S9: first-wins per (target, entity_id) within this micro-batch —
+    # keyed by entity id only, like Collectors.toMap (WatchStream.java:272).
+    w_first = Window.partitionBy("target_stream", "entity_id").orderBy("_ms", "_seq")
+    survivors = (
+        routed.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    # S12/S13: arrival-order packing into <= target.size ids per record.
+    size = cfg.buffers.target.size
+    w_order = Window.partitionBy("target_stream").orderBy("_ms", "_seq")
+    packed = (
+        survivors.withColumn("_rn", F.row_number().over(w_order))
+        .withColumn("_bucket", F.ceil(F.col("_rn") / F.lit(size)))
+        .groupBy("target_stream", "_bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("_rn", "entity_id"))).alias("_pairs"))
+        .select(
+            "target_stream",
+            F.to_json(F.transform("_pairs", lambda s: s.entity_id)).alias("ids"),
+        )
+    )
+
+    # S15-S19 ack set: every input record on a routed stream (unroutable
+    # streams are never consumed by the reference either).
+    acks = (
+        batch.join(F.broadcast(routes.select("stream").distinct()), "stream", "inner")
+        .select("stream", "offset")
+        .distinct()
+        .withColumn("ack_mode", F.lit(cfg.source.acknowledge))
+    )
+    return packed, acks

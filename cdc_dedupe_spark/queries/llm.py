@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import cosine
 from ..tables import table
 from .registry import register
 
@@ -109,14 +110,6 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Σ a_i * b_i via zip_with + aggregate (JVM higher-order fns; float ->
-    double promotion is exact, fold order = array order in both engines)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 _COS_ORACLE_PAIR = """
@@ -139,11 +132,7 @@ def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         F.lit(1).alias("vec_a"),
         F.lit(2).alias("vec_b"),
-        F.round(
-            _dot(F.col("ea"), F.col("eb"))
-            / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
-            4,
-        ).alias("cos_r"),
+        cosine(F.col("ea"), F.col("eb"), round_digits=4).alias("cos_r"),
     )
 
 
@@ -179,14 +168,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("pe"))
-                / (
-                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                    * F.sqrt(_dot(F.col("pe"), F.col("pe")))
-                ),
-                4,
-            ).alias("cos_r"),
+            cosine(F.col("embedding"), F.col("pe"), round_digits=4).alias("cos_r"),
         )
         .orderBy(F.col("cos_r").desc(), "vec_id")
         .limit(5)

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import SQL_TOKEN_HASH, char_shingles, marker_count, simhash, sql_marker_count, token_hash
+from ..functions.vector import cosine, dot
 from ..tables import table
 from .registry import register
 
@@ -50,23 +52,6 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_hash(t: Column) -> Column:
-    """Deterministic, dialect-portable token hash: cheap positional mix of
-    leading char codes + length, spread by a Knuth multiplier into 61 bits.
-    (Not cryptographic — a hash *family* member for sketching.)"""
-    h = (
-        F.ascii(t) * F.lit(130003)
-        + F.ascii(F.substring(t, 2, 1)) * F.lit(1009)
-        + F.ascii(F.substring(t, 3, 1)) * F.lit(31)
-        + F.length(t)
-    )
-    return (h.cast("long") * F.lit(2654435761)) % F.lit(1 << 61)
-
-
-_SQL_TOKEN_HASH = (
-    "((ascii({t}) * 130003 + ascii(substr({t}, 2, 1)) * 1009"
-    " + ascii(substr({t}, 3, 1)) * 31 + length({t})) * 2654435761) % 2305843009213693952"
-)
 
 
 @register(
@@ -75,7 +60,7 @@ _SQL_TOKEN_HASH = (
     oracle=f"""
     WITH hashed AS (
       SELECT doc_id,
-             list_transform(string_split(text, ' '), t -> {_SQL_TOKEN_HASH.format(t='t')}) AS hs
+             list_transform(string_split(text, ' '), t -> {SQL_TOKEN_HASH.format(t='t')}) AS hs
       FROM documents
     )
     SELECT doc_id,
@@ -91,20 +76,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote of token-hash bits. Pure map-side higher-order functions — the
     signature costs one pass over tokens, no shuffle at all."""
     d = table(spark, sf_dir, "documents")
-    hs = F.transform(F.split("text", " "), _token_hash)
-    def bit(hs_col: Column, i: int) -> Column:
-        mask = F.shiftleft(F.lit(1).cast("long"), i)
-        vote = F.aggregate(
-            hs_col,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-        return F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
-    sim = None
-    for i in range(16):
-        term = bit(hs, i)
-        sim = term if sim is None else sim + term
-    return d.select("doc_id", sim.alias("simhash"))
+    return d.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
 
 
 @register(
@@ -132,13 +104,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Intersection/union sizes are integers; only the final ratio is float
     (identical division both engines)."""
     d = table(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(length(substr(text, 1, 200)) - 4, 1)),"
-            " i -> substr(substr(text, 1, 200), i, 5))"
-        )
-    )
-    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    sh = d.select("doc_id", "lang", char_shingles(F.col("text"), n=5, prefix_len=200).alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
@@ -179,7 +145,6 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scoring over a banded candidate join
     (id-window ≤10). In production the band comes from an LSH/IVF bucket;
     the scoring kernel is identical."""
-    from .llm import _dot
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = e.alias("a")
@@ -190,7 +155,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(_dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb))), 4).alias("cos_r"),
+            F.round(dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb))), 4).alias("cos_r"),
         )
     )
 
@@ -233,7 +198,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cosine only within the probe's cluster. The scale path: centroids
     broadcast (map-side assignment, no shuffle), search touches 1/K of the
     data. Brute-force baseline = sim_cosine_topk."""
-    from .llm import _dot
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = e.filter(F.col("vec_id") < 8).select(
@@ -268,8 +232,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(probe_vec))
     )
     cos_r = F.round(
-        _dot(F.col("embedding"), F.col("pe"))
-        / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(_dot(F.col("pe"), F.col("pe")))),
+        dot(F.col("embedding"), F.col("pe"))
+        / (F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("pe"), F.col("pe")))),
         4,
     )
     return cluster.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
@@ -279,13 +243,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis family
 
 
-def _marker_count(text: Column, marker: str) -> Column:
-    replaced = F.expr(f"replace(text, '{marker}', '')")
-    return (F.length(text) - F.length(replaced)) / F.lit(len(marker))
-
-
-def _sql_marker_count(marker: str) -> str:
-    return f"(length(text) - length(replace(text, '{marker}', ''))) / {len(marker)}"
 
 
 @register(
@@ -294,8 +251,8 @@ def _sql_marker_count(marker: str) -> str:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
-             CAST({_sql_marker_count(' the ')} + {_sql_marker_count(' a ')} AS BIGINT) AS score_en,
-             CAST({_sql_marker_count(' data ')} + {_sql_marker_count(' table ')} AS BIGINT) AS score_db
+             CAST({sql_marker_count(' the ')} + {sql_marker_count(' a ')} AS BIGINT) AS score_en,
+             CAST({sql_marker_count(' data ')} + {sql_marker_count(' table ')} AS BIGINT) AS score_db
       FROM documents
     )
     SELECT doc_id, lang, score_en, score_db,
@@ -309,9 +266,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     one vocab, so the interesting property is the exact cross-engine
     scoring, not linguistic accuracy.) Map-side only."""
     d = table(spark, sf_dir, "documents")
-    score_en = (_marker_count(F.col("text"), " the ") + _marker_count(F.col("text"), " a ")).cast("long")
+    score_en = (marker_count(F.col("text"), " the ") + marker_count(F.col("text"), " a ")).cast("long")
     score_db = (
-        _marker_count(F.col("text"), " data ") + _marker_count(F.col("text"), " table ")
+        marker_count(F.col("text"), " data ") + marker_count(F.col("text"), " table ")
     ).cast("long")
     return d.select(
         "doc_id",

@@ -26,12 +26,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..config import Config
-from ..operators.cdc import envelope_payload, extract_entity_id
+from ..plans.watch_plan import compile_watch_plan
 
 # FIXTURES.md §A: one row per stream entry.
 ENVELOPE_ROW_SCHEMA = "offset string, stream string, fields map<string,string>"
@@ -64,60 +64,15 @@ def seed_targets(spark: SparkSession, cfg: Config, output_dir: str) -> None:
 def _process_batch(
     batch: DataFrame, routes: DataFrame, cfg: Config, output_dir: str, ack_dir: str
 ) -> None:
-    spark = batch.sparkSession
     if batch.isEmpty():
         return
 
-    # Redis RecordId "millis-seq" -> numeric arrival order.
-    off_ms = F.split("offset", "-").getItem(0).cast("long")
-    off_seq = F.coalesce(F.split("offset", "-").getItem(1).cast("long"), F.lit(0))
-
-    # S2/S3 + S6: decode once, fan out via broadcast routing join; the id
-    # column is resolved per routing row, so multi-column tables extract
-    # each column's own id (correct general semantics).
-    routed = (
-        batch.join(F.broadcast(routes), "stream", "inner")
-        .withColumn("payload", envelope_payload("fields"))
-        .withColumn("entity_id", extract_entity_id(F.col("payload"), F.col("id_column")))
-        .withColumn("_ms", off_ms)
-        .withColumn("_seq", off_seq)
-        .filter(F.col("entity_id").isNotNull())
-    )
-
-    # S9: first-wins per (target, entity_id) within this micro-batch —
-    # keyed by entity id only, like Collectors.toMap (WatchStream.java:272).
-    w_first = Window.partitionBy("target_stream", "entity_id").orderBy("_ms", "_seq")
-    survivors = (
-        routed.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1).drop("_rn")
-    )
-
-    # S12/S13: arrival-order packing into <= target.size ids per record.
-    size = cfg.buffers.target.size
-    w_order = Window.partitionBy("target_stream").orderBy("_ms", "_seq")
-    packed = (
-        survivors.withColumn("_rn", F.row_number().over(w_order))
-        .withColumn("_bucket", F.ceil(F.col("_rn") / F.lit(size)))
-        .groupBy("target_stream", "_bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("_rn", "entity_id"))).alias("_pairs"))
-        .select(
-            "target_stream",
-            F.to_json(F.transform("_pairs", lambda s: s.entity_id)).alias("ids"),
-        )
-    )
-
-    # S14: one partitioned write covers every target sink.
+    # Plan compilation is pure (plans/watch_plan.py); this layer only owns
+    # the sinks: one partitioned write per relation covers every target
+    # (S14) and the ack ledger (S15-S19 — the checkpoint is the real
+    # at-least-once contract, the ledger is XACK observability parity).
+    packed, acks = compile_watch_plan(batch, routes, cfg)
     packed.write.mode("append").partitionBy("target_stream").json(output_dir)
-
-    # S15-S19: ack ledger — every input record whose fan-out copies all
-    # landed (all-or-nothing per batch under checkpointing, so that's every
-    # routed record; unroutable records are NOT acked, mirroring the
-    # reference where unmapped streams are never consumed).
-    acks = (
-        batch.join(F.broadcast(routes.select("stream").distinct()), "stream", "inner")
-        .select("stream", "offset")
-        .distinct()
-        .withColumn("ack_mode", F.lit(cfg.source.acknowledge))
-    )
     acks.write.mode("append").partitionBy("stream").json(ack_dir)
 
 
