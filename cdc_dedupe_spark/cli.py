@@ -22,8 +22,21 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("watch", help="run the CDC dedupe pipeline")
     w.add_argument("--config", "-c", default="./config.yaml")
-    w.add_argument("--source-dir", required=True, help="directory of envelope JSON files")
+    w.add_argument("--source-dir", default=None, help="directory of envelope JSON files")
     w.add_argument("--work-dir", required=True, help="output/ack/checkpoint root")
+    w.add_argument(
+        "--redis-option",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="read from Redis streams instead of --source-dir; repeatable "
+        "(host=..., port=..., db=..., or client_factory=module:function)",
+    )
+    w.add_argument(
+        "--redis-sink",
+        action="store_true",
+        help="XADD packed batches to the target Redis streams (with --redis-option)",
+    )
     w.add_argument(
         "--continuous",
         type=int,
@@ -47,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     from .streaming.pipeline import watch
 
+    redis_options = dict(kv.split("=", 1) for kv in args.redis_option) or None
+    if args.source_dir is None and redis_options is None:
+        parser.error("watch requires --source-dir or --redis-option")
+
     spark = get_spark("cdc-dedupe-spark-watch")
     handles = watch(
         spark,
@@ -55,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         work_dir=args.work_dir,
         available_now=args.continuous is None,
         trigger_seconds=args.continuous,
+        redis_options=redis_options,
+        redis_sink=args.redis_sink,
     )
     handles.query.awaitTermination()
     print(f"targets written under {handles.output_dir}; acks under {handles.ack_dir}")

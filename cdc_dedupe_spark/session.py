@@ -10,8 +10,22 @@ at cluster scale AQE re-plans shuffle partition counts at runtime.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Repo root (parent of this package) — Python workers must be able to
+# import cdc_dedupe_spark to unpickle data sources / UDF closures defined
+# here, regardless of the driver's cwd. On a real cluster the package is
+# shipped via --py-files / pip instead; this keeps local-mode deploys and
+# CLI runs from any directory working.
+_PKG_ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _ensure_worker_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _PKG_ROOT + (os.pathsep + pp if pp else "")
 
 # Shuffle partitions: small for local SF<=0.1 (BASELINE.md env: "shuffle
 # partitions <= 8" is too small to exercise parallelism on local[32]; 32
@@ -20,6 +34,7 @@ _LOCAL_SHUFFLE_PARTITIONS = "32"
 
 
 def get_spark(app_name: str = "cdc-dedupe-spark") -> SparkSession:
+    _ensure_worker_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

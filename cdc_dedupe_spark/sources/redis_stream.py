@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -169,6 +170,23 @@ class RedisStreamWriter(DataSourceStreamWriter):
         pass
 
 
+class RedisBatchWriter(DataSourceWriter):
+    """Batch-mode XADD writer (``df.write.format("redis_stream")``) — the
+    shape ``foreachBatch`` uses to land packed batches on target streams."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]) -> None:
+        self._w = RedisStreamWriter(schema, options)
+
+    def write(self, rows: Iterator[Any]) -> WriterCommitMessage:
+        return self._w.write(rows)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        pass
+
+
 class RedisStreamDataSource(DataSource):
     """``spark.readStream.format("redis_stream")`` after
     ``spark.dataSource.register(RedisStreamDataSource)``."""
@@ -185,6 +203,9 @@ class RedisStreamDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> RedisStreamWriter:
         return RedisStreamWriter(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> RedisBatchWriter:
+        return RedisBatchWriter(schema, self.options)
 
 
 def register(spark) -> None:

@@ -62,7 +62,12 @@ def seed_targets(spark: SparkSession, cfg: Config, output_dir: str) -> None:
 
 
 def _process_batch(
-    batch: DataFrame, routes: DataFrame, cfg: Config, output_dir: str, ack_dir: str
+    batch: DataFrame,
+    routes: DataFrame,
+    cfg: Config,
+    output_dir: str,
+    ack_dir: str,
+    sink_options: dict[str, str] | None = None,
 ) -> None:
     if batch.isEmpty():
         return
@@ -72,7 +77,11 @@ def _process_batch(
     # (S14) and the ack ledger (S15-S19 — the checkpoint is the real
     # at-least-once contract, the ledger is XACK observability parity).
     packed, acks = compile_watch_plan(batch, routes, cfg)
-    packed.write.mode("append").partitionBy("target_stream").json(output_dir)
+    if sink_options is not None:
+        # XADD straight to the target Redis streams (reference topology).
+        packed.write.format("redis_stream").options(**sink_options).mode("append").save()
+    else:
+        packed.write.mode("append").partitionBy("target_stream").json(output_dir)
     acks.write.mode("append").partitionBy("stream").json(ack_dir)
 
 
@@ -86,12 +95,20 @@ class WatchHandles:
 def watch(
     spark: SparkSession,
     cfg: Config,
-    source_dir: str,
+    source_dir: str | None,
     work_dir: str,
     available_now: bool = True,
     trigger_seconds: int | None = None,
+    redis_options: dict[str, str] | None = None,
+    redis_sink: bool = False,
 ) -> WatchHandles:
-    """Start the watch pipeline over a directory of envelope JSON files.
+    """Start the watch pipeline.
+
+    Source: a directory of envelope JSON files (``source_dir``), or — when
+    ``redis_options`` is given — the ``redis_stream`` data source polling
+    the config's source streams directly (the reference's topology,
+    RedisSource.java:72-93). ``redis_sink=True`` additionally XADDs packed
+    batches to the target streams instead of JSON files.
 
     availableNow=True drains existing input and stops (the test/replay
     mode); trigger_seconds mirrors the reference's 5 s dedupe window
@@ -102,11 +119,31 @@ def watch(
     checkpoint = str(work / "checkpoint")
 
     routes = routing_rows(spark, cfg)
-    seed_targets(spark, cfg, output_dir)
 
-    stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
+    sink_options: dict[str, str] | None = None
+    if redis_options is not None:
+        from ..sources.redis_stream import RedisStreamDataSource, make_client, seed_payload
+
+        spark.dataSource.register(RedisStreamDataSource)
+        source_streams = ",".join(f"{cfg.source.prefix}{t}" for t in cfg.mapping)
+        reader = spark.readStream.format("redis_stream").option("streams", source_streams)
+        for k, v in redis_options.items():
+            reader = reader.option(k, v)
+        stream = reader.load()
+        if redis_sink:
+            sink_options = dict(redis_options)
+            # Seed every target stream with {"ids": "[]"} (WatchStream.java:262-265).
+            client = make_client(redis_options)
+            for t in cfg.targets():
+                client.xadd(f"{cfg.target.prefix}{t}", seed_payload())
+        else:
+            seed_targets(spark, cfg, output_dir)
+    else:
+        seed_targets(spark, cfg, output_dir)
+        stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
+
     writer = stream.writeStream.foreachBatch(
-        lambda b, _id: _process_batch(b, routes, cfg, output_dir, ack_dir)
+        lambda b, _id: _process_batch(b, routes, cfg, output_dir, ack_dir, sink_options)
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)

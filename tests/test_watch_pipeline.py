@@ -158,3 +158,42 @@ def test_debezium_generate(tmp_path):
     assert "debezium.source.table.include.list=m2.catalog_category_entity" in out
     assert "debezium.source.column.include.list=m2.catalog_category_entity.entity_id" in out
     assert "{{" not in out  # every placeholder substituted
+
+
+def test_watch_redis_to_redis_topology(spark, tmp_path):
+    """The reference's actual topology end-to-end: source events polled
+    from Redis streams, packed batches XADDed to target Redis streams
+    (RedisSource.java:72-93 in, WatchStream.java:291-293 out) — run over
+    the file-backed fake client."""
+    from tests.fake_redis import FakeRedis
+
+    cfg = load_config(_write_config(tmp_path))
+    redis_dir = tmp_path / "redis"
+    fake = FakeRedis(str(redis_dir))
+    for i, eid in enumerate([1, 2, 1, 2], start=1):
+        env = _envelope_compact(f"1-{i}", eid)
+        fake.xadd(env["stream"], env["fields"])
+
+    handles = watch(
+        spark,
+        cfg,
+        source_dir=None,
+        work_dir=str(tmp_path / "work"),
+        redis_options={
+            "client_factory": "tests.fake_redis:make_client",
+            "fake_dir": str(redis_dir),
+        },
+        redis_sink=True,
+    )
+    handles.query.awaitTermination()
+
+    for target in ("target.catalog_product_flat", "target.catalog_category_product"):
+        entries = fake.xrange(target)
+        ids = [json.loads(f["ids"]) for _, f in entries]
+        assert ids[0] == []  # seed record first (WatchStream.java:262-265)
+        assert ids[1:] == [[1, 2]]  # one deduped batch
+
+    # ack ledger covers all 4 source offsets
+    acks = spark.read.json(handles.ack_dir)
+    assert acks.count() == 4
+    assert acks.select("ack_mode").distinct().first().ack_mode == "delete"
