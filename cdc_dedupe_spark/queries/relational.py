@@ -467,3 +467,31 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _typed_users(spark, sf_dir, "click").subtract(_typed_users(spark, sf_dir, "purchase"))
+
+
+@register(
+    "join_skew_salted",
+    group="relational",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact⋈dim join (operators/skew.py): hot l_partkey
+    values spread over 16 shuffle partitions; the oracle is the PLAIN join
+    — salting must never change the logical result. This is the manual
+    fallback for skew AQE can't fix (streaming joins, pre-bucketed
+    shuffles); see SCALING.md."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), p, on="p_partkey", salt=16
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty")
+    )

@@ -64,11 +64,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 15 minutes (each event lands in exactly
-    4 windows; the oracle generates the 4 aligned starts per event)."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+    """1-hour window sliding every 15 minutes on a real stream (complete
+    output; each event lands in exactly 4 windows — the oracle generates
+    the 4 aligned starts per event)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "event_type",
@@ -76,6 +77,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    return run_to_memory(agg, "stream_sliding_counts", output_mode="complete")
 
 
 @register(
@@ -104,8 +106,12 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap
-    (session_window — the streaming primitive — in batch mode; the oracle
-    rebuilds sessions with the classic lag+cumsum islands trick)."""
+    (session_window — the streaming primitive — in batch mode: streaming
+    session windows support only append output, which on a bounded
+    single-file replay never advances the watermark past the final
+    sessions, so the deterministic oracle-checked variant runs the same
+    operator in batch; the oracle rebuilds sessions with the classic
+    lag+cumsum islands trick)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")

@@ -111,3 +111,32 @@ def test_batch_pack_scalable_conserves_ids_and_bounds_buckets(spark):
     assert all(r.n_ids <= 64 for r in rows)
     got = sorted(i for r in rows for i in json.loads(r.ids_json))
     assert got == list(range(1000))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is physical only: inner and left results match the plain
+    join on a deliberately skewed key distribution (90% one key)."""
+    from cdc_dedupe_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k int, v int"
+    )
+    small = spark.createDataFrame([(1, "hot"), (3, "cold")], "k int, name string")
+
+    plain = big.join(small, "k", "inner")
+    salted = salted_join(big, small, "k", how="inner", salt=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_l = big.join(small, "k", "left")
+    salted_l = salted_join(big, small, "k", how="left", salt=8)
+    assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )
+
+
+def test_salt_counts_surfaces_hot_keys(spark):
+    from cdc_dedupe_spark.operators.skew import salt_counts
+
+    df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, "k int")
+    top = salt_counts(df, ["k"], top=1).first()
+    assert top.k == 1 and abs(top.share - 0.9) < 1e-9
