@@ -134,3 +134,21 @@ def test_window_dedupe_single_shuffle(spark, sf_dir):
     assert n_exchanges(plan) == 1
     # rank-limit pushdown: top-1-per-key pre-filtered on the map side too
     assert "WindowGroupLimit" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Global sweep: no declared batch query may compile to a
+    CartesianProduct — every cross join in the registry is a deliberate
+    broadcast of an O(1)-row side (probe vectors, centroids), which plans
+    as BroadcastNestedLoopJoin instead. A true cartesian at 100 TB is a
+    non-starter. (Streaming queries execute on build and are plan-checked
+    by their own tests.)"""
+    skip = {"cdc_dedupe_stream"}
+    for name, q in REGISTRY.items():
+        if q.group == "streaming" or name in skip:
+            continue
+        df = q.spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "CartesianProduct" not in buf.getvalue(), name
