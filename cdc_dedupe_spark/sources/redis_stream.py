@@ -16,6 +16,16 @@ Spark-first mapping of the reference's consumer-group model:
    far hotter than others can be split further by id sub-ranges — the
    partition planner below is the single place to do it.
 
+Admission control (the reference's poll batch size, config.yaml:13-15 —
+capping entries per micro-batch) is deliberately NOT implemented: the
+Python Data Source API's ``latestOffset()`` takes no start/ReadLimit
+argument (unlike the JVM DSv2 ``latestOffset(start, limit)``), and the
+engine recreates reader instances between planning and execution, so any
+reader-side cap state yields non-monotonic ends and duplicate batches
+(verified empirically). Batch size is therefore bounded by the trigger
+interval (size-or-time degrades to time-only); a JVM-side source or a
+future ReadLimit-aware Python API is the path to a true size cap.
+
 The ``redis`` client library is not installed in this container: the
 connection factory is import-gated and the planner/reader logic takes any
 client object exposing ``xinfo_stream`` / ``xrange``, so unit tests drive
@@ -106,7 +116,10 @@ class RedisStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         """Driver-side metadata poll only (XINFO STREAM last-generated-id):
-        O(|streams|) round trips per micro-batch, no payload bytes."""
+        O(|streams|) round trips per micro-batch, no payload bytes. Must be
+        stateless: the engine may recreate this reader between planning and
+        execution, so the only safe answer is the stream's own monotonic
+        last-generated-id (see module docstring on admission control)."""
         out = {}
         for s in self.streams:
             try:
@@ -137,8 +150,8 @@ class RedisStreamReader(DataSourceStreamReader):
             yield record_id, partition.stream, dict(fields)
 
     def commit(self, end: dict) -> None:
-        """Offsets live in the checkpoint; nothing to do server-side. XACK
-        parity is handled by the watch pipeline's ack ledger."""
+        """Offsets live in the checkpoint; nothing to do server-side (XACK
+        parity is handled by the watch pipeline's ack ledger)."""
 
 
 class RedisStreamWriter(DataSourceStreamWriter):

@@ -43,7 +43,9 @@ class FakeRedis:
             raise KeyError(f"no such stream {stream!r}")
         return {"last-generated-id": entries[-1][0], "length": len(entries)}
 
-    def xrange(self, stream: str, start: str = "-", end: str = "+") -> list[tuple[str, dict]]:
+    def xrange(
+        self, stream: str, start: str = "-", end: str = "+", count: int | None = None
+    ) -> list[tuple[str, dict]]:
         def key(record_id: str) -> tuple[int, int]:
             ms, _, seq = record_id.partition("-")
             return int(ms), int(seq or 0)
@@ -56,7 +58,7 @@ class FakeRedis:
             k = key(rid)
             if (k > lo if exclusive else k >= lo) and k <= hi:
                 out.append((rid, fields))
-        return out
+        return out[:count] if count is not None else out
 
 
 def make_client(options: dict) -> FakeRedis:

@@ -130,3 +130,20 @@ def test_stream_sink_xadds_packed_batches(spark, tmp_path):
     entries = fake.xrange("target.idx")
     got = sorted(json.loads(f["ids"])[0] for _, f in entries)
     assert got == [0, 2, 4]
+
+
+def test_latest_offset_is_stateless_across_reader_instances(tmp_path):
+    """Regression pin: the engine recreates readers between planning and
+    execution, so latestOffset MUST give the same (monotonic) answer from
+    a fresh instance — any instance-local cap state produced overlapping
+    batch ranges and duplicate rows (see module docstring on why admission
+    control is deliberately absent)."""
+    _fill(tmp_path, "s", list(range(10)))
+    opts = _opts(tmp_path, "s")
+    a, b = RedisStreamReader(None, opts), RedisStreamReader(None, opts)
+    a.initialOffset()
+    assert a.latestOffset() == {"s": "1-10"}
+    # fresh instance, no initialOffset call at all (the planning instance)
+    assert b.latestOffset() == {"s": "1-10"}
+    # repeated calls never regress
+    assert a.latestOffset() == {"s": "1-10"}
