@@ -84,6 +84,24 @@ def _process_batch(
         packed.write.mode("append").partitionBy("target_stream").json(output_dir)
     acks.write.mode("append").partitionBy("stream").json(ack_dir)
 
+    # S20: acknowledge=delete removes acked entries from the source stream
+    # (WatchStream.java:207-220; the reference's tests assert the source is
+    # emptied, WatchTests.java:151-154). Executor-side per partition — the
+    # ack set never passes through the driver.
+    if sink_options is not None and cfg.source.acknowledge == "delete":
+        opts = dict(sink_options)
+
+        def _xdel(rows) -> None:
+            from ..sources.redis_stream import make_client
+
+            client = None
+            for row in rows:
+                if client is None:
+                    client = make_client(opts)
+                client.xdel(row["stream"], row["offset"])
+
+        acks.foreachPartition(_xdel)
+
 
 @dataclass
 class WatchHandles:

@@ -21,13 +21,15 @@ class FakeRedis:
     def _path(self, stream: str) -> Path:
         return self.root / f"{stream}.jsonl"
 
-    def _entries(self, stream: str) -> list[tuple[str, dict]]:
+    def _lines(self, stream: str) -> list[str]:
         p = self._path(stream)
-        if not p.exists():
-            return []
+        return p.read_text().splitlines() if p.exists() else []
+
+    def _entries(self, stream: str) -> list[tuple[str, dict]]:
         out = []
-        for i, line in enumerate(p.read_text().splitlines(), start=1):
-            out.append((f"1-{i}", json.loads(line)))
+        for i, line in enumerate(self._lines(stream), start=1):
+            if line and line != "\x00":  # skip xdel tombstones
+                out.append((f"1-{i}", json.loads(line)))
         return out
 
     # --- the client surface the source uses ---
@@ -35,13 +37,30 @@ class FakeRedis:
     def xadd(self, stream: str, fields: dict) -> str:
         with open(self._path(stream), "a") as f:
             f.write(json.dumps(dict(fields)) + os.linesep)
-        return f"1-{len(self._entries(stream))}"
+        return f"1-{len(self._lines(stream))}"
 
     def xinfo_stream(self, stream: str) -> dict:
-        entries = self._entries(stream)
-        if not entries:
+        lines = self._lines(stream)
+        if not lines:
             raise KeyError(f"no such stream {stream!r}")
-        return {"last-generated-id": entries[-1][0], "length": len(entries)}
+        # like Redis, last-generated-id survives XDEL of every entry
+        return {"last-generated-id": f"1-{len(lines)}", "length": len(self._entries(stream))}
+
+    def xdel(self, stream: str, *record_ids: str) -> int:
+        """Delete entries by id. Line positions (and so the synthetic ids of
+        the REMAINING entries) are preserved by tombstoning."""
+        ids = set(record_ids)
+        p = self._path(stream)
+        if not p.exists():
+            return 0
+        lines = p.read_text().splitlines()
+        n = 0
+        for i in range(len(lines)):
+            if f"1-{i + 1}" in ids and lines[i] != "\x00":
+                lines[i] = "\x00"
+                n += 1
+        p.write_text("\n".join(lines) + os.linesep)
+        return n
 
     def xrange(
         self, stream: str, start: str = "-", end: str = "+", count: int | None = None

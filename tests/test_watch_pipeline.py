@@ -160,14 +160,17 @@ def test_debezium_generate(tmp_path):
     assert "{{" not in out  # every placeholder substituted
 
 
-def test_watch_redis_to_redis_topology(spark, tmp_path):
+@pytest.mark.parametrize("ack", ["delete", "simple"])
+def test_watch_redis_to_redis_topology(spark, tmp_path, ack):
     """The reference's actual topology end-to-end: source events polled
     from Redis streams, packed batches XADDed to target Redis streams
     (RedisSource.java:72-93 in, WatchStream.java:291-293 out) — run over
-    the file-backed fake client."""
+    the file-backed fake client. acknowledge=delete empties the source
+    stream (S20, WatchTests.java:151-154); simple retains all entries
+    (WatchTests.java:245-248)."""
     from tests.fake_redis import FakeRedis
 
-    cfg = load_config(_write_config(tmp_path))
+    cfg = load_config(_write_config(tmp_path, ack))
     redis_dir = tmp_path / "redis"
     fake = FakeRedis(str(redis_dir))
     for i, eid in enumerate([1, 2, 1, 2], start=1):
@@ -196,4 +199,8 @@ def test_watch_redis_to_redis_topology(spark, tmp_path):
     # ack ledger covers all 4 source offsets
     acks = spark.read.json(handles.ack_dir)
     assert acks.count() == 4
-    assert acks.select("ack_mode").distinct().first().ack_mode == "delete"
+    assert acks.select("ack_mode").distinct().first().ack_mode == ack
+
+    # S20: delete mode empties the source stream, simple retains it
+    residue = fake.xrange("m2.m2.catalog_category_entity")
+    assert len(residue) == (0 if ack == "delete" else 4)
