@@ -81,3 +81,74 @@ def test_batch_pack_bounds_and_conservation(spark, events, size):
     if sizes:
         full = [b for b, n in sizes.items() if n == size]
         assert len(full) >= len(sizes) - 1
+
+
+# --- functions library properties (vector math + text sketching) ---
+
+TOKENS = st.lists(
+    st.text(alphabet="abcdefghij ", min_size=1, max_size=12).filter(str.strip),
+    min_size=1,
+    max_size=20,
+)
+VECS = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False).map(lambda x: round(x, 3)),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(tokens=TOKENS)
+@_SETTINGS
+def test_simhash_is_token_order_independent(spark, tokens):
+    """SimHash is a per-bit majority vote over token hashes — permuting
+    the tokens must not change the signature (near-dup docs with shuffled
+    sentences still collide)."""
+    from cdc_dedupe_spark.functions import simhash
+
+    a = " ".join(tokens)
+    b = " ".join(reversed(tokens))
+    df = spark.createDataFrame([(a, b)], "ta string, tb string")
+    r = df.select(
+        simhash(F.col("ta")).alias("ha"), simhash(F.col("tb")).alias("hb")
+    ).first()
+    assert r.ha == r.hb
+
+
+@given(v=VECS)
+@_SETTINGS
+def test_cosine_self_similarity_is_one(spark, v):
+    from cdc_dedupe_spark.functions import cosine
+
+    if all(abs(x) < 1e-9 for x in v):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(v,)], "v array<double>")
+    r = df.select(cosine(F.col("v"), F.col("v"), round_digits=6).alias("c")).first()
+    assert r.c == 1.0
+
+
+@given(v=VECS)
+@_SETTINGS
+def test_dot_scales_linearly(spark, v):
+    """dot(2a, b) == 2 * dot(a, b) — exactness of the double fold."""
+    from cdc_dedupe_spark.functions import dot
+
+    df = spark.createDataFrame([(v, [2.0 * x for x in v])], "a array<double>, a2 array<double>")
+    r = df.select(
+        dot(F.col("a"), F.col("a")).alias("d1"), dot(F.col("a2"), F.col("a")).alias("d2")
+    ).first()
+    assert abs(r.d2 - 2.0 * r.d1) < 1e-9 * max(1.0, abs(r.d1))
+
+
+@given(text=st.text(alphabet="abcde", min_size=0, max_size=30), n=st.integers(2, 6))
+@_SETTINGS
+def test_char_shingles_cover_and_bound(spark, text, n):
+    """Every shingle is a real substring; count <= max(len - n + 1, 1);
+    distinctness holds."""
+    from cdc_dedupe_spark.functions import char_shingles
+
+    df = spark.createDataFrame([(text,)], "text string")
+    [r] = df.select(char_shingles(F.col("text"), n=n, prefix_len=None).alias("sh")).collect()
+    assert len(r.sh) == len(set(r.sh))
+    assert len(r.sh) <= max(len(text) - n + 1, 1)
+    for sh in r.sh:
+        assert sh in text or len(text) < n
