@@ -1,0 +1,180 @@
+"""Group 2 extensions — relational operators a reference user would reach
+for next (beyond the declared SURVEY.md §2B inventory): full outer join,
+exact percentiles, filtered aggregation, ordered string aggregation,
+distribution window functions, pivot. Same determinism discipline as
+queries/relational.py; all exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from ._determinism import dsum, sql_dsum
+from .registry import register
+
+
+@register(
+    "join_full_outer",
+    group="relational-ext",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+         o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+               WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_mktsegment AS mktsegment,
+           o.n_orders AS n_orders
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving both sides: disjoint modular filters guarantee rows
+    that exist on only one side. At scale a full outer join is the one
+    join shape that can never broadcast (both sides must co-shuffle) —
+    declared here to pin that plan too."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 5 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_orders"),
+    )
+
+
+@register(
+    "agg_percentile",
+    group="relational-ext",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation). The exact form needs a per-group sort; the declared
+    scale path for 100 TB is approx_percentile (t-digest sketch, one pass,
+    mergeable) — same call shape, declared tolerance."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "agg_filtered",
+    group="relational-ext",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 'finished_value')}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation — one scan computes every branch
+    (no per-predicate re-reads): the FILTER clause lowers to the same
+    conditional partial aggregate as sum(CASE WHEN ...)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(F.lit(0.0)),
+            "finished_value",
+        ),
+    )
+
+
+@register(
+    "fn_string_agg",
+    group="relational-ext",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered across
+    partitions, so determinism comes from array_sort before the join —
+    the portable ORDER BY equivalent."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@register(
+    "window_percent_rank",
+    group="relational-ext",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions; the (o_totalprice, o_orderkey) order
+    key is unique, so ranks are tie-free and both engines agree bitwise
+    (one double division each)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_counts",
+    group="relational-ext",
+    oracle="""
+    SELECT year(CAST(ts AS TIMESTAMP)) AS yr,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY yr
+    """,
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit category list — never the inferred-values
+    form, which needs an extra distinct pass over 100 TB and makes the
+    output schema data-dependent."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.year(F.col("ts").cast("timestamp")).alias("yr"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves absent combinations null; the oracle's FILTER yields 0
+    return out.select(
+        "yr", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
