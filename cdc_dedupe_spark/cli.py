@@ -1,10 +1,13 @@
 """Thin CLI — the reference's two Spring Shell commands (`watch`,
 `generate`; Application.java, WatchStream.java:61-63,
-DebeziumConfiguration.java:19-25) as argparse subcommands.
+DebeziumConfiguration.java:19-25) as argparse subcommands, plus the
+analytic query surface (`list`, `run`).
 
     python -m cdc_dedupe_spark.cli generate --config config.yaml
     python -m cdc_dedupe_spark.cli watch --config config.yaml \
         --source-dir ./in --work-dir ./work [--continuous SECONDS]
+    python -m cdc_dedupe_spark.cli list
+    python -m cdc_dedupe_spark.cli run agg_groupby --sf-dir /root/testdata/sf0.01
 """
 
 from __future__ import annotations
@@ -45,7 +48,36 @@ def main(argv: list[str] | None = None) -> int:
         help="run continuously with this trigger interval (default: drain available input and exit)",
     )
 
+    sub.add_parser("list", help="list every declared query (name, group, oracle kind)")
+
+    runp = sub.add_parser("run", help="run a declared query and show its result")
+    runp.add_argument("query", help="query name from `list`")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    runp.add_argument("--limit", type=int, default=20, help="rows to show (0 = count only)")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "list":
+        from .queries import REGISTRY
+
+        for name in sorted(REGISTRY):
+            q = REGISTRY[name]
+            kind = "exact-oracle" if q.oracle else "rows-only"
+            print(f"{name:28s} {q.group:14s} {kind}")
+        return 0
+
+    if args.cmd == "run":
+        from .queries import REGISTRY
+        from .session import get_spark
+
+        if args.query not in REGISTRY:
+            parser.error(f"unknown query {args.query!r}; see `list`")
+        spark = get_spark(f"cdc-dedupe-spark-run-{args.query}")
+        df = REGISTRY[args.query].spark(spark, args.sf_dir)
+        if args.limit:
+            df.show(args.limit, truncate=False)
+        print(f"rows: {df.count()}")
+        return 0
 
     from .config import load_config
 

@@ -19,6 +19,13 @@ keyed shuffle (AQE-salted on skew), the multi-target write is a single
 partitioned job. State never accumulates across batches (window-scoped
 semantics, like the reference); the cross-batch variant is
 dropDuplicatesWithinWatermark (queries/streaming.py).
+
+Sink semantics: the JSON-file and XADD sinks are append-only, so a
+micro-batch retried after a crash between write and checkpoint commit can
+duplicate its output — exactly the reference's at-least-once contract
+(crash between XADD and XACK replays pending entries, RedisSource.java:92).
+Upgrading to exactly-once is a sink swap (transactional or
+batchId-idempotent sink), not a pipeline change.
 """
 
 from __future__ import annotations
