@@ -71,7 +71,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df from tf, not from toks: tf's rows ARE the distinct (doc, term)
+    # pairs, so a plain count per term replaces countDistinct's two-shuffle
+    # expand — one exchange fewer, same result.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # tiny scalar; at scale use a broadcast single-row DF
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
     return (
