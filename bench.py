@@ -59,6 +59,10 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
     }
+    # BASELINE.md floor: streaming dedupe replay >= 5,000 events/s.
+    if "cdc_dedupe_stream" in per_query and per_query["cdc_dedupe_stream"] > 0:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        result["stream_events_per_s"] = round(n_events / per_query["cdc_dedupe_stream"], 1)
     if failures:
         result["failures"] = failures
     print(json.dumps(result))

@@ -152,3 +152,13 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "CartesianProduct" not in buf.getvalue(), name
+
+
+def test_full_outer_co_shuffles_both_sides(spark, sf_dir):
+    """Full outer is the one join shape that can never broadcast: both
+    sides must co-shuffle on the key (SortMergeJoin FullOuter), regardless
+    of size — pin that so nobody "optimizes" it into a wrong plan."""
+    plan = plan_of(spark, sf_dir, "join_full_outer")
+    assert "SortMergeJoin FullOuter" in plan or re.search(r"Join type: FullOuter", plan)
+    assert "BroadcastHashJoin" not in plan
+    assert n_exchanges(plan) >= 2  # one per side
