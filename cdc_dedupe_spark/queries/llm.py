@@ -75,13 +75,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs, so a plain count per term replaces countDistinct's two-shuffle
     # expand — one exchange fewer, same result.
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # tiny scalar; at scale use a broadcast single-row DF
+    # n_docs as a broadcast 1-row aggregate, not a driver-side d.count():
+    # the count stays inside the one submitted job (no extra scan, no
+    # eager action during plan build).
+    n = F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
     return (
         tf.join(df, "term")
+        .crossJoin(n)
         .withColumn(
             "tfidf_r",
-            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4),
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

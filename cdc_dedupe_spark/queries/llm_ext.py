@@ -103,18 +103,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate self-join — the exact-arithmetic cousin of MinHash-LSH.
     Intersection/union sizes are integers; only the final ratio is float
     (identical division both engines)."""
+    band = 10
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", "lang", char_shingles(F.col("text"), n=5, prefix_len=200).alias("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # lang alone is a handful of values — joining on it degenerates to an
+    # all-pairs scan within each lang (quadratic + maximal skew at scale).
+    # Compose it with an id-band bucket: b in (a, a+10] lives in a's bucket
+    # or the next, so the probe side explodes to those two buckets and the
+    # join gets a high-cardinality (lang, bucket) equi key.
+    bkt = F.floor(F.col("doc_id") / band)
+    a = sh.select(
+        "doc_id", "lang", "shingles", F.explode(F.array(bkt, bkt + 1)).alias("bkt")
+    ).alias("a")
+    b = sh.select("doc_id", "lang", "shingles", bkt.alias("bkt")).alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 10),
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + band),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -144,14 +154,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scoring over a banded candidate join
     (id-window ≤10). In production the band comes from an LSH/IVF bucket;
-    the scoring kernel is identical."""
+    the scoring kernel is identical.
 
+    Scale shape: the band predicate alone has no equi key and compiles to a
+    BroadcastNestedLoopJoin (O(n²), full-table broadcast). Instead we derive
+    ``bucket = vec_id div 10``: any b with vec_id in (a, a+10] lives in a's
+    bucket or the next one, so exploding the probe side to those two buckets
+    gives a hash-joinable equi key with the range kept as a post-filter —
+    same rows, linear shuffle join."""
+
+    band = 10
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.alias("a")
-    b = e.alias("b")
+    bkt = F.floor(F.col("vec_id") / band)
+    a = e.select(
+        "vec_id", "embedding", F.explode(F.array(bkt, bkt + 1)).alias("bkt")
+    ).alias("a")
+    b = e.select("vec_id", "embedding", bkt.alias("bkt")).alias("b")
     ea, eb = F.col("a.embedding"), F.col("b.embedding")
     return (
-        a.join(b, (F.col("b.vec_id") > F.col("a.vec_id")) & (F.col("b.vec_id") <= F.col("a.vec_id") + 10))
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("b.vec_id") > F.col("a.vec_id"))
+            & (F.col("b.vec_id") <= F.col("a.vec_id") + band),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

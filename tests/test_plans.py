@@ -154,6 +154,19 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in buf.getvalue(), name
 
 
+@pytest.mark.parametrize("name", ["dedup_embed_cosine", "dedup_ngram_jaccard"])
+def test_banded_self_joins_use_equi_hash_join(spark, sf_dir, name):
+    """The banded near-dup self-joins must join on the derived id-bucket
+    equi key — a hash/sort-merge join with the range predicate as a
+    post-filter. A range-only condition compiles to
+    BroadcastNestedLoopJoin (all-pairs + full-table broadcast), which is
+    exactly the 100x-scale killer VERDICT r1 flagged."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), plan
+
+
 def test_full_outer_co_shuffles_both_sides(spark, sf_dir):
     """Full outer is the one join shape that can never broadcast: both
     sides must co-shuffle on the key (SortMergeJoin FullOuter), regardless
