@@ -41,10 +41,17 @@ DEFAULT_ROUTING: Mapping[str, Sequence[str]] = {
 def envelope_payload(fields_col: str = "fields") -> Column:
     """Compact/extended decode (RedisSource.java:58-62): a one-field entry is
     compact (the single value IS the JSON); otherwise the JSON lives under
-    field ``value``. Detection is per-record, like the reference."""
+    field ``value``. Detection is per-record, like the reference.
+
+    ``try_element_at`` on the extended branch: under ANSI mode (pyspark>=4
+    default) a plain ``element_at`` on a multi-field record lacking
+    ``value`` throws MAP_KEY_DOES_NOT_EXIST and kills the micro-batch —
+    the module's degrade-to-NULL policy (see extract_entity_id) applies to
+    the envelope lookup too; NULL payloads surface in the dead-letter
+    relation (plans/watch_plan.py)."""
     return F.when(
         F.size(fields_col) == 1, F.element_at(F.map_values(fields_col), 1)
-    ).otherwise(F.element_at(F.col(fields_col), F.lit("value")))
+    ).otherwise(F.try_element_at(F.col(fields_col), F.lit("value")))
 
 
 def extract_entity_id(payload: Column, column: str | Column) -> Column:

@@ -21,8 +21,8 @@ from ..operators.cdc import envelope_payload, extract_entity_id
 
 def compile_watch_plan(
     batch: DataFrame, routes: DataFrame, cfg: Config
-) -> tuple[DataFrame, DataFrame]:
-    """Compile one micro-batch into ``(packed, acks)`` DataFrames.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Compile one micro-batch into ``(packed, acks, dead)`` DataFrames.
 
     ``packed``: (target_stream, ids) — arrival-ordered, deduped id arrays
     of <= cfg.buffers.target.size, JSON-encoded (the ``{"ids": "[...]"}``
@@ -30,6 +30,14 @@ def compile_watch_plan(
     ``acks``: (stream, offset, ack_mode) — every routed input record; under
     checkpointed foreachBatch all fan-out copies of a batch land atomically,
     so batch membership IS the refcount barrier (WatchStream.java:183-190).
+    ``dead``: (stream, offset, id_column, payload) — routed records whose
+    payload decode or id extract degraded to NULL (operators/cdc.py's
+    degrade-to-NULL policy). These rows are dropped from ``packed`` but
+    still acked/deleted, so without this relation a malformed source entry
+    under acknowledge=delete would vanish with no surviving record; the
+    dead-letter sink is where they survive. (The reference instead throws
+    and wedges the whole stream on the first malformed record —
+    RedisSource.java:63-66.)
     """
     # Redis RecordId "millis-seq" -> numeric arrival order.
     off_ms = F.split("offset", "-").getItem(0).cast("long")
@@ -39,13 +47,16 @@ def compile_watch_plan(
     # column is resolved per routing row, so multi-column tables extract
     # each column's own id (correct general semantics — the reference
     # extracts the first column's id for every mapping, SURVEY.md §2A).
-    routed = (
+    decoded = (
         batch.join(F.broadcast(routes), "stream", "inner")
         .withColumn("payload", envelope_payload("fields"))
         .withColumn("entity_id", extract_entity_id(F.col("payload"), F.col("id_column")))
         .withColumn("_ms", off_ms)
         .withColumn("_seq", off_seq)
-        .filter(F.col("entity_id").isNotNull())
+    )
+    routed = decoded.filter(F.col("entity_id").isNotNull())
+    dead = decoded.filter(F.col("entity_id").isNull()).select(
+        "stream", "offset", "id_column", "payload"
     )
 
     # S9: first-wins per (target, entity_id) within this micro-batch —
@@ -77,4 +88,4 @@ def compile_watch_plan(
         .distinct()
         .withColumn("ack_mode", F.lit(cfg.source.acknowledge))
     )
-    return packed, acks
+    return packed, acks, dead

@@ -9,8 +9,12 @@ Spark-first mapping of the reference's consumer-group model:
    last-delivered-id); here the *checkpoint* owns offsets — Spark's
    streaming engine calls ``latestOffset`` on the driver, fans the
    (start, end] id range out to one ``InputPartition`` per watched stream,
-   and commits offsets atomically with the sink (effectively-once, which
-   upgrades the reference's at-least-once XACK protocol).
+   and commits the range to the offset log after the sink runs. The
+   end-to-end contract is **at-least-once** with append-only sinks (XADD /
+   JSON files): a crash between sink write and offset-log commit replays
+   the batch and duplicates output — the same contract as the reference's
+   XADD-then-XACK (RedisSource.java:92). Exactly-once needs a
+   transactional or batchId-idempotent sink, not a source change.
  - one partition per source stream bounds parallelism at |streams|, like
    the reference's one-Flux-per-table (WatchStream.java:113-115). Streams
    far hotter than others can be split further by id sub-ranges — the
@@ -59,6 +63,15 @@ def _record_id_tuple(record_id: str) -> Tuple[int, int]:
     """'millis-seq' -> (millis, seq) for ordering comparisons."""
     ms, _, seq = record_id.partition("-")
     return int(ms), int(seq or 0)
+
+
+def _is_missing_stream(e: Exception) -> bool:
+    """True iff the error means the stream key does not exist. Covers the
+    real client (redis.exceptions.ResponseError 'no such key') and the test
+    fake (KeyError 'no such stream'); everything else — connection resets,
+    timeouts, auth — is a transient fault that must NOT be read as
+    'stream is empty'."""
+    return "no such" in str(e).lower()
 
 
 def make_client(options: dict[str, str]) -> Any:
@@ -119,13 +132,22 @@ class RedisStreamReader(DataSourceStreamReader):
         O(|streams|) round trips per micro-batch, no payload bytes. Must be
         stateless: the engine may recreate this reader between planning and
         execution, so the only safe answer is the stream's own monotonic
-        last-generated-id (see module docstring on admission control)."""
+        last-generated-id (see module docstring on admission control).
+
+        Only a *missing stream* maps to ZERO_ID (stream not created yet —
+        partitions() treats an end <= start as empty, so this never rewinds
+        a consumed stream). Any other error must propagate: the reported
+        end is persisted to the offset log, so swallowing a transient
+        connection error as ZERO_ID would commit a regressed offset and the
+        next healthy batch would re-read the entire stream."""
         out = {}
         for s in self.streams:
             try:
                 info = self._c().xinfo_stream(s)
                 out[s] = info.get("last-generated-id", ZERO_ID)
-            except Exception:
+            except Exception as e:
+                if not _is_missing_stream(e):
+                    raise
                 out[s] = ZERO_ID  # stream not created yet
         return out
 
@@ -157,8 +179,10 @@ class RedisStreamReader(DataSourceStreamReader):
 class RedisStreamWriter(DataSourceStreamWriter):
     """Sink: XADD one entry per row — field ``ids`` carries the packed JSON
     array (WatchStream.java:285-293 shape). Executors write their own
-    partitions; idempotence across micro-batch retries comes from Spark's
-    epoch semantics (same batch -> same rows appended once per commit)."""
+    partitions. XADD is append-only and NOT idempotent: a micro-batch
+    retried after a crash between write and checkpoint commit appends its
+    entries again — at-least-once, exactly the reference's XADD-then-XACK
+    contract (streaming/pipeline.py module docstring)."""
 
     def __init__(self, schema: StructType, options: dict[str, str]) -> None:
         self.options = dict(options)
