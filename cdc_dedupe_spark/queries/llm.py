@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import SQL_ICOSINE, SQL_ISCALE, icosine
 from ..tables import table
 from .registry import register
 
@@ -99,66 +99,63 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
     FROM documents GROUP BY lang
     """,
 )
 def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats. avg_chars is ROUND(...,4) on both sides
+    (repo determinism rule, SURVEY §2B) and the oracle's SUM is cast to
+    BIGINT — DuckDB sums integers into HUGEINT, Spark into LONG (the r2
+    hash-fail was both)."""
     d = table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
     )
 
 
 
 
-_COS_ORACLE_PAIR = """
-    WITH a AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 1),
-         b AS (SELECT embedding AS eb FROM embeddings WHERE vec_id = 2),
-         z AS (SELECT unnest(ea)::DOUBLE AS av, unnest(eb)::DOUBLE AS bv FROM a, b)
-    SELECT 1 AS vec_a, 2 AS vec_b,
-           round(SUM(av * bv) / (sqrt(SUM(av * av)) * sqrt(SUM(bv * bv))), 4) AS cos_r
-    FROM z
+_COS_ORACLE_PAIR = f"""
+    WITH a AS (SELECT {SQL_ISCALE.format(a='embedding')} AS sa FROM embeddings WHERE vec_id = 1),
+         b AS (SELECT {SQL_ISCALE.format(a='embedding')} AS sb FROM embeddings WHERE vec_id = 2)
+    SELECT 1 AS vec_a, 2 AS vec_b, {SQL_ICOSINE.format(sa='sa', sb='sb')} AS cos_r
+    FROM a, b
 """
 
 
 @register("sim_cosine_pair", group="llm", oracle=_COS_ORACLE_PAIR)
 def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine similarity between embeddings 1 and 2 (ROUND 4 absorbs
-    sub-ulp accumulation differences)."""
+    """Cosine similarity between embeddings 1 and 2 — integer-scaled exact
+    kernel (functions/vector.icosine), bit-identical across engines."""
     e = table(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("ea"))
     b = e.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("eb"))
     return a.crossJoin(b).select(
         F.lit(1).alias("vec_a"),
         F.lit(2).alias("vec_b"),
-        cosine(F.col("ea"), F.col("eb"), round_digits=4).alias("cos_r"),
+        icosine(F.col("ea"), F.col("eb")).alias("cos_r"),
     )
 
 
 @register(
     "sim_cosine_topk",
     group="llm",
-    oracle="""
-    WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
-         scored AS (
-           SELECT e.vec_id,
-                  round(
-                    list_sum(list_transform(generate_series(1, len(e.embedding)),
-                             i -> e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE))
-                    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
-                       * sqrt(list_sum(list_transform(p.pe, x -> x::DOUBLE * x::DOUBLE)))),
-                  4) AS cos_r
-           FROM embeddings e, probe p
-           WHERE e.vec_id <> 0
-         )
+    oracle=f"""
+    WITH probe AS (
+      SELECT {SQL_ISCALE.format(a='embedding')} AS pse FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, {SQL_ICOSINE.format(sa=SQL_ISCALE.format(a='e.embedding'), sb='p.pse')} AS cos_r
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> 0
+    )
     SELECT vec_id, cos_r FROM scored ORDER BY cos_r DESC, vec_id LIMIT 5
     """,
 )
@@ -166,8 +163,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors of probe vec_id=0. The probe is a
     broadcast single row: the big side streams through map-side compute and
     TakeOrderedAndProject keeps only k rows per partition — no shuffle of
-    the embedding table at any scale. Ordering on (rounded cos, vec_id) is
-    tie-stable across engines."""
+    the embedding table at any scale. Exact integer kernel; ordering on
+    (exact cos, vec_id) is tie-stable across engines."""
     e = table(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
     cand = e.filter(F.col("vec_id") != 0)
@@ -175,7 +172,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            cosine(F.col("embedding"), F.col("pe"), round_digits=4).alias("cos_r"),
+            icosine(F.col("embedding"), F.col("pe")).alias("cos_r"),
         )
         .orderBy(F.col("cos_r").desc(), "vec_id")
         .limit(5)

@@ -18,11 +18,11 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKEN_HASH, char_shingles, marker_count, simhash, sql_marker_count, token_hash
-from ..functions.vector import cosine, dot
+from ..functions.vector import SQL_ICOSINE, SQL_ISCALE, icosine, idot, il2, iscale
 from ..tables import table
 from .registry import register
 
@@ -137,17 +137,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embed_cosine",
     group="llm-ext",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
-      FROM embeddings a JOIN embeddings b
+    oracle=f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.se AS sa, b.se AS sb
+      FROM sc a JOIN sc b
         ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
     )
-    SELECT vec_a, vec_b,
-           round(
-             list_sum(list_transform(generate_series(1, len(ea)), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
-             / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
-                * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_r
+    SELECT vec_a, vec_b, {SQL_ICOSINE.format(sa='sa', sb='sb')} AS cos_r
     FROM pairs
     """,
 )
@@ -161,7 +159,11 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucket = vec_id div 10``: any b with vec_id in (a, a+10] lives in a's
     bucket or the next one, so exploding the probe side to those two buckets
     gives a hash-joinable equi key with the range kept as a post-filter —
-    same rows, linear shuffle join."""
+    same rows, linear shuffle join.
+
+    Exactness: the cosine kernel is integer-scaled (functions/vector.icosine)
+    so both engines compute identical 64-bit dots/norms — a double fold
+    rounded to 4 digits flips at x.xxxx5 boundaries (the r2 hash-fail)."""
 
     band = 10
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -170,7 +172,6 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.explode(F.array(bkt, bkt + 1)).alias("bkt")
     ).alias("a")
     b = e.select("vec_id", "embedding", bkt.alias("bkt")).alias("b")
-    ea, eb = F.col("a.embedding"), F.col("b.embedding")
     return (
         a.join(
             b,
@@ -181,85 +182,78 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb))), 4).alias("cos_r"),
+            icosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_r"),
         )
     )
 
 
-@register(
-    "ann_ivf_topk",
-    group="llm-ext",
-    oracle="""
-    WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+_ANN_IVF_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), centroids AS (
+      SELECT vec_id AS cid, se AS sce FROM sc WHERE vec_id < 8
     ), assign AS (
-      SELECT e.vec_id,
+      SELECT s.vec_id,
              (SELECT c.cid FROM centroids c
-              ORDER BY round(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                        i -> (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
-                           * (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))), 4) ASC,
+              ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
+                        i -> (s.se[i] - c.sce[i]) * (s.se[i] - c.sce[i]))) ASC,
                        c.cid ASC
               LIMIT 1) AS cid
-      FROM embeddings e
+      FROM sc s
     ), probe AS (
-      SELECT a.cid AS pcid, e.embedding AS pe
-      FROM assign a JOIN embeddings e USING (vec_id) WHERE a.vec_id = 0
+      SELECT a.cid AS pcid, s.se AS pse
+      FROM assign a JOIN sc s USING (vec_id) WHERE a.vec_id = 0
     ), cluster AS (
-      SELECT e.vec_id, e.embedding, p.pe FROM embeddings e
+      SELECT s.vec_id, s.se, p.pse FROM sc s
       JOIN assign a USING (vec_id) JOIN probe p ON a.cid = p.pcid
-      WHERE e.vec_id <> 0
+      WHERE s.vec_id <> 0
     )
-    SELECT vec_id,
-           round(
-             list_sum(list_transform(generate_series(1, len(embedding)),
-                      i -> embedding[i]::DOUBLE * pe[i]::DOUBLE))
-             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
-                * sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_r
+    SELECT vec_id, {SQL_ICOSINE.format(sa='se', sb='pse')} AS cos_r
     FROM cluster ORDER BY cos_r DESC, vec_id LIMIT 3
-    """,
-)
+    """
+
+
+@register("ann_ivf_topk", group="llm-ext", oracle=_ANN_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of 8 coarse
-    centroids (rounded L2², tie-broken by centroid id), then search top-3
-    by cosine only within the probe's cluster. The scale path: centroids
-    broadcast (map-side assignment, no shuffle), search touches 1/K of the
-    data. Brute-force baseline = sim_cosine_topk."""
+    centroids (exact integer L2², tie-broken by centroid id), then search
+    top-3 by cosine only within the probe's cluster. Brute-force baseline =
+    sim_cosine_topk.
+
+    Scale shape: the 8 centroids collapse to ONE broadcast row holding a
+    sorted struct array; assignment is a per-row HOF argmin (array_min over
+    (L2², cid) structs — struct ordering IS the tie-break), so the
+    embedding table is never shuffled or row-expanded for assignment. The
+    r2 shape (crossJoin ×8 + Window.partitionBy(vec_id)) shuffled 8n rows
+    to compute the same argmin — at 100 TB that shuffle is the whole job.
+    All arithmetic integer-scaled => bit-identical to the DuckDB oracle."""
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    se = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+    # 8 centroids -> one broadcastable row: sorted array<struct<cid, sce>>.
+    cents = se.filter(F.col("vec_id") < 8).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("se").alias("sce")))
+        ).alias("cents")
     )
-    diff = F.zip_with(
-        F.col("embedding"),
-        F.col("ce"),
-        # explicit multiply (not pow): Math.pow(x, 2) is not guaranteed to
-        # equal x*x bit-for-bit, and the oracle multiplies
-        lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
-    )
-    l2r = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 4)
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("l2r", l2r)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("l2r").asc(), F.col("cid").asc())
-            ),
+    # Map-side argmin: min over (exact L2², cid) struct pairs.
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(il2(F.col("se"), c["sce"]).alias("d"), c["cid"].alias("cid")),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
     )
-    probe_cid = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("pcid"))
-    probe_vec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
-    cluster = (
-        e.join(assigned, "vec_id")
-        .join(F.broadcast(probe_cid), F.col("cid") == F.col("pcid"))
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(probe_vec))
+    assigned = se.crossJoin(F.broadcast(cents)).select("vec_id", "se", best["cid"].alias("cid"))
+    probe = F.broadcast(
+        assigned.filter(F.col("vec_id") == 0).select(
+            F.col("cid").alias("pcid"), F.col("se").alias("pse")
+        )
     )
+    cluster = assigned.join(probe, F.col("cid") == F.col("pcid")).filter(F.col("vec_id") != 0)
+    sa, sb = F.col("se"), F.col("pse")
     cos_r = F.round(
-        dot(F.col("embedding"), F.col("pe"))
-        / (F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("pe"), F.col("pe")))),
+        idot(sa, sb).cast("double")
+        / (F.sqrt(idot(sa, sa).cast("double")) * F.sqrt(idot(sb, sb).cast("double"))),
         4,
     )
     return cluster.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)

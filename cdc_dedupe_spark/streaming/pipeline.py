@@ -74,6 +74,7 @@ def _process_batch(
     cfg: Config,
     output_dir: str,
     ack_dir: str,
+    dead_dir: str,
     sink_options: dict[str, str] | None = None,
 ) -> None:
     if batch.isEmpty():
@@ -83,12 +84,17 @@ def _process_batch(
     # the sinks: one partitioned write per relation covers every target
     # (S14) and the ack ledger (S15-S19 — the checkpoint is the real
     # at-least-once contract, the ledger is XACK observability parity).
-    packed, acks = compile_watch_plan(batch, routes, cfg)
+    packed, acks, dead = compile_watch_plan(batch, routes, cfg)
     if sink_options is not None:
         # XADD straight to the target Redis streams (reference topology).
         packed.write.format("redis_stream").options(**sink_options).mode("append").save()
     else:
         packed.write.mode("append").partitionBy("target_stream").json(output_dir)
+    # Dead-letter sink BEFORE acks: malformed records must have a surviving
+    # copy before acknowledge=delete can remove them from the source
+    # (plans/watch_plan.py dead relation; the reference instead wedges the
+    # stream on the first malformed record, RedisSource.java:63-66).
+    dead.write.mode("append").partitionBy("stream").json(dead_dir)
     acks.write.mode("append").partitionBy("stream").json(ack_dir)
 
     # S20: acknowledge=delete removes acked entries from the source stream
@@ -115,6 +121,7 @@ class WatchHandles:
     query: StreamingQuery
     output_dir: str
     ack_dir: str
+    dead_dir: str
 
 
 def watch(
@@ -141,6 +148,7 @@ def watch(
     work = Path(work_dir)
     output_dir = str(work / "targets")
     ack_dir = str(work / "acks")
+    dead_dir = str(work / "dead")
     checkpoint = str(work / "checkpoint")
 
     routes = routing_rows(spark, cfg)
@@ -168,11 +176,11 @@ def watch(
         stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
 
     writer = stream.writeStream.foreachBatch(
-        lambda b, _id: _process_batch(b, routes, cfg, output_dir, ack_dir, sink_options)
+        lambda b, _id: _process_batch(b, routes, cfg, output_dir, ack_dir, dead_dir, sink_options)
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     q = writer.start()
-    return WatchHandles(query=q, output_dir=output_dir, ack_dir=ack_dir)
+    return WatchHandles(query=q, output_dir=output_dir, ack_dir=ack_dir, dead_dir=dead_dir)

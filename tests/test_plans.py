@@ -167,6 +167,22 @@ def test_banded_self_joins_use_equi_hash_join(spark, sf_dir, name):
     assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), plan
 
 
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """IVF centroid assignment must be a per-row HOF argmin over a
+    broadcast centroid array — NO Exchange (and no Window) between the
+    embeddings scan and the assignment. The r2 shape (crossJoin ×K +
+    Window.partitionBy(vec_id) row_number) shuffled K·n rows to compute an
+    argmin that is computable map-side; at 100 TB that shuffle is the whole
+    job. The only allowed exchanges are broadcasts (centroid row, probe
+    row) and the final top-k merge."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "Window" not in plan, plan
+    # every Exchange must be a broadcast (or the single-partition top-k);
+    # no hashpartitioning of the embedding table anywhere
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_full_outer_co_shuffles_both_sides(spark, sf_dir):
     """Full outer is the one join shape that can never broadcast: both
     sides must co-shuffle on the key (SortMergeJoin FullOuter), regardless

@@ -135,6 +135,31 @@ mapping:
     assert set(_target_records(out, "target.prod_index")) == {"[]", "[42]"}
 
 
+def test_watch_dead_letter_sink(spark, tmp_path):
+    """A malformed envelope (unparseable payload / missing id) must survive
+    in the dead-letter sink even under acknowledge=delete — the rebuild's
+    upgrade over the reference, which throws and wedges the stream on the
+    first malformed record (RedisSource.java:63-66)."""
+    good = _envelope_compact("1000-0", 1)
+    bad = {
+        "offset": "1001-0",
+        "stream": "m2.m2.catalog_category_entity",
+        "fields": {"key": "{not json"},
+    }
+    _, handles, out = _run(spark, tmp_path, [good, bad], ack="delete")
+    # good record still routed
+    for tgt in ("target.catalog_product_flat", "target.catalog_category_product"):
+        assert set(_target_records(out, tgt)) == {"[]", "[1]"}
+    # bad record survives in the dead-letter dir, once per routed target
+    dead = spark.read.json(handles.dead_dir)
+    rows = dead.collect()
+    assert {r.offset for r in rows} == {"1001-0"}
+    assert all(r.stream == "m2.m2.catalog_category_entity" for r in rows)
+    # the bad offset was still acked (batch membership is the barrier)
+    acks = spark.read.json(handles.ack_dir)
+    assert {r.offset for r in acks.collect()} == {"1000-0", "1001-0"}
+
+
 def test_config_validation_rejects_feedback_loop(tmp_path):
     cfg_text = """\
 source: {prefix: "m2.m2."}
