@@ -4,10 +4,14 @@ from __future__ import annotations
 
 from .registry import REGISTRY, QueryDef, register  # noqa: F401
 
-# Group modules register themselves on import. Registration order matters:
-# the driver's correctness harness verifies at most the first 50 registry
-# entries, so the llm/llm_ext groups (unchecked in round 1) register first
-# and the groups already hash-verified in CORRECTNESS_r01 rotate to the back.
+# Group modules register themselves on import. This order is FROZEN as of
+# round 3 (per ADVICE r2: no more per-round rotation). The driver's
+# correctness harness verifies the first 50 registry entries; the order
+# below keeps the numerically-sensitive llm/llm_ext/streaming groups — the
+# only ones that have ever hash-failed — permanently inside that window.
+# The trailing relational/cdc/scalar groups are covered every round by the
+# local oracle-parity twin (tests/test_oracle_parity.py, all 67 queries at
+# sf0.001) and were driver-hash-verified in rounds 1-2.
 from . import llm  # noqa: F401,E402
 from . import llm_ext  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402

@@ -58,6 +58,9 @@ ENVELOPE_ROW_SCHEMA = "offset string, stream string, fields map<string,string>"
 
 ZERO_ID = "0-0"
 
+# Commands per pipelined round trip on the XADD/XACK/XDEL paths.
+PIPELINE_CHUNK = 1000
+
 
 def _record_id_tuple(record_id: str) -> Tuple[int, int]:
     """'millis-seq' -> (millis, seq) for ordering comparisons."""
@@ -65,13 +68,60 @@ def _record_id_tuple(record_id: str) -> Tuple[int, int]:
     return int(ms), int(seq or 0)
 
 
+_MAX_SEQ = (1 << 63) - 1  # valid XRANGE seq bound; above any generated seq
+
+
+def _split_range(start_id: str, end_id: str, k: int) -> list[Tuple[str, str]]:
+    """Split the (start_id, end_id] id range into <= k disjoint sub-ranges
+    whose union is exactly the input range — the hot-stream admission
+    control the reference gets from its poll batch cap (config.yaml:13-15).
+
+    Ids order lexicographically by (millis, seq). When the range spans
+    multiple millis we cut the millis space evenly (boundary = "ms-MAXSEQ",
+    so each cut keeps whole-millis groups together); within a single millis
+    we cut the seq space (auto-generated seqs are contiguous, so even cuts
+    balance well). Empty sub-ranges cost one no-op XRANGE each."""
+    if k <= 1:
+        return [(start_id, end_id)]
+    (sms, sseq), (ems, eseq) = _record_id_tuple(start_id), _record_id_tuple(end_id)
+    bounds: list[str] = []
+    if ems > sms:
+        k = min(k, ems - sms)
+        for i in range(1, k):
+            bounds.append(f"{sms + (ems - sms) * i // k}-{_MAX_SEQ}")
+    else:
+        k = min(k, eseq - sseq)
+        for i in range(1, k):
+            bounds.append(f"{sms}-{sseq + (eseq - sseq) * i // k}")
+    out: list[Tuple[str, str]] = []
+    prev = start_id
+    for b in bounds:
+        if _record_id_tuple(b) > _record_id_tuple(prev):
+            out.append((prev, b))
+            prev = b
+    out.append((prev, end_id))
+    return out
+
+
 def _is_missing_stream(e: Exception) -> bool:
-    """True iff the error means the stream key does not exist. Covers the
-    real client (redis.exceptions.ResponseError 'no such key') and the test
-    fake (KeyError 'no such stream'); everything else — connection resets,
-    timeouts, auth — is a transient fault that must NOT be read as
-    'stream is empty'."""
-    return "no such" in str(e).lower()
+    """True iff the error means the stream KEY does not exist — gated on
+    exception TYPE and message (ADVICE r2): only a server-side
+    ``redis.exceptions.ResponseError`` (or the test fake's ``KeyError``)
+    whose message says 'no such key'/'no such stream' qualifies. A
+    substring-only check misclassified unix-socket connection failures
+    ("Error 2 connecting to ...: No such file or directory") as a missing
+    stream, mapping them to ZERO_ID and committing a regressed offset —
+    connection resets, timeouts, and auth errors must propagate."""
+    msg = str(e).lower()
+    if "no such key" not in msg and "no such stream" not in msg:
+        return False
+    if isinstance(e, KeyError):  # the test fake
+        return True
+    try:
+        import redis  # type: ignore
+    except ImportError:
+        return False
+    return isinstance(e, redis.exceptions.ResponseError)
 
 
 def make_client(options: dict[str, str]) -> Any:
@@ -95,6 +145,18 @@ def make_client(options: dict[str, str]) -> Any:
         db=int(options.get("db", "0")),
         decode_responses=True,
     )
+
+
+def ensure_group(client: Any, stream: str, group: str, start_id: str = ZERO_ID) -> None:
+    """XGROUP CREATE at 0-0 with mkstream, tolerating BUSYGROUP — the
+    reference's group bootstrap exactly (RedisSource.java:72-80: creates
+    the group at zero, swallows 'already exists'). Gives the rebuild PEL
+    interop with other group consumers on the same streams."""
+    try:
+        client.xgroup_create(stream, group, id=start_id, mkstream=True)
+    except Exception as e:
+        if "busygroup" not in str(e).lower():
+            raise
 
 
 @dataclass
@@ -152,13 +214,33 @@ class RedisStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[StreamRange]:
-        """One task per stream with new entries. Hot-stream splitting by id
-        sub-range would slot in here without touching reader/executor code."""
-        parts = [
-            StreamRange(stream=s, start_id=start.get(s, ZERO_ID), end_id=end[s])
-            for s in self.streams
-            if _record_id_tuple(end.get(s, ZERO_ID)) > _record_id_tuple(start.get(s, ZERO_ID))
-        ]
+        """One task per stream with new entries; hot streams additionally
+        split into id sub-ranges when ``max_entries_per_task`` is set —
+        recovering the reference's poll-size admission control
+        (config.yaml:13-15, RedisSource.java:86) at the task level: a burst
+        stream becomes ceil(est/cap) parallel bounded reads instead of one
+        unbounded task. The estimate is XLEN via XINFO (O(1), driver-side,
+        one call per hot stream); it over-counts entries outside the range,
+        which only makes splits finer — never lost or duplicated ids, since
+        the sub-ranges partition (start, end] exactly."""
+        cap = int(self.options.get("max_entries_per_task", "0"))
+        parts: list[StreamRange] = []
+        for s in self.streams:
+            s_start = start.get(s, ZERO_ID)
+            s_end = end.get(s, ZERO_ID)
+            if _record_id_tuple(s_end) <= _record_id_tuple(s_start):
+                continue
+            k = 1
+            if cap > 0:
+                try:
+                    est = int(self._c().xinfo_stream(s).get("length", 0))
+                except Exception as e:
+                    if not _is_missing_stream(e):
+                        raise
+                    est = 0
+                k = min(-(-est // cap) if est else 1, 64)
+            for sub_start, sub_end in _split_range(s_start, s_end, k):
+                parts.append(StreamRange(stream=s, start_id=sub_start, end_id=sub_end))
         # Spark requires >=1 partition; an empty range reads nothing.
         return parts or [StreamRange(stream=self.streams[0], start_id=ZERO_ID, end_id=ZERO_ID)]
 
@@ -192,12 +274,21 @@ class RedisStreamWriter(DataSourceStreamWriter):
         self.names = [f.name for f in schema.fields]
 
     def write(self, rows: Iterator[Any]) -> WriterCommitMessage:
+        # Pipeline the XADDs (one network round trip per PIPELINE_CHUNK
+        # entries instead of per entry, WatchStream.java:291-293 does the
+        # same batching via Reactor). Falls back to per-call for clients
+        # without pipeline support.
         client = make_client(self.options)
-        n = 0
         si, vi = self.names.index(self.stream_col), self.names.index(self.value_col)
+        pipe = client.pipeline() if hasattr(client, "pipeline") else None
+        n = 0
         for row in rows:
-            client.xadd(row[si], {self.field: row[vi]})
+            (pipe if pipe is not None else client).xadd(row[si], {self.field: row[vi]})
             n += 1
+            if pipe is not None and n % PIPELINE_CHUNK == 0:
+                pipe.execute()
+        if pipe is not None and n % PIPELINE_CHUNK:
+            pipe.execute()
         return WriterCommitMessage()
 
     def commit(self, messages, batchId) -> None:  # noqa: N803 (API signature)

@@ -97,23 +97,36 @@ def _process_batch(
     dead.write.mode("append").partitionBy("stream").json(dead_dir)
     acks.write.mode("append").partitionBy("stream").json(ack_dir)
 
-    # S20: acknowledge=delete removes acked entries from the source stream
-    # (WatchStream.java:207-220; the reference's tests assert the source is
-    # emptied, WatchTests.java:151-154). Executor-side per partition — the
-    # ack set never passes through the driver.
-    if sink_options is not None and cfg.source.acknowledge == "delete":
+    # S15-S20: real XACK against the consumer group (WatchStream.java:
+    # 196-205 parity — PEL interop with other group consumers), then
+    # acknowledge=delete removes acked entries (WatchStream.java:207-220;
+    # the reference's tests assert the source is emptied,
+    # WatchTests.java:151-154). Executor-side per partition, ids grouped
+    # per stream and sent in many-id chunks (the reference batches its
+    # XDELs the same way) — O(streams · chunks) round trips, never O(rows).
+    if sink_options is not None:
         opts = dict(sink_options)
+        group = cfg.source.group
+        delete = cfg.source.acknowledge == "delete"
 
-        def _xdel(rows) -> None:
-            from ..sources.redis_stream import make_client
+        def _ack(rows) -> None:
+            from ..sources.redis_stream import PIPELINE_CHUNK, make_client
 
-            client = None
+            by_stream: dict[str, list[str]] = {}
             for row in rows:
-                if client is None:
-                    client = make_client(opts)
-                client.xdel(row["stream"], row["offset"])
+                by_stream.setdefault(row["stream"], []).append(row["offset"])
+            if not by_stream:
+                return
+            client = make_client(opts)
+            for stream, ids in by_stream.items():
+                for i in range(0, len(ids), PIPELINE_CHUNK):
+                    chunk = ids[i : i + PIPELINE_CHUNK]
+                    if group:
+                        client.xack(stream, group, *chunk)
+                    if delete:
+                        client.xdel(stream, *chunk)
 
-        acks.foreachPartition(_xdel)
+        acks.foreachPartition(_ack)
 
 
 @dataclass
@@ -155,10 +168,23 @@ def watch(
 
     sink_options: dict[str, str] | None = None
     if redis_options is not None:
-        from ..sources.redis_stream import RedisStreamDataSource, make_client, seed_payload
+        from ..sources.redis_stream import (
+            RedisStreamDataSource,
+            ensure_group,
+            make_client,
+            seed_payload,
+        )
 
         spark.dataSource.register(RedisStreamDataSource)
         source_streams = ",".join(f"{cfg.source.prefix}{t}" for t in cfg.mapping)
+        client = make_client(redis_options)
+        # Bootstrap the consumer group on every source stream at 0-0
+        # (BUSYGROUP-tolerant), so the XACKs emitted per batch land in a
+        # real group PEL — drop-in interop with the reference's consumers
+        # (RedisSource.java:72-80).
+        if cfg.source.group:
+            for t in cfg.mapping:
+                ensure_group(client, f"{cfg.source.prefix}{t}", cfg.source.group)
         reader = spark.readStream.format("redis_stream").option("streams", source_streams)
         for k, v in redis_options.items():
             reader = reader.option(k, v)
@@ -166,7 +192,6 @@ def watch(
         if redis_sink:
             sink_options = dict(redis_options)
             # Seed every target stream with {"ids": "[]"} (WatchStream.java:262-265).
-            client = make_client(redis_options)
             for t in cfg.targets():
                 client.xadd(f"{cfg.target.prefix}{t}", seed_payload())
         else:

@@ -4,6 +4,11 @@ and executor processes see the same streams without a server.
 
 Entry ids are synthesized as "1-<line number>" — monotonic per stream,
 which is all the source's offset logic relies on.
+
+Network accounting: every client call that would be a Redis round trip
+appends one line to ``_rt.log`` (a ``pipeline()`` counts ONE round trip
+per ``execute()``, like the real protocol) — tests assert the ack/write
+paths batch instead of chatting per record.
 """
 
 from __future__ import annotations
@@ -11,6 +16,32 @@ from __future__ import annotations
 import json
 import os
 from pathlib import Path
+
+
+class FakePipeline:
+    """Buffers commands; ``execute()`` applies them through the parent's
+    unlogged internals and counts as a single round trip."""
+
+    def __init__(self, parent: "FakeRedis") -> None:
+        self._parent = parent
+        self._ops: list[tuple] = []
+
+    def xadd(self, stream: str, fields: dict) -> None:
+        self._ops.append(("_xadd_raw", (stream, fields)))
+
+    def xdel(self, stream: str, *record_ids: str) -> None:
+        self._ops.append(("_xdel_raw", (stream, *record_ids)))
+
+    def xack(self, stream: str, group: str, *record_ids: str) -> None:
+        self._ops.append(("_xack_raw", (stream, group, *record_ids)))
+
+    def execute(self) -> list:
+        if not self._ops:
+            return []
+        self._parent._rt("pipeline[%d]" % len(self._ops))
+        out = [getattr(self._parent, op)(*args) for op, args in self._ops]
+        self._ops = []
+        return out
 
 
 class FakeRedis:
@@ -32,14 +63,30 @@ class FakeRedis:
                 out.append((f"1-{i}", json.loads(line)))
         return out
 
+    def _rt(self, op: str) -> None:
+        with open(self.root / "_rt.log", "a") as f:
+            f.write(op + "\n")
+
+    def round_trips(self) -> list[str]:
+        p = self.root / "_rt.log"
+        return p.read_text().splitlines() if p.exists() else []
+
     # --- the client surface the source uses ---
 
+    def pipeline(self) -> FakePipeline:
+        return FakePipeline(self)
+
     def xadd(self, stream: str, fields: dict) -> str:
+        self._rt("xadd")
+        return self._xadd_raw(stream, fields)
+
+    def _xadd_raw(self, stream: str, fields: dict) -> str:
         with open(self._path(stream), "a") as f:
             f.write(json.dumps(dict(fields)) + os.linesep)
         return f"1-{len(self._lines(stream))}"
 
     def xinfo_stream(self, stream: str) -> dict:
+        self._rt("xinfo_stream")
         lines = self._lines(stream)
         if not lines:
             raise KeyError(f"no such stream {stream!r}")
@@ -47,6 +94,10 @@ class FakeRedis:
         return {"last-generated-id": f"1-{len(lines)}", "length": len(self._entries(stream))}
 
     def xdel(self, stream: str, *record_ids: str) -> int:
+        self._rt("xdel")
+        return self._xdel_raw(stream, *record_ids)
+
+    def _xdel_raw(self, stream: str, *record_ids: str) -> int:
         """Delete entries by id. Line positions (and so the synthetic ids of
         the REMAINING entries) are preserved by tombstoning."""
         ids = set(record_ids)
@@ -65,6 +116,8 @@ class FakeRedis:
     def xrange(
         self, stream: str, start: str = "-", end: str = "+", count: int | None = None
     ) -> list[tuple[str, dict]]:
+        self._rt("xrange")
+
         def key(record_id: str) -> tuple[int, int]:
             ms, _, seq = record_id.partition("-")
             return int(ms), int(seq or 0)
@@ -78,6 +131,41 @@ class FakeRedis:
             if (k > lo if exclusive else k >= lo) and k <= hi:
                 out.append((rid, fields))
         return out[:count] if count is not None else out
+
+    # --- consumer-group surface (XGROUP/XACK parity) ---
+
+    def _group_path(self, stream: str, group: str) -> Path:
+        return self.root / f"{stream}@@{group}.group"
+
+    def xgroup_create(
+        self, stream: str, group: str, id: str = "0-0", mkstream: bool = False
+    ) -> bool:
+        self._rt("xgroup_create")
+        p = self._group_path(stream, group)
+        if p.exists():
+            raise Exception("BUSYGROUP Consumer Group name already exists")
+        p.write_text(id + "\n")
+        return True
+
+    def xack(self, stream: str, group: str, *record_ids: str) -> int:
+        self._rt("xack")
+        return self._xack_raw(stream, group, *record_ids)
+
+    def _xack_raw(self, stream: str, group: str, *record_ids: str) -> int:
+        with open(self.root / f"{stream}@@{group}.acked", "a") as f:
+            for rid in record_ids:
+                f.write(rid + "\n")
+        return len(record_ids)
+
+    def acked(self, stream: str, group: str) -> list[str]:
+        p = self.root / f"{stream}@@{group}.acked"
+        return p.read_text().splitlines() if p.exists() else []
+
+    def groups(self, stream: str) -> list[str]:
+        return sorted(
+            p.name.split("@@")[1].removesuffix(".group")
+            for p in self.root.glob(f"{stream}@@*.group")
+        )
 
 
 def make_client(options: dict) -> FakeRedis:

@@ -14,6 +14,9 @@ from cdc_dedupe_spark.sources.redis_stream import (
     RedisStreamReader,
     StreamRange,
     ZERO_ID,
+    _is_missing_stream,
+    _split_range,
+    ensure_group,
 )
 from tests.fake_redis import FakeRedis
 
@@ -130,6 +133,97 @@ def test_stream_sink_xadds_packed_batches(spark, tmp_path):
     entries = fake.xrange("target.idx")
     got = sorted(json.loads(f["ids"])[0] for _, f in entries)
     assert got == [0, 2, 4]
+
+
+def test_missing_stream_gating_is_type_and_message(tmp_path):
+    """ADVICE r2: only a server-side missing-KEY error maps to ZERO_ID.
+    A unix-socket connection failure ('No such file or directory') must
+    propagate — mapping it to ZERO_ID would commit a regressed offset and
+    replay the whole stream."""
+    assert _is_missing_stream(KeyError("no such stream 'm1.a'"))
+    assert not _is_missing_stream(ConnectionError(
+        "Error 2 connecting to /run/redis.sock: No such file or directory"
+    ))
+    assert not _is_missing_stream(OSError("No such file or directory"))
+    assert not _is_missing_stream(Exception("no such key"))  # wrong type
+    assert not _is_missing_stream(KeyError("WRONGTYPE key holds a list"))
+
+
+def test_split_range_partitions_exactly():
+    """Sub-ranges must partition (start, end] — disjoint, ordered, union
+    equal to the input range — for both the multi-millis and same-millis
+    shapes."""
+    # same-millis: cut the seq space
+    subs = _split_range("1-0", "1-100", 4)
+    assert len(subs) == 4
+    assert subs[0][0] == "1-0" and subs[-1][1] == "1-100"
+    for (_, e1), (s2, _) in zip(subs, subs[1:]):
+        assert e1 == s2  # adjacent: end of one is exclusive-start of next
+    # multi-millis: cut the millis space
+    subs = _split_range("1000-5", "5000-2", 4)
+    assert subs[0][0] == "1000-5" and subs[-1][1] == "5000-2"
+    for (_, e1), (s2, _) in zip(subs, subs[1:]):
+        assert e1 == s2
+    # k=1 and degenerate ranges stay whole
+    assert _split_range("1-0", "1-2", 1) == [("1-0", "1-2")]
+    assert _split_range("1-0", "1-1", 8) == [("1-0", "1-1")]
+
+
+def test_hot_stream_splits_into_bounded_tasks(tmp_path):
+    """max_entries_per_task splits a hot stream into several sub-range
+    tasks (the reference's buffers.source.size admission control at task
+    granularity); reading every partition yields each entry exactly once."""
+    _fill(tmp_path, "hot", range(100))
+    opts = _opts(tmp_path, "hot") | {"max_entries_per_task": "25"}
+    r = RedisStreamReader(None, opts)
+    parts = r.partitions({"hot": "1-0"}, {"hot": "1-100"})
+    assert len(parts) == 4
+    seen = [rid for p in parts for rid, _, _ in r.read(p)]
+    assert len(seen) == len(set(seen)) == 100
+
+
+def test_ensure_group_is_busygroup_tolerant(tmp_path):
+    fake = FakeRedis(str(tmp_path))
+    ensure_group(fake, "m1.a", "cdc")
+    ensure_group(fake, "m1.a", "cdc")  # second call: BUSYGROUP swallowed
+    assert fake.groups("m1.a") == ["cdc"]
+    with pytest.raises(Exception, match="boom"):
+        ensure_group(_Boom(), "m1.a", "cdc")
+
+
+class _Boom:
+    def xgroup_create(self, *a, **k):
+        raise Exception("boom: connection refused")
+
+
+def test_writer_pipelines_xadds(spark, tmp_path):
+    """The XADD sink must batch through pipeline(): landing N rows costs
+    O(N / PIPELINE_CHUNK) round trips, not N."""
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "batch.json").write_text(
+        "\n".join(
+            json.dumps({"target_stream": "t.x", "ids": json.dumps([i])}) for i in range(40)
+        )
+    )
+    spark.dataSource.register(RedisStreamDataSource)
+    src = spark.readStream.schema("target_stream string, ids string").json(str(in_dir))
+    q = (
+        src.writeStream.format("redis_stream")
+        .option("client_factory", "tests.fake_redis:make_client")
+        .option("fake_dir", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fake = FakeRedis(str(out_dir))
+    assert len(fake.xrange("t.x")) == 40
+    rts = [op for op in fake.round_trips() if op.startswith(("xadd", "pipeline"))]
+    # one pipeline flush per task partition, never one trip per row
+    assert all(op.startswith("pipeline") for op in rts), rts
+    assert len(rts) <= 8, rts
 
 
 def test_latest_offset_is_stateless_across_reader_instances(tmp_path):

@@ -226,6 +226,18 @@ def test_watch_redis_to_redis_topology(spark, tmp_path, ack):
     assert acks.count() == 4
     assert acks.select("ack_mode").distinct().first().ack_mode == ack
 
+    # XACK parity (WatchStream.java:196-205): the consumer group exists at
+    # the source stream and every offset was XACKed against it
+    src_stream = "m2.m2.catalog_category_entity"
+    assert fake.groups(src_stream) == ["cdc"]
+    assert sorted(fake.acked(src_stream, "cdc")) == [f"1-{i}" for i in range(1, 5)]
+
     # S20: delete mode empties the source stream, simple retains it
-    residue = fake.xrange("m2.m2.catalog_category_entity")
+    residue = fake.xrange(src_stream)
     assert len(residue) == (0 if ack == "delete" else 4)
+
+    # the ack path batches: one XACK (+ one XDEL) round trip per
+    # stream-chunk, never one per record
+    rts = fake.round_trips()
+    assert rts.count("xack") <= 2
+    assert rts.count("xdel") <= (2 if ack == "delete" else 0)
