@@ -76,6 +76,62 @@ def icosine(a: Column, b: Column, round_digits: int = 4) -> Column:
     return F.round(c, round_digits)
 
 
+# --- random-hyperplane LSH (SimHash for embeddings) -----------------------
+#
+# The scale path for embedding near-dup / ANN candidate generation: each
+# vector maps to a small integer bucket = the sign pattern of its dot
+# products with P pseudo-random hyperplanes; cosine-similar vectors land in
+# the same bucket with high probability, so candidate pairs come from a
+# bucket equi-join instead of all pairs. The hyperplanes are ±1 vectors
+# derived from a fixed integer mix (plane, dim) -> sign — fully
+# deterministic and expressible in both engines, so unlike spark.ml's
+# MinHashLSH the whole pipeline gets an EXACT cross-engine oracle.
+
+_PLANE_MIX_P = 2654435761  # Knuth multiplicative constants
+_PLANE_MIX_D = 40503
+
+
+def _plane_sign(p: int, i: Column) -> Column:
+    """±1 component i of pseudo-random hyperplane p (bit 16 of an integer
+    mix — decorrelated from the low-bit linearity of p, i)."""
+    h = F.lit(p * _PLANE_MIX_P) + i.cast("long") * F.lit(_PLANE_MIX_D)
+    bit = F.shiftright(h, 16).bitwiseAND(F.lit(1))
+    return (F.lit(1) - bit * 2).cast("long")
+
+
+def lsh_bucket(se: Column, planes: int = 6) -> Column:
+    """Bucket id in [0, 2^planes) for a pre-scaled (iscale) vector: bit p
+    is [dot(hyperplane_p, se) >= 0]. Map-side only — one pass per plane
+    over the array, no shuffle, exact integer arithmetic throughout."""
+    idx = F.sequence(F.lit(0), F.size(se) - F.lit(1))
+
+    def mk(p: int):
+        # closure (not a default arg): zip_with inspects the lambda arity
+        return lambda x, i: x * _plane_sign(p, i)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        dot_p = F.aggregate(
+            F.zip_with(se, idx, mk(p)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket * 2 + F.when(dot_p >= 0, 1).otherwise(0)
+    return bucket
+
+
+def sql_lsh_bucket(se: str, planes: int = 6) -> str:
+    """DuckDB twin of lsh_bucket over a pre-scaled list expression."""
+    terms = []
+    for p in range(planes):
+        sign = f"(1 - 2 * ((({p * _PLANE_MIX_P} + (i - 1) * {_PLANE_MIX_D}) >> 16) & 1))"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({se})), i -> {se}[i] * {sign}))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << (planes - 1 - p)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 # DuckDB oracle twins of iscale/idot (format with the array expression).
 SQL_ISCALE = "list_transform({a}, x -> CAST(round(x::DOUBLE * 10000000) AS BIGINT))"
 SQL_IDOT = (

@@ -22,7 +22,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKEN_HASH, char_shingles, marker_count, simhash, sql_marker_count, token_hash
-from ..functions.vector import SQL_ICOSINE, SQL_ISCALE, icosine, idot, il2, iscale
+from ..functions.vector import (
+    SQL_ICOSINE,
+    SQL_ISCALE,
+    icosine,
+    idot,
+    il2,
+    iscale,
+    lsh_bucket,
+    sql_lsh_bucket,
+)
 from ..tables import table
 from .registry import register
 
@@ -185,6 +194,105 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             icosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_r"),
         )
     )
+
+
+_LSH_PLANES = 6
+
+
+_DEDUP_LSH_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), bk AS (
+      SELECT vec_id, se, CAST({sql_lsh_bucket('se', _LSH_PLANES)} AS BIGINT) AS bucket FROM sc
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           {SQL_ICOSINE.format(sa='a.se', sb='b.se')} AS cos_r
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+    """
+
+
+@register("dedup_embed_lsh", group="llm-ext", oracle=_DEDUP_LSH_ORACLE)
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via random-hyperplane LSH (SimHash
+    for vectors): each vector hashes map-side to a 2^6-bucket id from the
+    sign pattern of 6 hyperplane dot products; candidate pairs come from a
+    bucket equi-join (pairs = Σ_b C(n_b, 2), an 11× reduction over all
+    pairs at n=500 and growing with the plane count), each scored with the
+    exact integer cosine kernel.
+
+    This is the production-shape counterpart of dedup_embed_cosine's
+    synthetic id-band: the band here is CONTENT-derived, so true near-dups
+    collide regardless of id locality. The hyperplanes are deterministic
+    integer constructions (functions/vector._plane_sign), which is what
+    makes an exact DuckDB oracle possible where spark.ml's MinHashLSH is
+    rows-only. At 100 TB: bucketing is map-side HOF work, the join
+    shuffles on a high-cardinality key (planes dial bucket granularity),
+    and nothing is ever all-pairs."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bk = e.select(
+        "vec_id",
+        iscale(F.col("embedding")).alias("se"),
+    ).withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
+    a, b = bk.alias("a"), bk.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("b.vec_id") > F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.round(
+            idot(F.col("a.se"), F.col("b.se")).cast("double")
+            / (
+                F.sqrt(idot(F.col("a.se"), F.col("a.se")).cast("double"))
+                * F.sqrt(idot(F.col("b.se"), F.col("b.se")).cast("double"))
+            ),
+            4,
+        ).alias("cos_r"),
+    )
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), bk AS (
+      SELECT vec_id, se, {sql_lsh_bucket('se', _LSH_PLANES)} AS bucket FROM sc
+    ), probe AS (
+      SELECT bucket AS pb, se AS pse FROM bk WHERE vec_id = 0
+    )
+    SELECT b.vec_id, {SQL_ICOSINE.format(sa='b.se', sb='p.pse')} AS cos_r
+    FROM bk b, probe p WHERE b.bucket = p.pb AND b.vec_id <> 0
+    ORDER BY cos_r DESC, vec_id LIMIT 3
+    """
+
+
+@register("ann_lsh_topk", group="llm-ext", oracle=_ANN_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: top-3 cosine neighbors of probe vec_id=0 searched
+    only within the probe's hyperplane-sign bucket (~1/45th of the data
+    here) — the LSH sibling of ann_ivf_topk. Bucketing is map-side; the
+    probe's (bucket, vector) broadcasts as one row; the big side streams
+    through a bucket-equality filter + exact cosine into
+    TakeOrderedAndProject. Zero shuffles of the embedding table."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
+        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
+    )
+    probe = F.broadcast(
+        bk.filter(F.col("vec_id") == 0).select(
+            F.col("bucket").alias("pb"), F.col("se").alias("pse")
+        )
+    )
+    cand = bk.join(probe, F.col("bucket") == F.col("pb")).filter(F.col("vec_id") != 0)
+    cos_r = F.round(
+        idot(F.col("se"), F.col("pse")).cast("double")
+        / (
+            F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
+            * F.sqrt(idot(F.col("pse"), F.col("pse")).cast("double"))
+        ),
+        4,
+    )
+    return cand.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
 
 
 _ANN_IVF_ORACLE = f"""

@@ -154,7 +154,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in buf.getvalue(), name
 
 
-@pytest.mark.parametrize("name", ["dedup_embed_cosine", "dedup_ngram_jaccard"])
+@pytest.mark.parametrize("name", ["dedup_embed_cosine", "dedup_ngram_jaccard", "dedup_embed_lsh"])
 def test_banded_self_joins_use_equi_hash_join(spark, sf_dir, name):
     """The banded near-dup self-joins must join on the derived id-bucket
     equi key — a hash/sort-merge join with the range predicate as a
@@ -179,6 +179,15 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "Window" not in plan, plan
     # every Exchange must be a broadcast (or the single-partition top-k);
     # no hashpartitioning of the embedding table anywhere
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_topk_never_shuffles_embeddings(spark, sf_dir):
+    """ann_lsh_topk: bucketing is map-side HOF work and the probe row
+    broadcasts, so the embedding table must reach TakeOrderedAndProject
+    without a single hash-partition exchange."""
+    plan = plan_of(spark, sf_dir, "ann_lsh_topk")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan
 
