@@ -1,0 +1,63 @@
+"""Distributed connected components — the cluster-assignment step of a
+near-dup pipeline (candidate pairs -> duplicate clusters -> one keeper per
+cluster). The reference stops at pair emission (its dedupe is key-equality
+first-wins, WatchStream.java:150-170); grouping *near*-dup candidates into
+transitive clusters is the piece a 100 TB training-data pipeline adds on
+top, so it lives here as a reusable operator.
+
+Algorithm: min-label propagation with pointer jumping (the Shiloach-Vishkin
+hook/jump shape adapted to DataFrames). Each round
+  hook:  lbl(v) <- min(lbl(v), min_{u~v} lbl(u))      (one join + one agg)
+  jump:  lbl(v) <- lbl(lbl(v))                        (one self-join)
+Labels are vertex ids of the same component and are per-vertex monotone
+non-increasing (lbl(v) <= v always), so the fixpoint is exactly
+min-reachable-id and SUM(lbl) strictly decreases on every changing round —
+a one-scalar convergence probe, no row collection. Jumping doubles the
+distance a label can travel per round, so chains of length L resolve in
+O(log L) rounds instead of L.
+
+Scale shape: the label table is (id, id) pairs — trivially small next to
+the data the edges were derived from; every step is an equi-join or a
+key agg on it. Rounds are lineage-truncated via localCheckpoint (on a real
+cluster: `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+executor-loss tolerance; local mode has no executor loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    nodes: one column ``vec_id`` (any unique integral id).
+    edges: columns ``u``/``v`` — undirected pairs (either orientation; both
+    are expanded internally, so callers pass each pair once).
+    Returns (vec_id, cluster_id). Nodes with no edges keep their own id.
+    """
+    und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.distinct().localCheckpoint()
+    labels = nodes.select("vec_id", F.col("vec_id").alias("lbl")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_rounds):
+        nbr = (
+            und.join(labels, und["u"] == labels["vec_id"])
+            .groupBy(und["v"].alias("vec_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        hooked = labels.join(nbr, "vec_id", "left").select(
+            "vec_id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
+        )
+        jump = hooked.select(F.col("vec_id").alias("j_id"), F.col("lbl").alias("j_lbl"))
+        labels = (
+            hooked.join(jump, hooked["lbl"] == jump["j_id"], "left")
+            .select("vec_id", F.coalesce("j_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:  # monotone => equal sum == no label changed
+            break
+        prev_sum = cur_sum
+    return labels.select("vec_id", F.col("lbl").alias("cluster_id"))

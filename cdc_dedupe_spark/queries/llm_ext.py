@@ -367,6 +367,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
 
 
+_SQL_IL2 = (
+    "list_sum(list_transform(generate_series(1, len({sa})), "
+    "i -> ({sa}[i] - {sb}[i]) * ({sa}[i] - {sb}[i])))"
+)
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), bk AS (
+      SELECT vec_id, se, CAST({sql_lsh_bucket('se', _LSH_PLANES)} AS BIGINT) AS bucket FROM sc
+    ), cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_SQL_IL2.format(sa='a.se', sb='b.se')} AS d2
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), nn AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY d2 ASC, dst ASC) AS rn
+      FROM cand
+    ), edges AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM nn WHERE rn = 1
+    ), und AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), reach(v, lbl) AS (
+      SELECT vec_id, vec_id FROM bk
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN und e ON e.u = r.v
+    )
+    SELECT v AS vec_id, MIN(lbl) AS cluster_id,
+           CAST(CASE WHEN v = MIN(lbl) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+    FROM reach GROUP BY v
+    """
+
+
+@register("dedup_embed_cluster", group="llm-ext", oracle=_CLUSTER_ORACLE)
+def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup cluster assignment (the SemDeDup shape): pairs ->
+    transitive clusters -> one keeper per cluster. Edges are each vector's
+    nearest neighbor *within its LSH bucket* by exact integer L2² (ties ->
+    lowest vec_id); clusters are connected components over those edges
+    (operators/graph.py: hook + pointer-jump min-label propagation, O(log
+    chain) rounds); keeper = the cluster's minimum vec_id.
+
+    This is the step the reference's key-equality dedupe
+    (WatchStream.java:150-170) cannot express: near-dup candidates are
+    pairwise, and transitivity (A~B, B~C => one cluster) needs a graph
+    pass. At 100 TB: candidate generation is the banded LSH equi-join
+    (never all-pairs), NN reduction is a groupBy min(struct), and the CC
+    loop touches only the (id, id) label table — the embedding table is
+    read once. The oracle computes the same min-reachable label with a
+    recursive CTE."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
+        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.struct(
+            il2(F.col("a.se"), F.col("b.se")).alias("d2"),
+            F.col("b.vec_id").alias("dst"),
+        ).alias("cand"),
+    )
+    nn = pairs.groupBy("src").agg(F.min("cand").alias("m")).select("src", F.col("m.dst").alias("dst"))
+    edges = nn.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")).distinct()
+    from ..operators.graph import connected_components
+
+    labels = connected_components(bk.select("vec_id"), edges)
+    return labels.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis family
 
@@ -488,6 +566,122 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * 31 + (F.length(t) * 7 + F.ascii(t)).cast("long")) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "text_repetition",
+    group="llm-ext",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             list_max(list_transform(list_distinct(toks),
+                 tk -> len(list_filter(toks, x -> x = tk)))) AS top_count,
+             CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_2grams,
+             CASE WHEN len(toks) >= 2 THEN
+               len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])))
+             ELSE 0 END AS n_distinct_2grams
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_distinct, top_count,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS type_token_r,
+           round(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_token_r,
+           CASE WHEN n_2grams > 0
+                THEN round(CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams, 4)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_r,
+           CAST(CASE WHEN n_distinct * 100 >= 45 * n_tokens
+                      AND top_count * 100 <= 12 * n_tokens
+                      AND (n_2grams - n_distinct_2grams) * 100 <= 5 * n_2grams
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM m
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio, top-token
+    fraction, duplicate-2-gram fraction, and the keep/drop decision a
+    pretraining pipeline applies before dedupe. All per-document
+    higher-order-function work — map-side, zero shuffle at any scale. The
+    keep flag compares scaled *integers* (n_distinct*100 >= 45*n_tokens),
+    so thresholding never touches a float; the reported ratios are
+    integer-ratio doubles rounded per the repo determinism rule."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top_count = F.array_max(
+        F.transform(F.array_distinct(toks), lambda tk: F.size(F.filter(toks, lambda x: x == tk)))
+    )
+    n_2grams = F.when(n >= 2, n - 1).otherwise(0)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nd2 = F.size(F.array_distinct(grams))
+    keep = (
+        (n_distinct * 100 >= n * 45)
+        & (top_count * 100 <= n * 12)
+        & ((n_2grams - nd2) * 100 <= n_2grams * 5)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        top_count.alias("top_count"),
+        F.round(n_distinct.cast("double") / n, 4).alias("type_token_r"),
+        F.round(top_count.cast("double") / n, 4).alias("top_token_r"),
+        F.when(n_2grams > 0, F.round((n_2grams - nd2).cast("double") / n_2grams, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_r"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+# Per-stratum sampling rates (percent kept): downsample the dominant
+# language, keep more of the tail — the usual pretraining-mix move.
+_SAMPLE_RATES = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 60}
+_SAMPLE_DEFAULT = 40
+
+
+@register(
+    "sample_stratified",
+    group="llm-ext",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, n_chars,
+             ({SQL_TOKEN_HASH.format(t='md5(text)')}) % 100 AS hb,
+             CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 60 WHEN 'es' THEN 60
+                       WHEN 'fr' THEN 60 WHEN 'zh' THEN 60 ELSE 40 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(hb AS BIGINT) AS hash_bucket
+    FROM h WHERE hb < rate
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a document iff
+    a content-derived hash bucket (portable token_hash of md5(text), mod
+    100) falls under its stratum's rate. Unlike df.sampleBy, the decision
+    is a pure function of the row — reruns, retries, and different
+    partitionings all pick the SAME sample (what a reproducible
+    training-data pipeline needs), and the twin SQL proves it
+    cross-engine. Map-side filter, zero shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    hb = token_hash(F.md5(F.col("text").cast("binary"))) % 100
+    rate = F.col("lang")
+    expr = F.lit(_SAMPLE_DEFAULT)
+    for lang, r in _SAMPLE_RATES.items():
+        expr = F.when(rate == lang, r).otherwise(expr)
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", hb.alias("hash_bucket"))
+        .filter(F.col("hash_bucket") < expr)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,44 @@
+"""connected_components (operators/graph.py) unit tests on hand-built
+graphs — the parity suite covers the full dedup_embed_cluster query; these
+pin the operator's own contract: min-label semantics, orientation
+independence, singleton handling, and logarithmic-round convergence on
+long chains (the pointer-jumping claim)."""
+
+from __future__ import annotations
+
+from cdc_dedupe_spark.operators.graph import connected_components
+
+
+def _run(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(int(n),) for n in node_ids], "vec_id long")
+    edges = spark.createDataFrame([(int(u), int(v)) for u, v in edge_pairs], "u long, v long")
+    out = connected_components(nodes, edges, **kw).collect()
+    return {r.vec_id: r.cluster_id for r in out}
+
+
+def test_chain_collapses_to_min(spark):
+    got = _run(spark, range(5), [(i, i + 1) for i in range(4)])
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_components_and_singletons(spark):
+    got = _run(
+        spark,
+        [10, 11, 12, 20, 21, 30],
+        [(10, 11), (11, 12), (10, 12), (21, 20)],  # clique, pair (reversed), singleton
+    )
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_orientation_independent(spark):
+    fwd = _run(spark, range(4), [(0, 1), (1, 2), (2, 3)])
+    rev = _run(spark, range(4), [(1, 0), (2, 1), (3, 2)])
+    assert fwd == rev == {i: 0 for i in range(4)}
+
+
+def test_long_chain_within_default_rounds(spark):
+    """A 60-node chain must resolve inside the default 20-round cap —
+    hook advances a label one hop and jump doubles its reach, so required
+    rounds are O(log L), not L."""
+    got = _run(spark, range(60), [(i, i + 1) for i in range(59)])
+    assert got == {i: 0 for i in range(60)}

@@ -183,6 +183,14 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize("name", ["text_repetition", "sample_stratified"])
+def test_pipeline_text_ops_are_map_only(spark, sf_dir, name):
+    """Repetition scoring and deterministic stratified sampling are pure
+    per-row work: the plan must contain no Exchange of any kind."""
+    plan = plan_of(spark, sf_dir, name)
+    assert n_exchanges(plan) == 0, plan
+
+
 def test_lsh_topk_never_shuffles_embeddings(spark, sf_dir):
     """ann_lsh_topk: bucketing is map-side HOF work and the probe row
     broadcasts, so the embedding table must reach TakeOrderedAndProject
