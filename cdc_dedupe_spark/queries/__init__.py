@@ -11,7 +11,10 @@ from .registry import REGISTRY, QueryDef, register  # noqa: F401
 # only ones that have ever hash-failed — permanently inside that window.
 # The trailing relational/cdc/scalar groups are covered every round by the
 # local oracle-parity twin (tests/test_oracle_parity.py, every registered
-# query at sf0.001) and were driver-hash-verified in rounds 1-2. NEW
+# query at sf0.001), by the committed full-surface sweep at the driver's
+# own sf0.01 scale (scripts/parity_sweep.py -> PARITY_LOCAL.json, rerun
+# and re-committed every round so no group is ever unverified), and were
+# driver-hash-verified in rounds 1-2. NEW
 # queries append within their thematic group (never reordering existing
 # entries), so brand-new code enters the checked window and only
 # already-double-verified trailing entries shift past it.

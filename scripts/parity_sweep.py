@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Full-surface correctness sweep: run EVERY registered query against its
+DuckDB oracle at sf0.01 (the driver's correctness scale) and write
+PARITY_LOCAL.json at the repo root.
+
+Why this exists: the round driver's correctness harness checks the first
+50 registry entries, and the registry is larger than that. The local twin
+(tests/test_oracle_parity.py) already covers the full surface at sf0.001
+per pytest run; this script is the sf0.01 equivalent with a committed,
+per-round artifact, so the whole surface has recorded evidence every
+round — not just the driver's window.
+
+Run from the repo root: `python scripts/parity_sweep.py` (takes a few
+minutes; run it alone — concurrent Spark JVMs skew nothing here but slow
+everything down).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+
+    from cdc_dedupe_spark.queries import REGISTRY
+    from cdc_dedupe_spark.session import get_spark
+    from cdc_dedupe_spark.tables import TABLE_NAMES
+
+    spark = get_spark("cdc-dedupe-parity-sweep")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        try:
+            sdf = q.spark(spark, SF_DIR).toPandas()
+        except Exception as ex:  # record, keep sweeping
+            results[name] = {"status": "error", "err": f"{type(ex).__name__}: {ex}"[:200]}
+            continue
+        if q.oracle is None:
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
+            continue
+        odf = con.execute(q.oracle).df()
+        cols = sorted(sdf.columns)
+        ok = sorted(odf.columns) == cols and len(sdf) == len(odf)
+        if ok:
+            s = sdf[cols].sort_values(cols).reset_index(drop=True)
+            o = odf[cols].sort_values(cols).reset_index(drop=True)
+            ok = all(
+                s[c].astype(object).where(pd.notna(s[c]), None).tolist()
+                == o[c].astype(object).where(pd.notna(o[c]), None).tolist()
+                for c in cols
+            )
+        results[name] = {
+            "status": "match" if ok else "MISMATCH",
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+        }
+
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO, capture_output=True, text=True
+    ).stdout.strip()
+    summary = {
+        "sf_dir": SF_DIR,
+        "git_head": head,
+        "total": len(results),
+        "match": sum(1 for r in results.values() if r["status"] == "match"),
+        "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+        "mismatch": sorted(n for n, r in results.items() if r["status"] == "MISMATCH"),
+        "error": sorted(n for n, r in results.items() if r["status"] == "error"),
+        "wall_sec": round(time.time() - t0, 1),
+        "queries": results,
+    }
+    (_REPO / "PARITY_LOCAL.json").write_text(json.dumps(summary, indent=1) + "\n")
+    print(
+        f"total={summary['total']} match={summary['match']} "
+        f"rows_only={summary['rows_only']} mismatch={summary['mismatch']} error={summary['error']}"
+    )
+    return 1 if summary["mismatch"] or summary["error"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
