@@ -173,3 +173,86 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(counted, "stream_stateful_agg", output_mode="update")
+
+
+@register(
+    "stream_static_join",
+    group="streaming",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a broadcast
+    customer dimension per micro-batch (the streaming analogue of the
+    reference's static fan-out routing table, S6/WatchStream.java:140-148,
+    generalized to a keyed dimension), then aggregates revenue per market
+    segment in complete mode. At scale: the dimension broadcasts — the
+    stream is never shuffled for the join, only for the 5-group agg;
+    values go through exact integer cents so the cross-engine sum is
+    bit-identical."""
+    stream = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    return run_to_memory(agg, "stream_static_join", output_mode="complete")
+
+
+@register(
+    "stream_stream_join",
+    group="streaming",
+    oracle="""
+    SELECT a.user_id,
+           epoch_us(CAST(a.ts AS TIMESTAMP)) AS click_us,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) AS purchase_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: purchases
+    within an hour of a click by the same user. Both sides carry
+    watermarks, so at scale the join state is evicted once the range
+    falls behind the watermark — state is O(events in the range window),
+    not O(stream history). Inner-join emission is watermark-independent,
+    so on a bounded replay the output is exactly the batch join and the
+    oracle is exact."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    return run_to_memory(joined, "stream_stream_join", output_mode="append")
