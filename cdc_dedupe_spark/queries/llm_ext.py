@@ -445,6 +445,108 @@ def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-means training (unrolled Lloyd iterations) --------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_SCALE = 100_000  # smaller than ISCALE so Σ il2 inertia stays << 2^63
+
+
+def _km_scale(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"))
+
+
+def _km_argmin(se: Column, cents: Column) -> Column:
+    """cid of the nearest centroid in a broadcast array<struct<cid, ce>> —
+    exact integer L2², ties to the lowest cid via struct ordering."""
+    return F.array_min(
+        F.transform(cents, lambda c: F.struct(il2(se, c["ce"]).alias("d"), c["cid"].alias("cid")))
+    )["cid"]
+
+
+_KM_SQL_SCALE = f"list_transform(embedding, x -> CAST(round(x::DOUBLE * {_KM_SCALE}) AS BIGINT))"
+
+_KMEANS_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {_KM_SQL_SCALE} AS se FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, se AS ce FROM sc WHERE vec_id < {_KM_K}
+    ), a1 AS (
+      SELECT s.vec_id, s.se,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_SQL_IL2.format(sa='s.se', sb='c.ce')} ASC, c.cid ASC
+              LIMIT 1) AS cid
+      FROM sc s
+    ), sums AS (
+      SELECT cid, g.i, SUM(se[g.i]) AS sm
+      FROM a1, (SELECT unnest(generate_series(1, {_KM_DIM})) AS i) g
+      GROUP BY cid, g.i
+    ), cnts AS (
+      SELECT cid, COUNT(*) AS cnt FROM a1 GROUP BY cid
+    ), c1 AS (
+      SELECT s.cid, list(CAST(s.sm AS BIGINT) // n.cnt ORDER BY s.i) AS ce
+      FROM sums s JOIN cnts n ON s.cid = n.cid GROUP BY s.cid
+    ), a2 AS (
+      SELECT s.vec_id, s.se,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_SQL_IL2.format(sa='s.se', sb='c.ce')} ASC, c.cid ASC
+              LIMIT 1) AS cid
+      FROM sc s
+    )
+    SELECT a.cid, COUNT(*) AS n_members,
+           CAST(SUM({_SQL_IL2.format(sa='a.se', sb='c.ce')}) AS BIGINT) AS inertia
+    FROM a2 a JOIN c1 c ON a.cid = c.cid GROUP BY a.cid
+    """
+
+
+@register("ml_kmeans_train", group="llm-ext", oracle=_KMEANS_ORACLE)
+def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd k-means iterations (K=8) over the embeddings —
+    the IVF-centroid *training* loop that ann_ivf_topk consumes, with an
+    exact cross-engine oracle: components integer-scaled (×1e5), centroid
+    update = truncating integer mean (Spark `div` == DuckDB `//`, both
+    toward zero), assignment = exact integer L2² argmin with cid
+    tie-break. Output per cluster: size and integer inertia.
+
+    Scale shape per iteration: assignment is a map-side HOF argmin against
+    ONE broadcast centroid row (the ann_ivf_topk shape — the table is
+    never row-expanded); the update is a {_KM_DIM}-column partial
+    aggregate (map-side combine into K={_KM_K} groups), not a posexplode
+    shuffle of n×dim rows. A production loop repeats this body to
+    convergence with a driver-side inertia probe; two iterations are
+    unrolled here so the whole computation stays oracle-checkable SQL.
+    At petabyte scale move inertia to DECIMAL(38,0): Σ il2 grows linearly
+    in members per cluster (~1e12 per member at this scale factor)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc_df = e.select("vec_id", _km_scale(F.col("embedding")).alias("se"))
+    c0 = sc_df.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("se").alias("ce")
+    )
+    c0_row = c0.agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+    a1 = sc_df.crossJoin(F.broadcast(c0_row)).select(
+        "vec_id", "se", _km_argmin(F.col("se"), F.col("cents")).alias("cid")
+    )
+    sums = a1.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.element_at("se", i + 1)).alias(f"s{i}") for i in range(_KM_DIM)],
+    )
+    c1 = sums.select(
+        "cid", F.array(*[F.expr(f"s{i} div cnt") for i in range(_KM_DIM)]).alias("ce")
+    )
+    c1_row = c1.agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+    a2 = sc_df.crossJoin(F.broadcast(c1_row)).select(
+        "vec_id", "se", _km_argmin(F.col("se"), F.col("cents")).alias("cid")
+    )
+    return (
+        a2.join(F.broadcast(c1), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(il2(F.col("se"), F.col("ce"))).alias("inertia"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis family
 

@@ -183,6 +183,17 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_kmeans_assignments_are_map_side(spark, sf_dir):
+    """ml_kmeans_train: both Lloyd assignment steps are HOF argmins over
+    one broadcast centroid row, and the centroid update is a partial
+    aggregate — the embedding table must never be hash-exchanged on
+    vec_id (only the K-group agg keys shuffle) and no Window may appear."""
+    plan = plan_of(spark, sf_dir, "ml_kmeans_train")
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 @pytest.mark.parametrize("name", ["text_repetition", "sample_stratified"])
 def test_pipeline_text_ops_are_map_only(spark, sf_dir, name):
     """Repetition scoring and deterministic stratified sampling are pure
