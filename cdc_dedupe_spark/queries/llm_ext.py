@@ -670,6 +670,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp"))
 
 
+def _rep_metrics(toks: Column):
+    """Shared repetition metrics (text_repetition + pipeline_pretrain_docs):
+    returns (n_tokens, n_distinct, top_count, n_2grams, n_distinct_2grams,
+    keep). The keep flag compares scaled integers only."""
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top_count = F.array_max(
+        F.transform(F.array_distinct(toks), lambda tk: F.size(F.filter(toks, lambda x: x == tk)))
+    )
+    n_2grams = F.when(n >= 2, n - 1).otherwise(0)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nd2 = F.size(F.array_distinct(grams))
+    keep = (
+        (n_distinct * 100 >= n * 45)
+        & (top_count * 100 <= n * 12)
+        & ((n_2grams - nd2) * 100 <= n_2grams * 5)
+    )
+    return n, n_distinct, top_count, n_2grams, nd2, keep
+
+
 @register(
     "text_repetition",
     group="llm-ext",
@@ -712,25 +738,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio doubles rounded per the repo determinism rule."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    top_count = F.array_max(
-        F.transform(F.array_distinct(toks), lambda tk: F.size(F.filter(toks, lambda x: x == tk)))
-    )
-    n_2grams = F.when(n >= 2, n - 1).otherwise(0)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    nd2 = F.size(F.array_distinct(grams))
-    keep = (
-        (n_distinct * 100 >= n * 45)
-        & (top_count * 100 <= n * 12)
-        & ((n_2grams - nd2) * 100 <= n_2grams * 5)
-    )
+    n, n_distinct, top_count, n_2grams, nd2, keep = _rep_metrics(toks)
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -784,6 +792,59 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", "source", "n_chars", hb.alias("hash_bucket"))
         .filter(F.col("hash_bucket") < expr)
     )
+
+
+_PIPE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source, n_chars, string_split(text, ' ') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text, lang, source, n_chars FROM t
+      WHERE len(list_distinct(toks)) * 100 >= 45 * len(toks)
+        AND list_max(list_transform(list_distinct(toks),
+              tk -> len(list_filter(toks, x -> x = tk)))) * 100 <= 12 * len(toks)
+        AND (len(toks) < 2 OR
+             (len(toks) - 1 - len(list_distinct(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])))) * 100 <= 5 * (len(toks) - 1))
+    ), d AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, lang, source, n_chars FROM d
+    WHERE rn = 1
+      AND ({SQL_TOKEN_HASH.format(t='md5(text)')}) % 100 <
+          CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 60 WHEN 'es' THEN 60
+                    WHEN 'fr' THEN 60 WHEN 'zh' THEN 60 ELSE 40 END
+    """
+
+
+@register("pipeline_pretrain_docs", group="llm-ext", oracle=_PIPE_ORACLE)
+def pipeline_pretrain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline: repetition-quality filter →
+    exact-dedup keeper → deterministic stratified sample, in one plan —
+    the end-to-end flow the individual operators (text_repetition,
+    dedup_exact_hash, sample_stratified) exist for.
+
+    Stage order is the scale order: the map-side quality filter runs
+    before the only shuffle (row_number over md5(text) — dedupe keeper
+    selection on the 128-bit digest, never the document bytes), and the
+    sample is another map-side filter, so rejected documents never pay
+    shuffle I/O. One Exchange total, end to end."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    *_, keep = _rep_metrics(toks)
+    q = d.filter(keep)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    dd = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    hb = token_hash(F.md5(F.col("text").cast("binary"))) % 100
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return dd.filter(hb < rate).select("doc_id", "lang", "source", "n_chars")
 
 
 # ---------------------------------------------------------------------------

@@ -183,6 +183,13 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pretrain_pipeline_single_shuffle(spark, sf_dir):
+    """pipeline_pretrain_docs: quality filter and sample are map-side;
+    the only exchange is the dedupe-keeper hash partition on md5(text)."""
+    plan = plan_of(spark, sf_dir, "pipeline_pretrain_docs")
+    assert n_exchanges(plan) == 1, plan
+
+
 def test_kmeans_assignments_are_map_side(spark, sf_dir):
     """ml_kmeans_train: both Lloyd assignment steps are HOF argmins over
     one broadcast centroid row, and the centroid update is a partial
