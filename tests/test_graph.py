@@ -42,3 +42,42 @@ def test_long_chain_within_default_rounds(spark):
     rounds are O(log L), not L."""
     got = _run(spark, range(60), [(i, i + 1) for i in range(59)])
     assert got == {i: 0 for i in range(60)}
+
+
+# --- property: CC labels == union-find ground truth -----------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_GRAPHS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical min-label per component
+    return {v: min(w for w in range(n_nodes) if find(w) == find(v)) for v in range(n_nodes)}
+
+
+@given(edges=_GRAPHS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_cc_matches_union_find(spark, edges):
+    n = 25
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _union_find(n, edges)
+    got = _run(spark, range(n), edges or [(0, 0)])
+    assert got == want
