@@ -241,3 +241,33 @@ def test_watch_redis_to_redis_topology(spark, tmp_path, ack):
     rts = fake.round_trips()
     assert rts.count("xack") <= 2
     assert rts.count("xdel") <= (2 if ack == "delete" else 0)
+
+
+def test_watch_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Restart with the same work dir must NOT reprocess already-checked-
+    pointed input: the first run's events are neither re-acked nor re-
+    emitted (the checkpoint replaces the reference's refcount ledger,
+    WatchStream.java:233-242), while new files picked up after the restart
+    flow through normally."""
+    events0 = [_envelope_compact(f"100{i}-0", eid) for i, eid in enumerate([1, 2])]
+    cfg, handles, out = _run(spark, tmp_path, events0)
+    tgt = "target.catalog_product_flat"
+    first = [r for r in _target_records(out, tgt) if r != "[]"]
+    assert len(first) == 1 and json.loads(first[0]) == [1, 2]
+
+    # drop a new file (id 2 again + new id 3) and restart on the same
+    # checkpoint/work dir
+    events1 = [_envelope_compact(f"200{i}-0", eid) for i, eid in enumerate([2, 3])]
+    (tmp_path / "in" / "batch1.json").write_text("\n".join(json.dumps(e) for e in events1))
+    from cdc_dedupe_spark.streaming.pipeline import watch
+
+    handles2 = watch(spark, cfg, str(tmp_path / "in"), str(tmp_path / "work"))
+    handles2.query.awaitTermination()
+    out2 = spark.read.json(handles2.output_dir)
+
+    batches = [json.loads(r) for r in _target_records(out2, tgt) if r != "[]"]
+    # exactly one batch per input file; batch0's [1,2] not re-emitted
+    assert sorted(batches) == [[1, 2], [2, 3]], batches
+    acks = spark.read.json(handles2.ack_dir).collect()
+    offsets = [r.offset for r in acks]
+    assert sorted(offsets) == ["1000-0", "1001-0", "2000-0", "2001-0"]  # each exactly once
