@@ -178,3 +178,44 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "yr", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+@register(
+    "unpivot_measures",
+    group="relational-ext",
+    oracle="""
+    WITH m AS (
+      SELECT 'quantity_c' AS metric, CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice_c', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'discount_c', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'tax_c', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+    )
+    SELECT metric, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM m GROUP BY metric
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of lineitem's four money/measure columns
+    into (metric, cents) rows, then a per-metric exact aggregate — the
+    inverse of pivot_counts. At scale: unpivot is a map-side row generator
+    (no shuffle; the 4x row expansion happens inside the scan stage and
+    partial aggregation collapses it before the 4-group exchange); all
+    measures go through integer cents so the sums are bit-identical."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("quantity_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("extendedprice_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    m = li.unpivot(
+        [],
+        ["quantity_c", "extendedprice_c", "discount_c", "tax_c"],
+        "metric",
+        "cents",
+    )
+    return m.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("total_cents")
+    )
