@@ -8,6 +8,7 @@ analytic query surface (`list`, `run`).
         --source-dir ./in --work-dir ./work [--continuous SECONDS]
     python -m cdc_dedupe_spark.cli list
     python -m cdc_dedupe_spark.cli run agg_groupby --sf-dir /root/testdata/sf0.01
+    python -m cdc_dedupe_spark.cli explain agg_groupby --mode formatted
 """
 
 from __future__ import annotations
@@ -50,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list every declared query (name, group, oracle kind)")
 
+    exp = sub.add_parser("explain", help="print a declared query's physical plan")
+    exp.add_argument("query", help="query name from `list`")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    exp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+        help="explain mode (default: formatted)",
+    )
+
     runp = sub.add_parser("run", help="run a declared query and show its result")
     runp.add_argument("query", help="query name from `list`")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -77,6 +88,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.limit:
             df.show(args.limit, truncate=False)
         print(f"rows: {df.count()}")
+        return 0
+
+    if args.cmd == "explain":
+        from .queries import REGISTRY
+        from .session import get_spark
+
+        if args.query not in REGISTRY:
+            parser.error(f"unknown query {args.query!r}; see `list`")
+        spark = get_spark("cdc-dedupe-spark-explain")
+        REGISTRY[args.query].spark(spark, args.sf_dir).explain(args.mode)
         return 0
 
     from .config import load_config
