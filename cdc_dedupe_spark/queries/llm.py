@@ -271,3 +271,96 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.lang").alias("meta_lang"),
         F.col("meta.n_chars").alias("meta_chars"),
     )
+
+
+_BM25_TERMS = ("spark", "table", "data")
+_BM25_ORACLE_BODY = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pd AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM t
+    ), st AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+             {df_cols}
+      FROM pd
+    )
+    SELECT doc_id,
+           round({score}, 4) AS bm25_r
+    FROM pd CROSS JOIN st
+    ORDER BY {score} DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS))
+    )
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        num = f"(CAST(tf{i} AS DOUBLE) * 2.2)"
+        den = f"(CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        terms.append(f"({idf} * ({num} / {den}))")
+    score = "(" + " + ".join(terms) + ")"
+    return _BM25_ORACLE_BODY.format(tf_cols=tf_cols, df_cols=df_cols, score=score)
+
+
+@register("text_bm25_topk", group="llm", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query (terms %r) with the
+    *rational* idf variant: idf = (N - df + 0.5)/(df + 0.5) instead of its
+    logarithm — a per-term monotone transform chosen because ln() is not
+    required to be correctly rounded (libm vs JVM may differ by 1 ulp),
+    while +,*,/ are IEEE-exact, so this score is bit-identical across
+    engines with NO rounding lottery. k1=1.2, b=0.75.
+
+    Scale shape: tf/dl are per-doc HOF work; (N, Σdl, df_t) come from ONE
+    corpus aggregate broadcast as a single row (no driver collect, the
+    text_tfidf pattern); scoring is map-side; top-10 compiles to
+    TakeOrderedAndProject. The big side is scanned once and never
+    shuffled.""" % (_BM25_TERMS,)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf_of(t: str):
+        # closure, not a default arg: F.filter inspects lambda arity and a
+        # second parameter would be bound as the element *index*
+        return F.size(F.filter(toks, lambda x: x == t))
+
+    pd_df = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    st = pd_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = pd_df.crossJoin(F.broadcast(st))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = (F.col("n").cast("double") - F.col(f"df{i}").cast("double") + F.lit(0.5)) / (
+            F.col(f"df{i}").cast("double") + F.lit(0.5)
+        )
+        num = F.col(f"tf{i}").cast("double") * F.lit(2.2)
+        den = F.col(f"tf{i}").cast("double") + F.lit(1.2) * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / (F.col("sdl").cast("double") / F.col("n").cast("double")))
+        )
+        term = idf * (num / den)
+        score = term if score is None else score + term
+    return (
+        j.select("doc_id", F.round(score, 4).alias("bm25_r"), score.alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "bm25_r")
+    )

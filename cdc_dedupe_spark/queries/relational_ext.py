@@ -219,3 +219,38 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("total_cents")
     )
+
+
+@register(
+    "window_range_frame",
+    group="relational-ext",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame — trailing 30-day revenue per
+    customer. Semantically distinct from the ROWS frames elsewhere: the
+    frame is bounded by the *day value*, so all same-day orders enter
+    every same-day row's frame identically in both engines (no tie-break
+    needed — the frame is a deterministic set). One shuffle on o_custkey;
+    money through exact integer cents."""
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        day.alias("day"),
+        F.sum(cents).over(w).alias("cents_30d"),
+    )
