@@ -183,6 +183,16 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_never_hash_shuffles_documents(spark, sf_dir):
+    """text_bm25_topk: corpus stats collapse to one broadcast row and
+    scoring is per-row, so the documents table reaches the top-k without
+    any hash-partition exchange (only the single-partition stats agg and
+    the broadcast)."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pretrain_pipeline_single_shuffle(spark, sf_dir):
     """pipeline_pretrain_docs: quality filter and sample are map-side;
     the only exchange is the dedupe-keeper hash partition on md5(text)."""
