@@ -254,3 +254,73 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.alias("day"),
         F.sum(cents).over(w).alias("cents_30d"),
     )
+
+
+@register(
+    "join_asof",
+    group="relational-ext",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           c.event_id AS click_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every purchase, the same user's most recent click
+    at or before it (the operator the reference family lacks and DuckDB
+    ships natively; the oracle uses DuckDB's ASOF JOIN as an independent
+    implementation).
+
+    Spark-first shape: NOT a range join (which explodes to candidate
+    pairs) — the two sides union into one stream tagged (click=0,
+    purchase=1), ONE shuffle on user_id sorts by (ts, tag), and a running
+    `last(ignorenulls)` carries the latest click forward; purchases then
+    filter out. Cost = one shuffle + one window pass regardless of how
+    many clicks precede each purchase; at 100 TB this is the merge-join
+    shape an as-of needs, with the (ts, tag) order making same-timestamp
+    click/purchase pairs match inclusively, exactly like ASOF's `>=`."""
+    from ..tables import table as _t
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "tag",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.when(F.last("click_id", ignorenulls=True).over(w).isNotNull(),
+               F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w))
+        .alias("click_ts"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        F.col("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )

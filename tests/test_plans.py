@@ -183,6 +183,16 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """join_asof compiles to tagged-union + window — ONE user_id exchange
+    and no join operator at all (a range join here would explode to
+    candidate pairs)."""
+    plan = plan_of(spark, sf_dir, "join_asof")
+    assert "Join" not in plan, plan
+    assert n_exchanges(plan) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
 def test_bm25_never_hash_shuffles_documents(spark, sf_dir):
     """text_bm25_topk: corpus stats collapse to one broadcast row and
     scoring is per-row, so the documents table reaches the top-k without
