@@ -18,7 +18,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKEN_HASH, char_shingles, marker_count, simhash, sql_marker_count, token_hash
@@ -911,4 +911,78 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "n_frames",
+    )
+
+
+_TS_WIN = 8
+
+
+_TS_SUBSEQ_ORACLE = f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT user_id, ts_us,
+             list(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS BETWEEN CURRENT ROW AND {_TS_WIN - 1} FOLLOWING) AS win
+      FROM s
+    ), full_w AS (
+      SELECT user_id, ts_us, win FROM w WHERE len(win) = {_TS_WIN}
+    ), probe AS (
+      SELECT win AS pwin, ts_us AS pts FROM full_w WHERE user_id = 0
+      ORDER BY ts_us LIMIT 1
+    )
+    SELECT f.user_id, f.ts_us AS start_us,
+           CAST({_SQL_IL2.format(sa='f.win', sb='p.pwin')} AS BIGINT) AS d2
+    FROM full_w f CROSS JOIN probe p
+    WHERE NOT (f.user_id = 0 AND f.ts_us = p.pts)
+    ORDER BY d2 ASC, f.user_id ASC, f.ts_us ASC LIMIT 5
+    """
+
+
+@register("ts_subseq_search", group="llm-ext", oracle=_TS_SUBSEQ_ORACLE)
+def ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-similarity
+    family of PAPERS.md's EDBT 2019 entry, batch twin): every length-8
+    window of every user's chronological `value` series, scored by exact
+    integer L2² against a probe window (user 0's earliest), top-5.
+
+    Scale shape: windows materialize map-side from ONE shuffle (the same
+    user_id/ts sort a sessionization needs) via collect_list over a
+    ROWS-frame — no self-join, no row explosion beyond the window width;
+    the probe is a broadcast single row; scoring + top-5 is map-side into
+    TakeOrderedAndProject. (user_id, ts) is unique in this corpus, so
+    frame order — and therefore every window array — is deterministic in
+    both engines; values go through integer cents."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.currentRow, _TS_WIN - 1)
+    )
+    wins = ev.select(
+        "user_id", "ts_us", F.collect_list("cents").over(w).alias("win")
+    ).filter(F.size("win") == _TS_WIN)
+    probe = F.broadcast(
+        wins.filter(F.col("user_id") == 0)
+        .orderBy("ts_us")
+        .limit(1)
+        .select(F.col("win").alias("pwin"), F.col("ts_us").alias("pts"))
+    )
+    scored = wins.crossJoin(probe).filter(
+        ~((F.col("user_id") == 0) & (F.col("ts_us") == F.col("pts")))
+    )
+    return (
+        scored.select(
+            "user_id",
+            F.col("ts_us").alias("start_us"),
+            il2(F.col("win"), F.col("pwin")).alias("d2"),
+        )
+        .orderBy("d2", "user_id", "start_us")
+        .limit(5)
     )
