@@ -324,3 +324,57 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.unix_micros("click_ts").alias("click_us"),
     )
+
+
+@register(
+    "funnel_conversion",
+    group="relational-ext",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM m
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users whose FIRST signup precedes their
+    first click precedes their first purchase — the sequence-matching
+    aggregate every product-analytics engine ships. One shuffle (the
+    per-user conditional-min agg, map-side partial) then a single-row
+    rollup; NULL time comparisons are three-valued in both engines so the
+    strict `>` chain needs no explicit null guards."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def first_of(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts_us")))
+
+    m = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_signup_click"),
+        F.sum(s3.cast("long")).alias("n_full_funnel"),
+    )
