@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Write PLANS.md: the formatted physical plan of each headline query at
+sf0.001, with its scale stance (first docstring paragraph). A committed,
+reviewable artifact backing SCALING.md — the plans the plan-shape tests
+pin, visible without running anything."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# One representative per operator family (the queries SCALING.md leans on).
+HEADLINE = [
+    "scan_project_filter",
+    "agg_groupby",
+    "join_broadcast",
+    "join_skew_salted",
+    "join_asof",
+    "window_range_frame",
+    "unpivot_measures",
+    "cdc_fanout_route",
+    "cdc_dedupe_first",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_embed_lsh",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "text_bm25_topk",
+    "ts_subseq_search",
+    "sample_stratified",
+    "pipeline_pretrain_docs",
+]
+
+
+def main() -> int:
+    from cdc_dedupe_spark.queries import REGISTRY
+    from cdc_dedupe_spark.session import get_spark
+
+    spark = get_spark("cdc-dedupe-plan-dump")
+    out = [
+        "# PLANS — headline physical plans (sf0.001, regenerate with "
+        "`python scripts/dump_plans.py`)",
+        "",
+        "Plan-shape properties here are pinned by tests/test_plans.py; this",
+        "file is the human-readable witness. Iterative queries",
+        "(dedup_embed_cluster, ml_kmeans_train) are documented in",
+        "SCALING.md instead — their interesting structure is the loop, not",
+        "one final plan.",
+        "",
+    ]
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        stance = (q.doc or "").strip().split("\n\n")[0].replace("\n    ", "\n")
+        df = q.spark(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue().strip()
+        out += [f"## {name}", "", stance, "", "```", plan, "```", ""]
+    (_REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote PLANS.md with {len(HEADLINE)} plans")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,3 +152,31 @@ def test_char_shingles_cover_and_bound(spark, text, n):
     assert len(r.sh) <= max(len(text) - n + 1, 1)
     for sh in r.sh:
         assert sh in text or len(text) < n
+
+
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """agg_approx_percentile is rows-only for the driver; here we bound
+    its error: with accuracy=10000 the GK sketch guarantees rank error
+    <= n/10000, so on sf test data the approx p50/p95 must land within a
+    generous value window of the exact percentiles."""
+    from cdc_dedupe_spark.queries import REGISTRY
+
+    approx = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in REGISTRY["agg_approx_percentile"].spark(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) <= 0.05 * max(e50, 1.0), (flag, a50, e50)
+        assert abs(a95 - e95) <= 0.05 * max(e95, 1.0), (flag, a95, e95)
