@@ -404,3 +404,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("approx_p")[1], 2).alias("p95"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    group="relational-ext",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT) AS week
+      FROM events
+    ), first_wk AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(w.week - f.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+    GROUP BY f.cohort_week, w.week - f.cohort_week
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week-offset of later activity — the other canonical
+    product-analytics aggregate next to funnel_conversion. Weeks are
+    integer epoch-week indices (floor division of non-negative micros —
+    identical both engines).
+
+    Scale shape: (user, week) distinct and the per-user min co-key on
+    user_id, so the join is between two outputs of the SAME shuffle key
+    (Catalyst reuses the exchange); the final (cohort, offset) agg is
+    tiny. No row ever carries more than (id, week)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        # integer `div`, not `/`+cast: double division can round up across
+        # an integer boundary where DuckDB's exact BIGINT // cannot
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+    )
+    wk = ev.distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = wk.join(first_wk, "user_id")
+    return (
+        j.groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
