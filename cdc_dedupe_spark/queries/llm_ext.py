@@ -914,6 +914,72 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_feature int"
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for video frame sampling: n_frames derives
+    from the payload length (same convention as _fake_decode), stride
+    picks <=4 evenly spaced frames, and the per-frame feature is the
+    payload byte at (idx*7 mod n). 1 input row -> N output rows — the
+    row-expanding Arrow shape a real frame sampler has."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        feats: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            nf = n % 30 + 1
+            stride = max(1, nf // 4)
+            for k in range(4):
+                idx = k * stride
+                if idx < nf:
+                    doc_ids.append(doc_id)
+                    idxs.append(idx)
+                    feats.append(payload[(idx * 7) % n])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_feature": pd.Series(feats, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    group="llm-ext",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 30 + 1 AS nf
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text, n, nf, greatest(1, nf // 4) AS stride FROM b
+    )
+    SELECT doc_id,
+           CAST(k * stride AS INTEGER) AS frame_idx,
+           CAST(ascii(substr(text, ((k * stride * 7) % n) + 1, 1)) AS INTEGER) AS frame_feature
+    FROM f, (SELECT unnest([0, 1, 2, 3]) AS k) ks
+    WHERE k * stride < nf
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary video-ish payloads via mapInPandas —
+    the 1->N row-EXPANDING Arrow shape (multimodal_decode_stub is 1->1):
+    each payload yields <=4 evenly strided frame rows with a byte-derived
+    feature. The sampler body is a deterministic fake (real av/PIL absent
+    here) but the plumbing — binary column in, Arrow batches, exploded
+    schema out, partition-parallel — is real, and because the fake is
+    pure arithmetic on (ASCII) payload bytes the whole thing still gets
+    an EXACT SQL oracle. At scale: map-side only, output rows bounded at
+    4x input, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    packed = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return packed.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+
+
 _TS_WIN = 8
 
 
