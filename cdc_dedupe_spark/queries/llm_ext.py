@@ -196,6 +196,40 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental",
+    group="llm-ext",
+    oracle="""
+    WITH existing AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ), incoming AS (
+      SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT i.doc_id, i.lang, i.h AS text_hash
+    FROM incoming i ANTI JOIN existing e ON i.h = e.h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedupe: an incoming batch keeps only documents
+    whose content digest is NOT already in the existing corpus — the
+    left-anti-join-on-hash shape every continuously ingesting pipeline
+    runs (here the corpus is split 80/20 by id to stand in for
+    snapshot/batch). At scale: both sides reduce to 128-bit digests
+    map-side before the anti join shuffles, so the join moves hashes, not
+    documents; when the incoming batch is small Catalyst broadcasts it
+    and the existing corpus never shuffles at all."""
+    d = table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 10 < 8).select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    incoming = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    return incoming.join(existing, "h", "left_anti").select(
+        "doc_id", "lang", F.col("h").alias("text_hash")
+    )
+
+
 _LSH_PLANES = 6
 
 
