@@ -1086,3 +1086,100 @@ def ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "user_id", "start_us")
         .limit(5)
     )
+
+
+@register(
+    "vec_quantize_int8",
+    group="llm-ext",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ), mm AS (
+      SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d
+    )
+    SELECT vec_id,
+           round(mn, 4) AS q_min,
+           round(mx, 4) AS q_max,
+           CAST(list_sum(list_transform(e,
+               x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT))) AS BIGINT) AS q_sum
+    FROM mm
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization of embeddings — the
+    compression step before a memory-resident ANN index. Output = the
+    dequantization params plus the exact integer sum of the codes (the
+    checksum that proves both engines quantized identically). Map-side
+    HOFs only, zero shuffle; the (x-mn)*255/(mx-mn) chain is pure IEEE
+    double arithmetic on identical inputs, so codes are bit-identical
+    cross-engine. (Every corpus vector has mx > mn — checked —; a
+    production kernel would guard the flat-vector case.)"""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    mm = e.select(
+        "vec_id", "e", F.array_min("e").alias("mn"), F.array_max("e").alias("mx")
+    )
+    code = lambda x: F.round((x - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))).cast("long")  # noqa: E731
+    return mm.select(
+        "vec_id",
+        F.round("mn", 4).alias("q_min"),
+        F.round("mx", 4).alias("q_max"),
+        F.aggregate(
+            F.transform("e", code), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
+
+
+@register(
+    "agg_mode_group",
+    group="llm-ext",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ), ranked AS (
+      SELECT lang, source, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, source ASC) AS rn
+      FROM counts
+    )
+    SELECT lang, source AS mode_source, n AS n_docs FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break: the most frequent
+    source per language (ties -> lexicographically smallest source). Two
+    partial-aggregating shuffles — (lang, source) counts then a min(struct)
+    argmax per lang; no window over the full data, no sort."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    best = (
+        counts.groupBy("lang")
+        .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("source").alias("src"))).alias("m"))
+    )
+    return best.select(
+        "lang", F.col("m.src").alias("mode_source"), (-F.col("m.neg_n")).alias("n_docs")
+    )
+
+
+@register(
+    "text_scrub_numeric",
+    group="llm-ext",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_hits
+    FROM events
+    """,
+)
+def text_scrub_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction scrubbing: replace every numeric run in the event props
+    payload and count the hits — the PII-masking shape of a training-data
+    cleaning pass (the pattern is a stand-in; the portable-regex
+    discipline is the point: '[0-9]+' means the same thing in Java regex
+    and RE2). Pure map-side string work, zero shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("scrubbed"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias("n_hits"),
+    )

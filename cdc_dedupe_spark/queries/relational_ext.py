@@ -380,32 +380,6 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", group="relational-ext", oracle=None)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-friendly quantile sketch: approx_percentile (Greenwald-
-    Khanna) over lineitem prices with accuracy 10000 — the sketch family
-    of PAPERS.md's EDBT 2023 quantile-sketch study. Rows-only by design:
-    GK merge order differs between engines, so exact hash parity is the
-    wrong contract; tests/test_properties.py bounds the rank error vs the
-    exact percentile instead. At scale: constant-size sketch per
-    partition, merged map-side — no sort, no full shuffle of values
-    (the exact twin `agg_percentile` costs a per-group sort)."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
-            ).alias("approx_p")
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("approx_p")[0], 2).alias("p50"),
-            F.round(F.col("approx_p")[1], 2).alias("p95"),
-        )
-    )
-
-
 @register(
     "cohort_retention",
     group="relational-ext",
@@ -448,3 +422,31 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
     )
+
+
+@register("agg_approx_percentile", group="relational-ext", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-friendly quantile sketch: approx_percentile (Greenwald-
+    Khanna) over lineitem prices with accuracy 10000 — the sketch family
+    of PAPERS.md's EDBT 2023 quantile-sketch study. Rows-only by design:
+    GK merge order differs between engines, so exact hash parity is the
+    wrong contract; tests/test_properties.py bounds the rank error vs the
+    exact percentile instead. At scale: constant-size sketch per
+    partition, merged map-side — no sort, no full shuffle of values
+    (the exact twin `agg_percentile` costs a per-group sort)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("approx_p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("approx_p")[0], 2).alias("p50"),
+            F.round(F.col("approx_p")[1], 2).alias("p95"),
+        )
+    )
+
+
