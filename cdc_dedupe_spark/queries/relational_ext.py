@@ -450,3 +450,63 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+
+
+@register(
+    "profile_stats",
+    group="relational-ext",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_non_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(l_shipdate),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) FROM lineitem
+    """,
+)
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling / stats collection (the ANALYZE-TABLE shape a
+    query optimizer and a data-quality gate both need): per-column row,
+    non-null and exact distinct counts, integer-only so the check is
+    exact. One scan computes ALL columns' counts (expand-style multi-
+    distinct aggregate) — never one pass per column; at 100 TB the scale
+    path swaps COUNT(DISTINCT) for approx_count_distinct (HLL, one pass,
+    mergeable) with the same output shape."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.unpivot(
+        [],
+        [f"{c}__{s}" for c in _PROFILE_COLS for s in ("n", "nn", "ndv")],
+        "key",
+        "val",
+    )
+    parts = F.split("key", "__")
+    return (
+        stacked.select(parts.getItem(0).alias("col"), parts.getItem(1).alias("stat"), "val")
+        .groupBy("col")
+        .pivot("stat", ["n", "nn", "ndv"])
+        .sum("val")
+        .select(
+            "col",
+            F.col("n").alias("n_rows"),
+            F.col("nn").alias("n_non_null"),
+            F.col("ndv").alias("ndv"),
+        )
+    )
