@@ -28,7 +28,8 @@ def cosine(a: Column, b: Column, round_digits: int | None = None) -> Column:
     """Cosine similarity dot(a,b) / (|a| |b|); ``round_digits`` absorbs
     sub-ulp accumulation differences for cross-engine comparison."""
     c = dot(a, b) / (l2_norm(a) * l2_norm(b))
-    return F.round(c, round_digits) if round_digits is not None else c
+    # + 0.0 normalizes a rounded -0.0 to +0.0 (bit-hash parity with DuckDB)
+    return F.round(c, round_digits) + F.lit(0.0) if round_digits is not None else c
 
 
 # --- integer-scaled exact kernel ------------------------------------------
@@ -73,7 +74,10 @@ def icosine(a: Column, b: Column, round_digits: int = 4) -> Column:
     c = idot(sa, sb).cast("double") / (
         F.sqrt(idot(sa, sa).cast("double")) * F.sqrt(idot(sb, sb).cast("double"))
     )
-    return F.round(c, round_digits)
+    # + 0.0: a tiny negative cosine rounds to -0.0 in DuckDB but +0.0 in
+    # Spark (the r3 driver hash-fail on dedup_embed_cosine/lsh); IEEE
+    # -0.0 + 0.0 = +0.0 in both engines, and every other value is untouched.
+    return F.round(c, round_digits) + F.lit(0.0)
 
 
 # --- random-hyperplane LSH (SimHash for embeddings) -----------------------
@@ -138,4 +142,4 @@ SQL_IDOT = (
     "CAST(list_sum(list_transform(generate_series(1, len({sa})), i -> {sa}[i] * {sb}[i])) AS DOUBLE)"
 )
 SQL_INORM2 = "CAST(list_sum(list_transform({sa}, x -> x * x)) AS DOUBLE)"
-SQL_ICOSINE = f"round({SQL_IDOT} / (sqrt({SQL_INORM2.format(sa='{sa}')}) * sqrt({SQL_INORM2.format(sa='{sb}')})), 4)"
+SQL_ICOSINE = f"(round({SQL_IDOT} / (sqrt({SQL_INORM2.format(sa='{sa}')}) * sqrt({SQL_INORM2.format(sa='{sb}')})), 4) + 0.0)"

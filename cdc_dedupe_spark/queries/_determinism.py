@@ -36,3 +36,23 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+# --- signed zero ----------------------------------------------------------
+#
+# The driver's value hash is bit-sensitive: round(-1e-9, 4) is -0.0 in
+# DuckDB but +0.0 in Spark, equal under == yet different bit patterns (the
+# r3 dedup_embed_cosine/lsh hash-fails). IEEE -0.0 + 0.0 = +0.0 under
+# round-to-nearest in both engines, and x + 0.0 is bit-identical to x for
+# every other value, so every rounded-double OUTPUT column goes through
+# these twins.
+
+
+def round_pos(col: Column, digits: int = 4) -> Column:
+    """``round(col, digits)`` with signed zero normalized to +0.0."""
+    return F.round(col, digits) + F.lit(0.0)
+
+
+def sql_round_pos(expr: str, digits: int = 4) -> str:
+    """DuckDB twin of :func:`round_pos` (same +0.0 normalization)."""
+    return f"(round({expr}, {digits}) + 0.0)"

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._determinism import round_pos
 from ..functions.vector import SQL_ICOSINE, SQL_ISCALE, icosine
 from ..tables import table
 from .registry import register
@@ -56,7 +57,7 @@ def text_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n_docs FROM documents
     ), scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf_r,
+             (round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) + 0.0) AS tfidf_r,
              row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
       FROM tf JOIN df USING (term) CROSS JOIN n
     )
@@ -85,7 +86,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n)
         .withColumn(
             "tfidf_r",
-            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4),
+            round_pos(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -102,7 +103,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+           (round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) + 0.0) AS avg_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -117,7 +118,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        round_pos(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
     )
 
 
@@ -287,7 +288,7 @@ _BM25_ORACLE_BODY = """
       FROM pd
     )
     SELECT doc_id,
-           round({score}, 4) AS bm25_r
+           (round({score}, 4) + 0.0) AS bm25_r
     FROM pd CROSS JOIN st
     ORDER BY {score} DESC, doc_id LIMIT 10
     """
@@ -359,7 +360,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = idf * (num / den)
         score = term if score is None else score + term
     return (
-        j.select("doc_id", F.round(score, 4).alias("bm25_r"), score.alias("_s"))
+        j.select("doc_id", round_pos(score, 4).alias("bm25_r"), score.alias("_s"))
         .orderBy(F.col("_s").desc(), "doc_id")
         .limit(10)
         .select("doc_id", "bm25_r")

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._determinism import round_pos
 from ..functions.text import SQL_TOKEN_HASH, char_shingles, marker_count, simhash, sql_marker_count, token_hash
 from ..functions.vector import (
     SQL_ICOSINE,
@@ -100,9 +101,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           (round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard_r
+                    - len(list_intersect(a.shingles, b.shingles))), 4) + 0.0) AS jaccard_r
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
     """,
@@ -138,7 +139,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard_r"),
+            round_pos(inter.cast("double") / union, 4).alias("jaccard_r"),
         )
     )
 
@@ -275,7 +276,7 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         F.col("a.bucket").alias("bucket"),
-        F.round(
+        round_pos(
             idot(F.col("a.se"), F.col("b.se")).cast("double")
             / (
                 F.sqrt(idot(F.col("a.se"), F.col("a.se")).cast("double"))
@@ -318,7 +319,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = bk.join(probe, F.col("bucket") == F.col("pb")).filter(F.col("vec_id") != 0)
-    cos_r = F.round(
+    cos_r = round_pos(
         idot(F.col("se"), F.col("pse")).cast("double")
         / (
             F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
@@ -393,7 +394,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cluster = assigned.join(probe, F.col("cid") == F.col("pcid")).filter(F.col("vec_id") != 0)
     sa, sb = F.col("se"), F.col("pse")
-    cos_r = F.round(
+    cos_r = round_pos(
         idot(sa, sb).cast("double")
         / (F.sqrt(idot(sa, sa).cast("double")) * F.sqrt(idot(sb, sb).cast("double"))),
         4,
@@ -750,10 +751,10 @@ def _rep_metrics(toks: Column):
       FROM t
     )
     SELECT doc_id, n_tokens, n_distinct, top_count,
-           round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS type_token_r,
-           round(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_token_r,
+           (round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) + 0.0) AS type_token_r,
+           (round(CAST(top_count AS DOUBLE) / n_tokens, 4) + 0.0) AS top_token_r,
            CASE WHEN n_2grams > 0
-                THEN round(CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams, 4)
+                THEN (round(CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams, 4) + 0.0)
                 ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_r,
            CAST(CASE WHEN n_distinct * 100 >= 45 * n_tokens
                       AND top_count * 100 <= 12 * n_tokens
@@ -778,9 +779,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         top_count.alias("top_count"),
-        F.round(n_distinct.cast("double") / n, 4).alias("type_token_r"),
-        F.round(top_count.cast("double") / n, 4).alias("top_token_r"),
-        F.when(n_2grams > 0, F.round((n_2grams - nd2).cast("double") / n_2grams, 4))
+        round_pos(n_distinct.cast("double") / n, 4).alias("type_token_r"),
+        round_pos(top_count.cast("double") / n, 4).alias("top_token_r"),
+        F.when(n_2grams > 0, round_pos((n_2grams - nd2).cast("double") / n_2grams, 4))
         .otherwise(F.lit(0.0))
         .alias("dup_2gram_r"),
         keep.cast("int").alias("keep"),
@@ -1098,8 +1099,8 @@ def ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d
     )
     SELECT vec_id,
-           round(mn, 4) AS q_min,
-           round(mx, 4) AS q_max,
+           (round(mn, 4) + 0.0) AS q_min,
+           (round(mx, 4) + 0.0) AS q_max,
            CAST(list_sum(list_transform(e,
                x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT))) AS BIGINT) AS q_sum
     FROM mm
@@ -1123,8 +1124,8 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = lambda x: F.round((x - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))).cast("long")  # noqa: E731
     return mm.select(
         "vec_id",
-        F.round("mn", 4).alias("q_min"),
-        F.round("mx", 4).alias("q_max"),
+        round_pos(F.col("mn"), 4).alias("q_min"),
+        round_pos(F.col("mx"), 4).alias("q_max"),
         F.aggregate(
             F.transform("e", code), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("q_sum"),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
-from ._determinism import dsum, sql_dsum
+from ._determinism import dsum, round_pos, sql_dsum
 from .registry import register
 
 
@@ -56,9 +56,9 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="relational-ext",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
-           round(quantile_cont(l_quantity, 0.75), 4) AS p75
+           (round(quantile_cont(l_quantity, 0.25), 4) + 0.0) AS p25,
+           (round(quantile_cont(l_quantity, 0.50), 4) + 0.0) AS p50,
+           (round(quantile_cont(l_quantity, 0.75), 4) + 0.0) AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -69,9 +69,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable) — same call shape, declared tolerance."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+        round_pos(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        round_pos(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        round_pos(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
 
 
@@ -128,8 +128,8 @@ def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cum_dist
+           (round(percent_rank() OVER w, 6) + 0.0) AS pct_rank,
+           (round(cume_dist() OVER w, 6) + 0.0) AS cum_dist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
@@ -143,8 +143,8 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        round_pos(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_pos(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
 
 

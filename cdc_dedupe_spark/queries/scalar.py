@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..tables import table
+from ._determinism import round_pos
 from .registry import register
 
 
@@ -80,9 +81,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.04) AS abs_disc,
-           round(sqrt(l_quantity), 4) AS sqrt_qty,
-           round(ln(l_extendedprice), 4) AS ln_price,
-           round(pow(1.0 + l_discount, 2.0), 4) AS pow_disc,
+           (round(sqrt(l_quantity), 4) + 0.0) AS sqrt_qty,
+           (round(ln(l_extendedprice), 4) + 0.0) AS ln_price,
+           (round(pow(1.0 + l_discount, 2.0), 4) + 0.0) AS pow_disc,
            ((l_orderkey % 7) + 7) % 7 AS mod7
     FROM lineitem
     """,
@@ -95,9 +96,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.04).alias("abs_disc"),
-        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
-        F.round(F.log(F.col("l_extendedprice")), 4).alias("ln_price"),
-        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2.0), 4).alias("pow_disc"),
+        round_pos(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        round_pos(F.log(F.col("l_extendedprice")), 4).alias("ln_price"),
+        round_pos(F.pow(F.lit(1.0) + F.col("l_discount"), 2.0), 4).alias("pow_disc"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("mod7"),
     )
 

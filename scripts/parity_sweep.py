@@ -32,7 +32,8 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def main() -> int:
     import duckdb
-    import pandas as pd
+
+    from tests.parity import assert_frames_match
 
     from cdc_dedupe_spark.queries import REGISTRY
     from cdc_dedupe_spark.session import get_spark
@@ -56,20 +57,18 @@ def main() -> int:
             results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
         odf = con.execute(q.oracle).df()
-        cols = sorted(sdf.columns)
-        ok = sorted(odf.columns) == cols and len(sdf) == len(odf)
-        if ok:
-            s = sdf[cols].sort_values(cols).reset_index(drop=True)
-            o = odf[cols].sort_values(cols).reset_index(drop=True)
-            ok = all(
-                s[c].astype(object).where(pd.notna(s[c]), None).tolist()
-                == o[c].astype(object).where(pd.notna(o[c]), None).tolist()
-                for c in cols
-            )
+        # Bit-sensitive compare (tests/parity) — the driver's value hash
+        # distinguishes -0.0 from +0.0; plain == does not (the r3 blind spot).
+        try:
+            assert_frames_match(sdf, odf, name)
+            ok, detail = True, None
+        except AssertionError as ex:
+            ok, detail = False, str(ex)[:300]
         results[name] = {
             "status": "match" if ok else "MISMATCH",
             "spark_rows": len(sdf),
             "oracle_rows": len(odf),
+            **({"detail": detail} if detail else {}),
         }
 
     head = subprocess.run(

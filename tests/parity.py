@@ -4,8 +4,19 @@ row count + schema (column sets) + order-insensitive value equality."""
 from __future__ import annotations
 
 import math
+import struct
 
 import pandas as pd
+
+
+def float_bits_equal(a: float, b: float) -> bool:
+    """Bit-pattern float equality, the same sensitivity as the driver's
+    value hash: -0.0 != +0.0 (they hash differently) while NaN == NaN.
+    Plain `==` was blind to the one remaining r3 defect class (signed
+    zero out of round()) — see VERDICT r3 'What's wrong' #2."""
+    if math.isnan(a) and math.isnan(b):
+        return True
+    return struct.pack("<d", float(a)) == struct.pack("<d", float(b))
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -38,10 +49,7 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
             bad = [
                 (i, a, b)
                 for i, (a, b) in enumerate(zip(sv, dv))
-                if not (
-                    (isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b))
-                    or a == b
-                )
+                if not float_bits_equal(a, b)
             ]
         else:
             sv = sv.astype(object).where(pd.notna(sv), None)
