@@ -17,7 +17,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from cdc_dedupe_spark.queries import REGISTRY  # noqa: E402
+from cdc_dedupe_spark.queries import REGISTRY, driver_order  # noqa: E402
 from cdc_dedupe_spark.session import tune_session  # noqa: E402
 
 
@@ -29,8 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark for name, q in REGISTRY.items()}
+    # driver_order: alphabetical rotated 50/round, so the driver's 50-entry
+    # correctness window sweeps the whole surface across rounds.
+    return {name: REGISTRY[name].spark for name in driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in driver_order()
+        if REGISTRY[name].oracle is not None
+    }

@@ -65,7 +65,15 @@ def main() -> int:
         result["stream_events_per_s"] = round(n_events / per_query["cdc_dedupe_stream"], 1)
     if failures:
         result["failures"] = failures
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # Persist the full result (the r3 driver tail-capture truncated the
+    # printed line), then stop the session BEFORE printing so no JVM
+    # shutdown logs land after the JSON and push it out of a tail window.
+    Path(_REPO, "BENCH_LOCAL.json").write_text(line + "\n")
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
     return 1 if failures else 0
 
 

@@ -4,20 +4,18 @@ from __future__ import annotations
 
 from .registry import REGISTRY, QueryDef, register  # noqa: F401
 
-# Group modules register themselves on import. This order is FROZEN as of
-# round 3 (per ADVICE r2: no more per-round rotation). The driver's
-# correctness harness verifies the first 50 registry entries; the order
-# below keeps the numerically-sensitive llm/llm_ext/streaming groups — the
-# only ones that have ever hash-failed — permanently inside that window.
-# The trailing relational/cdc/scalar groups are covered every round by the
-# local oracle-parity twin (tests/test_oracle_parity.py, every registered
-# query at sf0.001), by the committed full-surface sweep at the driver's
-# own sf0.01 scale (scripts/parity_sweep.py -> PARITY_LOCAL.json, rerun
-# and re-committed every round so no group is ever unverified), and were
-# driver-hash-verified in rounds 1-2. NEW
-# queries append within their thematic group (never reordering existing
-# entries), so brand-new code enters the checked window and only
-# already-double-verified trailing entries shift past it.
+# Group modules register themselves on import; thematic import order below
+# is irrelevant to verification. The order the DRIVER sees (via
+# __spark_entry__.queries()) is `driver_order()`: alphabetical, rotated by
+# 50 positions per round. The driver checks the first 50 entries, so with
+# ~90 queries every entry receives a driver CORRECTNESS row at least every
+# other round — content-blind (pure alphabet + arithmetic), replacing the
+# r3 frozen order that kept ~40 queries permanently outside the window
+# (VERDICT r3 "What's wrong" #3). Off-window entries are still covered
+# every round by the local oracle-parity twin at sf0.001
+# (tests/test_oracle_parity.py) and the committed full-surface sweep at
+# the driver's own sf0.01 (scripts/parity_sweep.py -> PARITY_LOCAL.json),
+# both now bit-sensitive — the same sensitivity as the driver's hash.
 from . import llm  # noqa: F401,E402
 from . import llm_ext  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402
@@ -25,3 +23,19 @@ from . import relational_ext  # noqa: F401,E402
 from . import scalar  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+
+# Rotation offset for the driver window. Advance by 50 each round (r4=50,
+# r5=100, ...); applied mod the registry size. At offset 50 the r4 window
+# is alphabetical positions 50..99 (wrapping), which contains the two
+# never-driver-checked entries (profile_stats at ~53, agg_approx_percentile
+# at ~1 via the wrap) and the longest-unchecked relational/scalar tail.
+DRIVER_ROTATION_OFFSET = 50
+
+
+def driver_order() -> list[str]:
+    """Registry names in the order the driver contract exposes them:
+    alphabetical, rotated 50 per round so the 50-entry driver window
+    sweeps the whole surface across consecutive rounds."""
+    names = sorted(REGISTRY)
+    k = DRIVER_ROTATION_OFFSET % len(names)
+    return names[k:] + names[:k]
