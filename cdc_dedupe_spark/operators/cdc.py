@@ -147,3 +147,35 @@ def batch_pack_scalable(df: DataFrame, id_col: str, batch_size: int = 1000) -> D
             F.count(F.lit(1)).alias("n_ids"),
         )
     )
+
+
+def batch_pack_keyed(
+    df: DataFrame,
+    id_col: str,
+    partition_key: Column,
+    order: Sequence[Column | str],
+    batch_size: int = 1000,
+) -> DataFrame:
+    """Deterministic scalable batch packing (S12/S13): like
+    ``batch_pack_scalable`` but partitioned by a CONTENT-derived key
+    instead of the physical ``spark_partition_id()``, so the output is a
+    pure function of the data — reproducible across partitionings/retries
+    and exactly mirrorable in SQL. Each of the P key groups packs its own
+    ids independently (window shuffle is P-way parallel, never the
+    single-partition global sort of ``batch_pack``); bucket ids compose
+    (key, local_bucket). The reference's contract bounds batch SIZE only
+    (README.md:7), which both variants honor."""
+    w = Window.partitionBy("__pk").orderBy(*order)
+    return (
+        df.withColumn("__pk", partition_key.cast("long"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "bucket",
+            F.col("__pk") * F.lit(1 << 32) + F.ceil(F.col("__rn") / F.lit(batch_size)),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.to_json(F.sort_array(F.collect_list(id_col))).alias("ids_json"),
+            F.count(F.lit(1)).alias("n_ids"),
+        )
+    )

@@ -12,7 +12,14 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.cdc import DEFAULT_ROUTING, batch_pack, dedupe_first, fanout, routing_df
+from ..operators.cdc import (
+    DEFAULT_ROUTING,
+    batch_pack,
+    batch_pack_keyed,
+    dedupe_first,
+    fanout,
+    routing_df,
+)
 from ..tables import table
 from .registry import register
 
@@ -163,6 +170,47 @@ def cdc_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     first = dedupe_first(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
     return batch_pack(first, "user_id", [F.col("ts"), F.col("event_id")], batch_size=100)
+
+
+@register(
+    "cdc_batch_pack_scalable",
+    group="cdc",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), deduped AS (
+      SELECT user_id, ts, event_id FROM firsts WHERE rn = 1
+    ), keyed AS (
+      SELECT user_id,
+             user_id % 4 AS pk,
+             row_number() OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id) AS prn
+      FROM deduped
+    )
+    SELECT CAST(pk * 4294967296 + ceil(prn / 10.0) AS BIGINT) AS bucket,
+           to_json(list_sort(list(user_id))) AS ids_json,
+           count(*) AS n_ids
+    FROM keyed GROUP BY 1
+    """,
+)
+def cdc_batch_pack_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shape of cdc_batch_pack (S12/S13, WatchStream.java:284-293):
+    ids pack per CONTENT-derived key group (user_id % 4) instead of one
+    global row_number, so the sort is key-group parallel (4 here; P at scale) and no single
+    partition ever holds the whole stream — the scalable plan SCALING.md
+    §4.2 promises, now a declared oracle-checked entry. Batch-size bound
+    (<=10 per bucket) holds per group; cross-batch order is unspecified,
+    exactly the reference's contract (batch SIZE only, README.md:7)."""
+    ev = table(spark, sf_dir, "events")
+    first = dedupe_first(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return batch_pack_keyed(
+        first,
+        "user_id",
+        F.col("user_id") % 4,
+        [F.col("ts"), F.col("event_id")],
+        batch_size=10,
+    )
 
 
 _STREAM_SINK_SEQ = itertools.count()

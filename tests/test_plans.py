@@ -246,3 +246,15 @@ def test_full_outer_co_shuffles_both_sides(spark, sf_dir):
     assert "SortMergeJoin FullOuter" in plan or re.search(r"Join type: FullOuter", plan)
     assert "BroadcastHashJoin" not in plan
     assert n_exchanges(plan) >= 2  # one per side
+
+
+def test_batch_pack_scalable_has_no_global_sort(spark, sf_dir):
+    """cdc_batch_pack's reference-parity plan needs one SinglePartition
+    exchange (global row_number); the declared scalable variant must not —
+    every shuffle hash-partitions on a key (user_id, __pk, bucket), so the
+    pack parallelizes with the key-group count at any scale."""
+    legacy = plan_of(spark, sf_dir, "cdc_batch_pack")
+    assert "SinglePartition" in legacy  # the documented non-scalable shape
+    scalable = plan_of(spark, sf_dir, "cdc_batch_pack_scalable")
+    assert "SinglePartition" not in scalable
+    assert "hashpartitioning" in scalable
