@@ -13,6 +13,7 @@ source streams (the latent config.json misconfig in the reference).
 from __future__ import annotations
 
 import json
+import warnings
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -82,9 +83,22 @@ def load_config(path: str | Path) -> Config:
     ack = str(src.get("acknowledge", "simple"))
     if ack not in ("simple", "delete"):
         ack = "simple"
+    fmt = str(src.get("format", "compact"))
+    if fmt not in ("compact", "extended"):
+        # The knob is declarative only — decode detects per record, like the
+        # reference (declared config.yaml:3, ignored RedisSource.java:58) —
+        # but an unknown value is certainly a typo, so say so instead of
+        # silently carrying it (ADVICE r3: warn when the knob disagrees
+        # with reality; per-record disagreement warns in envelope_payload's
+        # caller, streaming/pipeline.py).
+        warnings.warn(
+            f"source.format={fmt!r} is not one of ('compact', 'extended'); "
+            "record format is detected per record regardless",
+            stacklevel=2,
+        )
     cfg = Config(
         source=SourceConfig(
-            format=str(src.get("format", "compact")),
+            format=fmt,
             prefix=str(src.get("prefix", "")),
             group=str(src.get("group", "cdc")),
             consumer=str(src.get("consumer", "cdc")),

@@ -41,6 +41,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     und = und.distinct().localCheckpoint()
     labels = nodes.select("vec_id", F.col("vec_id").alias("lbl")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_rounds):
         nbr = (
             und.join(labels, und["u"] == labels["vec_id"])
@@ -58,6 +59,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
         )
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:  # monotone => equal sum == no label changed
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Labels were still moving when the round budget ran out; stale
+        # labels mean wrong cluster assignments, so fail loudly rather
+        # than return them (pointer jumping converges in O(log L) rounds,
+        # so hitting this means a pathological graph or a too-small budget).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds"
+        )
     return labels.select("vec_id", F.col("lbl").alias("cluster_id"))

@@ -313,18 +313,19 @@ def _bm25_oracle() -> str:
 
 @register("text_bm25_topk", group="llm", oracle=_bm25_oracle())
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 retrieval for a fixed query (terms %r) with the
-    *rational* idf variant: idf = (N - df + 0.5)/(df + 0.5) instead of its
-    logarithm — a per-term monotone transform chosen because ln() is not
-    required to be correctly rounded (libm vs JVM may differ by 1 ulp),
-    while +,*,/ are IEEE-exact, so this score is bit-identical across
-    engines with NO rounding lottery. k1=1.2, b=0.75.
+    """BM25 top-10 retrieval for the fixed query terms `_BM25_TERMS`
+    ("spark", "table", "data") with the *rational* idf variant:
+    idf = (N - df + 0.5)/(df + 0.5) instead of its logarithm — a per-term
+    monotone transform chosen because ln() is not required to be correctly
+    rounded (libm vs JVM may differ by 1 ulp), while +,*,/ are IEEE-exact,
+    so this score is bit-identical across engines with NO rounding
+    lottery. k1=1.2, b=0.75.
 
     Scale shape: tf/dl are per-doc HOF work; (N, Σdl, df_t) come from ONE
     corpus aggregate broadcast as a single row (no driver collect, the
     text_tfidf pattern); scoring is map-side; top-10 compiles to
     TakeOrderedAndProject. The big side is scanned once and never
-    shuffled.""" % (_BM25_TERMS,)
+    shuffled."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 

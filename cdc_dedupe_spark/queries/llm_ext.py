@@ -964,6 +964,17 @@ def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         feats: list[int] = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
+            if n == 0:  # empty payload: no frames (and no `% n` div-by-zero)
+                continue
+            # The SQL twin indexes CHARACTERS (substr/ascii) while this
+            # indexes BYTES; they agree only on ASCII payloads. Make that
+            # contract explicit instead of depending silently on corpus
+            # content (ADVICE r3).
+            if max(payload) > 0x7F:
+                raise ValueError(
+                    f"doc {doc_id}: non-ASCII payload; byte-indexed fake "
+                    "sampler would diverge from the char-indexed SQL twin"
+                )
             nf = n % 30 + 1
             stride = max(1, nf // 4)
             for k in range(4):
@@ -997,7 +1008,7 @@ def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
            CAST(k * stride AS INTEGER) AS frame_idx,
            CAST(ascii(substr(text, ((k * stride * 7) % n) + 1, 1)) AS INTEGER) AS frame_feature
     FROM f, (SELECT unnest([0, 1, 2, 3]) AS k) ks
-    WHERE k * stride < nf
+    WHERE k * stride < nf AND n > 0
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,7 +1113,9 @@ def ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            (round(mn, 4) + 0.0) AS q_min,
            (round(mx, 4) + 0.0) AS q_max,
            CAST(list_sum(list_transform(e,
-               x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT))) AS BIGINT) AS q_sum
+               x -> CASE WHEN mx > mn
+                         THEN CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS q_sum
     FROM mm
     """,
 )
@@ -1113,15 +1126,18 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum that proves both engines quantized identically). Map-side
     HOFs only, zero shuffle; the (x-mn)*255/(mx-mn) chain is pure IEEE
     double arithmetic on identical inputs, so codes are bit-identical
-    cross-engine. (Every corpus vector has mx > mn — checked —; a
-    production kernel would guard the flat-vector case.)"""
+    cross-engine. Flat vectors (mx == mn) quantize to all-zero codes on
+    both twins instead of dividing by zero."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     mm = e.select(
         "vec_id", "e", F.array_min("e").alias("mn"), F.array_max("e").alias("mx")
     )
-    code = lambda x: F.round((x - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))).cast("long")  # noqa: E731
+    code = lambda x: F.when(  # noqa: E731
+        F.col("mx") > F.col("mn"),
+        F.round((x - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     return mm.select(
         "vec_id",
         round_pos(F.col("mn"), 4).alias("q_min"),

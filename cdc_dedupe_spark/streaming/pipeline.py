@@ -30,6 +30,7 @@ batchId-idempotent sink), not a pipeline change.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -68,6 +69,34 @@ def seed_targets(spark: SparkSession, cfg: Config, output_dir: str) -> None:
     seeds.coalesce(1).write.mode("append").partitionBy("target_stream").json(output_dir)
 
 
+# Configs whose declared source.format was already checked against observed
+# records (warn once per config object, on the first non-empty batch).
+_format_checked: set[int] = set()
+
+
+def _warn_format_mismatch(batch: DataFrame, cfg: Config) -> None:
+    """The format knob is declarative (decode detects per record, matching
+    the reference: declared config.yaml:3, ignored RedisSource.java:58) —
+    but if what it declares contradicts what the stream carries, say so
+    once (ADVICE r3). One tiny aggregate job on the first non-empty batch
+    only; never in the per-batch hot path."""
+    if cfg.source.format not in ("compact", "extended") or id(cfg) in _format_checked:
+        return
+    _format_checked.add(id(cfg))
+    n_compact, n_total = batch.agg(
+        F.sum(F.when(F.size("fields") == 1, 1).otherwise(0)), F.count(F.lit(1))
+    ).first()
+    n_compact = n_compact or 0
+    mismatch = (n_total - n_compact) if cfg.source.format == "compact" else n_compact
+    if mismatch:
+        warnings.warn(
+            f"source.format={cfg.source.format!r} but {mismatch}/{n_total} records "
+            "in the first batch decode as the other envelope form; detection is "
+            "per-record so decoding is unaffected — fix the config to match",
+            stacklevel=2,
+        )
+
+
 def _process_batch(
     batch: DataFrame,
     routes: DataFrame,
@@ -79,6 +108,7 @@ def _process_batch(
 ) -> None:
     if batch.isEmpty():
         return
+    _warn_format_mismatch(batch, cfg)
 
     # Plan compilation is pure (plans/watch_plan.py); this layer only owns
     # the sinks: one partitioned write per relation covers every target
@@ -104,7 +134,11 @@ def _process_batch(
     # WatchTests.java:151-154). Executor-side per partition, ids grouped
     # per stream and sent in many-id chunks (the reference batches its
     # XDELs the same way) — O(streams · chunks) round trips, never O(rows).
-    if sink_options is not None:
+    # Gate on having anything to send: with no consumer group and
+    # acknowledge != delete there is no XACK and no XDEL, so skip the
+    # foreachPartition entirely (it would open one Redis client per
+    # non-empty partition per batch to do nothing).
+    if sink_options is not None and (cfg.source.group or cfg.source.acknowledge == "delete"):
         opts = dict(sink_options)
         group = cfg.source.group
         delete = cfg.source.acknowledge == "delete"

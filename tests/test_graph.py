@@ -81,3 +81,13 @@ def test_cc_matches_union_find(spark, edges):
     want = _union_find(n, edges)
     got = _run(spark, range(n), edges or [(0, 0)])
     assert got == want
+
+
+def test_nonconvergence_raises(spark):
+    """Stale labels must never be returned silently: with a round budget
+    too small for the diameter, connected_components raises instead of
+    yielding wrong clusters (ADVICE r3)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _run(spark, range(40), [(i, i + 1) for i in range(39)], max_rounds=1)

@@ -271,3 +271,37 @@ def test_watch_restart_resumes_from_checkpoint(spark, tmp_path):
     acks = spark.read.json(handles2.ack_dir).collect()
     offsets = [r.offset for r in acks]
     assert sorted(offsets) == ["1000-0", "1001-0", "2000-0", "2001-0"]  # each exactly once
+
+
+def test_unknown_source_format_warns(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text(CONFIG_YAML.format(ack="simple").replace("format: compact", "format: protobuf"))
+    with pytest.warns(UserWarning, match="source.format"):
+        cfg = load_config(p)
+    assert cfg.source.format == "protobuf"  # carried through, decode is per-record
+
+
+def test_declared_format_mismatch_warns_once(spark, tmp_path):
+    """format: extended + all-compact records -> one warning on the first
+    non-empty batch (detection is per-record, so output is unaffected)."""
+    import warnings as _w
+
+    from cdc_dedupe_spark.streaming.pipeline import _format_checked, _warn_format_mismatch
+
+    cfg = load_config(_write_config(tmp_path, "simple"))
+    cfg = type(cfg)(
+        source=type(cfg.source)(format="extended"),
+        buffers=cfg.buffers,
+        target=cfg.target,
+        mapping=cfg.mapping,
+    )
+    batch = spark.createDataFrame(
+        [_envelope_compact("1-0", 1), _envelope_compact("2-0", 2)],
+        "offset string, stream string, fields map<string,string>",
+    )
+    with pytest.warns(UserWarning, match="decode as the other envelope form"):
+        _warn_format_mismatch(batch, cfg)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # second call: checked-set short-circuits, no warning
+        _warn_format_mismatch(batch, cfg)
+    _format_checked.discard(id(cfg))
