@@ -147,6 +147,49 @@ class FakeRedis:
         p.write_text(id + "\n")
         return True
 
+    def _pel_path(self, stream: str, group: str) -> Path:
+        return self.root / f"{stream}@@{group}.pel"
+
+    @staticmethod
+    def _key(record_id: str) -> tuple[int, int]:
+        ms, _, seq = record_id.partition("-")
+        return int(ms), int(seq or 0)
+
+    def xreadgroup(
+        self, group: str, consumer: str, streams: dict, count: int | None = None
+    ) -> list:
+        """Minimal XREADGROUP '>': deliver entries past the group's
+        last-delivered id and record them in the group's PEL (pending
+        entries list) under the reading consumer. Like real Redis, a later
+        XDEL of the entry leaves the PEL reference dangling — which is the
+        interop edge the acknowledge=delete e2e exercises."""
+        self._rt("xreadgroup")
+        out = []
+        for stream, _start in streams.items():
+            gp = self._group_path(stream, group)
+            last = gp.read_text().splitlines()[0] if gp.exists() else "0-0"
+            entries = [
+                (rid, f) for rid, f in self._entries(stream) if self._key(rid) > self._key(last)
+            ]
+            if count is not None:
+                entries = entries[:count]
+            if entries:
+                gp.write_text(entries[-1][0] + "\n")
+                with open(self._pel_path(stream, group), "a") as f:
+                    for rid, _ in entries:
+                        f.write(json.dumps({"id": rid, "consumer": consumer}) + "\n")
+            out.append((stream, entries))
+        return out
+
+    def pending(self, stream: str, group: str) -> list[str]:
+        """PEL ids not yet XACKed by the group (test-facing, like acked())."""
+        p = self._pel_path(stream, group)
+        if not p.exists():
+            return []
+        pel = [json.loads(line)["id"] for line in p.read_text().splitlines()]
+        done = set(self.acked(stream, group))
+        return [rid for rid in pel if rid not in done]
+
     def xack(self, stream: str, group: str, *record_ids: str) -> int:
         self._rt("xack")
         return self._xack_raw(stream, group, *record_ids)

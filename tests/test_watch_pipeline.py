@@ -305,3 +305,51 @@ def test_declared_format_mismatch_warns_once(spark, tmp_path):
         _w.simplefilter("error")  # second call: checked-set short-circuits, no warning
         _warn_format_mismatch(batch, cfg)
     _format_checked.discard(id(cfg))
+
+
+def test_watch_delete_with_foreign_consumer_pel(spark, tmp_path):
+    """acknowledge=delete while ANOTHER consumer group holds the same
+    entries in its PEL (pending entries list): the reference's tests
+    assert the source still empties (WatchTests.java:151-154), and real
+    Redis leaves the foreign PEL dangling rather than blocking XDEL. The
+    pipeline must neither skip the delete nor touch the foreign group."""
+    from tests.fake_redis import FakeRedis
+
+    cfg = load_config(_write_config(tmp_path, "delete"))
+    redis_dir = tmp_path / "redis"
+    fake = FakeRedis(str(redis_dir))
+    src_stream = "m2.m2.catalog_category_entity"
+    for i, eid in enumerate([1, 2, 1, 2], start=1):
+        env = _envelope_compact(f"1-{i}", eid)
+        fake.xadd(env["stream"], env["fields"])
+
+    # A foreign group's consumer reads everything and acks NOTHING, so all
+    # 4 entries sit in its PEL when our pipeline XDELs them.
+    fake.xgroup_create(src_stream, "other", id="0-0")
+    fake.xreadgroup("other", "rival", {src_stream: ">"})
+    assert fake.pending(src_stream, "other") == [f"1-{i}" for i in range(1, 5)]
+
+    handles = watch(
+        spark,
+        cfg,
+        source_dir=None,
+        work_dir=str(tmp_path / "work"),
+        redis_options={
+            "client_factory": "tests.fake_redis:make_client",
+            "fake_dir": str(redis_dir),
+        },
+        redis_sink=True,
+    )
+    handles.query.awaitTermination()
+
+    # Source emptied despite the foreign PEL (the reference's assertion)...
+    assert fake.xrange(src_stream) == []
+    # ...our group acked all 4 offsets...
+    assert sorted(fake.acked(src_stream, "cdc")) == [f"1-{i}" for i in range(1, 5)]
+    # ...and the foreign group's PEL is untouched (dangling, like real
+    # Redis: XDEL does not clear other groups' pending references).
+    assert fake.pending(src_stream, "other") == [f"1-{i}" for i in range(1, 5)]
+    # The deduped batch still reached every target.
+    for target in ("target.catalog_product_flat", "target.catalog_category_product"):
+        ids = [json.loads(f["ids"]) for _, f in fake.xrange(target)]
+        assert ids == [[], [1, 2]]
