@@ -1200,3 +1200,154 @@ def text_scrub_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", "[0-9]+", "#").alias("scrubbed"),
         F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias("n_hits"),
     )
+
+
+# --- deterministic MinHash LSH (exact-oracle twin of dedup_near_minhash) ----
+#
+# spark.ml's MinHashLSH seeds its hash family from a JVM RNG, so its entry
+# is rows-only by design. This variant builds the SAME sketch from a fixed
+# integer hash family ((a*h + b) mod M over the portable token_hash), so
+# every stage — shingle set, signature, band keys, candidate pairs,
+# similarity estimate — is bit-identical in DuckDB and the whole LSH
+# pipeline gets an exact cross-engine oracle.
+
+_MH_M = 1_048_573  # prime ~2^20: products stay < 2^40, exact in int64
+_MH_K = 8
+_MH_A = tuple(131 + 8_192 * i for i in range(_MH_K))
+_MH_B = tuple(97 + 104_729 * i for i in range(_MH_K))
+# 2 bands x 4 rows: a candidate pair must agree on 4 consecutive minima.
+# 2-row bands admitted ~half of ALL pairs on this templated synthetic
+# corpus (shared boilerplate dominates the minima) — an all-pairs blowup
+# at scale; 4-row bands keep only genuinely near-duplicate candidates.
+_MH_ROWS = 4
+_MH_BANDS = _MH_K // _MH_ROWS
+# Band key = polynomial fold of the band's rows mod a ~2^31 prime:
+# intermediate products stay < 2^48 (exact int64 in both engines).
+_MH_FOLD = 99_991
+_MH_FOLD_M = 2_147_483_647
+
+
+def _mh_sig_sql() -> str:
+    th = SQL_TOKEN_HASH.format(t="s")
+    mins = ",\n        ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_M}))"
+        for a, b in zip(_MH_A, _MH_B)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
+               i -> substr(substr(text, 1, 200), i, 5))) AS sh
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, list_transform(sh, s -> ({th}) % {_MH_M}) AS hs FROM sh
+    ), sig AS (
+      SELECT doc_id, [
+        {mins}
+      ] AS sig FROM hs
+    )"""
+
+
+def _sql_band_key(j: int) -> str:
+    expr = "0"
+    for r in range(_MH_ROWS):
+        expr = f"(({expr}) * {_MH_FOLD} + sig[{j * _MH_ROWS + r + 1}]) % {_MH_FOLD_M}"
+    return expr
+
+
+_MINHASH_ORACLE = f"""
+    {_mh_sig_sql()}, bands AS (
+      SELECT doc_id, j,
+             CASE {" ".join(f"WHEN j = {j} THEN {_sql_band_key(j)}" for j in range(_MH_BANDS))} END AS key
+      FROM sig, (SELECT unnest([{", ".join(str(j) for j in range(_MH_BANDS))}]) AS j) t
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND b.doc_id > a.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           (round(len(list_filter(generate_series(1, {_MH_K}),
+                                  i -> sa.sig[i] = sb.sig[i])) / {_MH_K}.0, 4) + 0.0)
+             AS minhash_sim
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    """
+
+
+@register("dedup_minhash_exact", group="llm-ext", oracle=_MINHASH_ORACLE)
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with a FIXED integer hash family —
+    the exact-oracle twin of dedup_near_minhash (which uses spark.ml's
+    RNG-seeded MinHashLSH and is therefore rows-only). Signature = 8 mins
+    of (a_i*h + b_i) mod M over the portable shingle hash; candidates come
+    from a 2-band x 4-row folded-band-key equi self-join; the reported
+    similarity is the signature agreement fraction (integer count, one
+    IEEE division).
+
+    At 100 TB: signatures are map-side HOF work (zero shuffle), the band
+    join shuffles only (doc_id, 2 longs) per band on a content-derived
+    high-cardinality key — the same candidate-bounded LSH shape as
+    dedup_embed_lsh, never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    hs = d.select(
+        "doc_id",
+        F.transform(
+            char_shingles(F.col("text"), n=5, prefix_len=200),
+            lambda s: token_hash(s) % _MH_M,
+        ).alias("hs"),
+    )
+
+    def perm(a: int, b: int):
+        # closure (not default args): transform inspects the lambda arity
+        return lambda h: (h * a + b) % _MH_M
+
+    sig = hs.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform("hs", perm(a, b))) for a, b in zip(_MH_A, _MH_B)]
+        ).alias("sig"),
+    )
+    def band_key(j: int) -> Column:
+        k = F.lit(0).cast("long")
+        for r in range(_MH_ROWS):
+            k = (k * _MH_FOLD + F.element_at("sig", j * _MH_ROWS + r + 1)) % _MH_FOLD_M
+        return k
+
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), band_key(j).alias("key"))
+                    for j in range(_MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", F.col("b.j").alias("j"), F.col("b.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair can collide in >1 band
+    )
+    n_eq = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        round_pos(n_eq.cast("double") / F.lit(float(_MH_K)), 4).alias("minhash_sim"),
+    )

@@ -154,7 +154,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in buf.getvalue(), name
 
 
-@pytest.mark.parametrize("name", ["dedup_embed_cosine", "dedup_ngram_jaccard", "dedup_embed_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_embed_cosine", "dedup_ngram_jaccard", "dedup_embed_lsh", "dedup_minhash_exact"],
+)
 def test_banded_self_joins_use_equi_hash_join(spark, sf_dir, name):
     """The banded near-dup self-joins must join on the derived id-bucket
     equi key — a hash/sort-merge join with the range predicate as a
