@@ -1351,3 +1351,110 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         round_pos(n_eq.cast("double") / F.lit(float(_MH_K)), 4).alias("minhash_sim"),
     )
+
+
+# --- context-window chunking ------------------------------------------------
+
+_CHUNK = 16  # tokens per training chunk
+
+
+@register(
+    "doc_chunk_tokens",
+    group="llm-ext",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           k AS chunk_idx,
+           k * {_CHUNK} + 1 AS tok_start,
+           least({_CHUNK}, n - k * {_CHUNK}) AS n_chunk_tokens,
+           array_to_string(toks[k * {_CHUNK} + 1 : least(n, (k + 1) * {_CHUNK})], ' ')
+             AS chunk_text
+    FROM t, (SELECT unnest(generate_series(0, 15)) AS k) ks
+    WHERE k * {_CHUNK} < n
+    """,
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed-budget
+    token chunks (the 1->N preprocessing step before embedding or training
+    on bounded sequence lengths). Pure map-side row expansion — explode of
+    a per-row sequence, slice + join per chunk — output bounded at
+    ceil(n_tokens/chunk) rows per doc, zero shuffle at any scale. All
+    string/integer arithmetic, so the SQL twin is exact. (The oracle's
+    unnest list covers 16 chunks = 256 tokens; corpus max is 100 — a
+    production variant sizes the sequence from n itself, as this side
+    does.)"""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    k = F.explode(F.sequence(F.lit(0), F.ceil(F.col("n") / _CHUNK).cast("int") - 1))
+    return t.select("doc_id", "toks", "n", k.alias("k")).select(
+        "doc_id",
+        F.col("k").alias("chunk_idx"),
+        (F.col("k") * _CHUNK + 1).alias("tok_start"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("k") * _CHUNK).alias("n_chunk_tokens"),
+        F.array_join(F.slice("toks", F.col("k") * _CHUNK + 1, F.lit(_CHUNK)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+_KNN_K = 3
+
+_KNN_GRAPH_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), bk AS (
+      SELECT vec_id, se, CAST({sql_lsh_bucket('se', _LSH_PLANES)} AS BIGINT) AS bucket FROM sc
+    ), scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             {SQL_ICOSINE.format(sa='a.se', sb='b.se')} AS cos_r
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr_id, cos_r,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_r DESC, nbr_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_KNN_K}
+    """
+
+
+@register("ann_knn_graph", group="llm-ext", oracle=_KNN_GRAPH_ORACLE)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph: for EVERY vector, its top-3 cosine
+    neighbors within its hyperplane-LSH bucket — the all-vectors
+    generalization of ann_lsh_topk's single probe and the edge-building
+    stage SemDeDup-style semantic dedup (dedup_embed_cluster) runs before
+    clustering, declared here as a first-class output.
+
+    Scale shape: bucketing is map-side; candidate scoring is the same
+    content-banded bucket equi self-join as dedup_embed_lsh (pairs bounded
+    per bucket, never all-pairs); top-k per vector is one window over the
+    candidate rows, partitioned on a high-cardinality key. Exact integer
+    cosine => exact oracle, ties broken by neighbor id."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
+        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cos_r = round_pos(
+        idot(F.col("a.se"), F.col("b.se")).cast("double")
+        / (
+            F.sqrt(idot(F.col("a.se"), F.col("a.se")).cast("double"))
+            * F.sqrt(idot(F.col("b.se"), F.col("b.se")).cast("double"))
+        ),
+        4,
+    )
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        cos_r.alias("cos_r"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_r").desc(), "nbr_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _KNN_K)

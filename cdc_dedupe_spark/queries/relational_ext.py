@@ -510,3 +510,32 @@ def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ndv").alias("ndv"),
         )
     )
+
+
+@register(
+    "window_ntile",
+    group="relational-ext",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (quartiles per order priority) — the remaining
+    ranking window function the surface lacked. (o_totalprice, o_orderkey)
+    is a unique order key, so bucket boundaries are deterministic and both
+    engines agree exactly (pure integer output, no float at all). Same
+    one-shuffle window shape as window_rank."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("rn"),
+    )
