@@ -28,9 +28,13 @@ HEADLINE = [
     "unpivot_measures",
     "cdc_fanout_route",
     "cdc_dedupe_first",
+    "cdc_batch_pack_scalable",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
+    "dedup_minhash_exact",
     "dedup_embed_lsh",
+    "ann_knn_graph",
+    "doc_chunk_tokens",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "text_bm25_topk",
