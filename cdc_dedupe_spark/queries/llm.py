@@ -166,14 +166,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject keeps only k rows per partition — no shuffle of
     the embedding table at any scale. Exact integer kernel; ordering on
     (exact cos, vec_id) is tie-stable across engines."""
+    from ..functions.vector import idot, iscale
+    from ._determinism import round_pos
+
     e = table(spark, sf_dir, "embeddings")
-    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
-    cand = e.filter(F.col("vec_id") != 0)
+    # The broadcast row carries the probe already scaled WITH its norm, so
+    # the per-candidate work is one iscale + one dot + one norm fold — not
+    # re-scaling the probe and re-folding its norm n times. Bit-identical:
+    # same sqrt on the same integer-valued double, wherever evaluated.
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0)
+        .select(iscale(F.col("embedding")).alias("pse"))
+        .withColumn("pnrm", F.sqrt(idot(F.col("pse"), F.col("pse")).cast("double")))
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", iscale(F.col("embedding")).alias("se"))
+        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
+    )
     return (
-        cand.crossJoin(F.broadcast(probe))
+        cand.crossJoin(probe)
         .select(
             "vec_id",
-            icosine(F.col("embedding"), F.col("pe")).alias("cos_r"),
+            round_pos(
+                idot(F.col("se"), F.col("pse")).cast("double")
+                / (F.col("nrm") * F.col("pnrm")),
+                4,
+            ).alias("cos_r"),
         )
         .orderBy(F.col("cos_r").desc(), "vec_id")
         .limit(5)

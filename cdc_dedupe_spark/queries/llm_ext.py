@@ -178,10 +178,22 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = 10
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bkt = F.floor(F.col("vec_id") / band)
-    a = e.select(
-        "vec_id", "embedding", F.explode(F.array(bkt, bkt + 1)).alias("bkt")
+    # scaled vector + norm computed ONCE per vector before the join (the
+    # per-pair expansion re-evaluated iscale + both norm folds per
+    # candidate); sqrt of the same integer-valued double is bit-identical,
+    # so the per-pair oracle still matches exactly.
+    se = e.select(
+        "vec_id",
+        iscale(F.col("embedding")).alias("se"),
+    ).withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
+    a = se.select(
+        "vec_id", "se", "nrm", F.explode(F.array(bkt, bkt + 1)).alias("bkt")
     ).alias("a")
-    b = e.select("vec_id", "embedding", bkt.alias("bkt")).alias("b")
+    b = se.select("vec_id", "se", "nrm", bkt.alias("bkt")).alias("b")
+    cos_r = round_pos(
+        idot(F.col("a.se"), F.col("b.se")).cast("double") / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
     return (
         a.join(
             b,
@@ -192,7 +204,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            icosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_r"),
+            cos_r.alias("cos_r"),
         )
     )
 
@@ -264,10 +276,16 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on a high-cardinality key (planes dial bucket granularity),
     and nothing is ever all-pairs."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bk = e.select(
-        "vec_id",
-        iscale(F.col("embedding")).alias("se"),
-    ).withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
+    bk = (
+        e.select(
+            "vec_id",
+            iscale(F.col("embedding")).alias("se"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
+        # norm once per vector, not once per pair (bit-identical: same
+        # sqrt on the same integer-valued double)
+        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
+    )
     a, b = bk.alias("a"), bk.alias("b")
     return a.join(
         b,
@@ -278,10 +296,7 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.bucket").alias("bucket"),
         round_pos(
             idot(F.col("a.se"), F.col("b.se")).cast("double")
-            / (
-                F.sqrt(idot(F.col("a.se"), F.col("a.se")).cast("double"))
-                * F.sqrt(idot(F.col("b.se"), F.col("b.se")).cast("double"))
-            ),
+            / (F.col("a.nrm") * F.col("b.nrm")),
             4,
         ).alias("cos_r"),
     )
@@ -310,21 +325,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a bucket-equality filter + exact cosine into
     TakeOrderedAndProject. Zero shuffles of the embedding table."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
-        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
+    bk = (
+        e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+        .withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
+        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
     )
     probe = F.broadcast(
         bk.filter(F.col("vec_id") == 0).select(
-            F.col("bucket").alias("pb"), F.col("se").alias("pse")
+            F.col("bucket").alias("pb"), F.col("se").alias("pse"), F.col("nrm").alias("pnrm")
         )
     )
     cand = bk.join(probe, F.col("bucket") == F.col("pb")).filter(F.col("vec_id") != 0)
     cos_r = round_pos(
-        idot(F.col("se"), F.col("pse")).cast("double")
-        / (
-            F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
-            * F.sqrt(idot(F.col("pse"), F.col("pse")).cast("double"))
-        ),
+        idot(F.col("se"), F.col("pse")).cast("double") / (F.col("nrm") * F.col("pnrm")),
         4,
     )
     return cand.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
@@ -386,17 +399,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda c: F.struct(il2(F.col("se"), c["sce"]).alias("d"), c["cid"].alias("cid")),
         )
     )
-    assigned = se.crossJoin(F.broadcast(cents)).select("vec_id", "se", best["cid"].alias("cid"))
+    assigned = se.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "se", best["cid"].alias("cid")
+    ).withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
     probe = F.broadcast(
         assigned.filter(F.col("vec_id") == 0).select(
-            F.col("cid").alias("pcid"), F.col("se").alias("pse")
+            F.col("cid").alias("pcid"), F.col("se").alias("pse"), F.col("nrm").alias("pnrm")
         )
     )
     cluster = assigned.join(probe, F.col("cid") == F.col("pcid")).filter(F.col("vec_id") != 0)
-    sa, sb = F.col("se"), F.col("pse")
     cos_r = round_pos(
-        idot(sa, sb).cast("double")
-        / (F.sqrt(idot(sa, sa).cast("double")) * F.sqrt(idot(sb, sb).cast("double"))),
+        idot(F.col("se"), F.col("pse")).cast("double") / (F.col("nrm") * F.col("pnrm")),
         4,
     )
     return cluster.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
@@ -1326,7 +1339,15 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "sig", F.col("b.j").alias("j"), F.col("b.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    n_eq = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # Score BEFORE the pair-dedup so the dropDuplicates shuffle carries 3
+    # scalars per candidate, not two 8-long signature arrays; the score is
+    # a pure function of the pair, so dedup-then-score is identical.
+    return (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
@@ -1336,20 +1357,9 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
+            round_pos(n_eq.cast("double") / F.lit(float(_MH_K)), 4).alias("minhash_sim"),
         )
         .dropDuplicates(["doc_a", "doc_b"])  # a pair can collide in >1 band
-    )
-    n_eq = F.aggregate(
-        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        round_pos(n_eq.cast("double") / F.lit(float(_MH_K)), 4).alias("minhash_sim"),
     )
 
 
@@ -1436,16 +1446,18 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rows, partitioned on a high-cardinality key. Exact integer
     cosine => exact oracle, ties broken by neighbor id."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
-        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
+    # Norm precomputed ONCE per vector (n sqrt+fold evaluations), not once
+    # per candidate pair (~80n here): sqrt of the same integer-valued
+    # double is bit-identical wherever it's computed, so the oracle — which
+    # expands it per pair — still matches exactly.
+    bk = (
+        e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+        .withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
+        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
     )
     a, b = bk.alias("a"), bk.alias("b")
     cos_r = round_pos(
-        idot(F.col("a.se"), F.col("b.se")).cast("double")
-        / (
-            F.sqrt(idot(F.col("a.se"), F.col("a.se")).cast("double"))
-            * F.sqrt(idot(F.col("b.se"), F.col("b.se")).cast("double"))
-        ),
+        idot(F.col("a.se"), F.col("b.se")).cast("double") / (F.col("a.nrm") * F.col("b.nrm")),
         4,
     )
     scored = a.join(
