@@ -539,3 +539,60 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.row_number().over(w).alias("rn"),
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "sessionize_events",
+    group="relational-ext",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), g AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                       OR lag(ts_us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), t AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS session_idx
+      FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM t GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30-minute
+    inactivity gaps (lag + running sum of session starts), rolled up to
+    one row per session — the batch twin of stream_session_counts'
+    session_window. All integer epoch-micros arithmetic, so the oracle is
+    exact; (ts, event_id) is a unique order key.
+
+    Scale shape: both windows and the final groupBy share the user_id
+    hash partitioning, so the whole query is ONE shuffle on user_id plus
+    per-partition sorts — the canonical sessionization plan at any
+    scale. Per-user state is a sort buffer, not O(history) memory."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_session = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1
+    ).otherwise(F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0))
+    t = ev.withColumn("session_idx", F.sum(new_session).over(w))
+    return t.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )

@@ -261,3 +261,12 @@ def test_batch_pack_scalable_has_no_global_sort(spark, sf_dir):
     scalable = plan_of(spark, sf_dir, "cdc_batch_pack_scalable")
     assert "SinglePartition" not in scalable
     assert "hashpartitioning" in scalable
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization: the lag/cumsum windows and the per-session rollup
+    must all reuse ONE user_id hash partitioning — a second exchange
+    between windowing and aggregation would double-shuffle the whole
+    event stream at scale."""
+    plan = plan_of(spark, sf_dir, "sessionize_events")
+    assert n_exchanges(plan) == 1
