@@ -1470,3 +1470,49 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_r").desc(), "nbr_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _KNN_K)
+
+
+@register(
+    "text_commonness",
+    group="llm-ext",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cf AS (
+      SELECT tok, COUNT(*) AS corpus_n FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cf.corpus_n) AS BIGINT) AS sum_corpus_n,
+           (round(CAST(SUM(cf.corpus_n) AS DOUBLE) / COUNT(*), 4) + 0.0)
+             AS mean_corpus_freq
+    FROM toks t JOIN cf USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus frequency of its tokens — the inverse
+    'surprisal' quality signal (boilerplate scores high, rare-token noise
+    scores low) a pretraining pipeline thresholds alongside the Gopher
+    filters. Integer sum/count with one rounded division, so the oracle is
+    exact.
+
+    Scale shape: corpus term counts come from one partial-aggregated
+    shuffle of the token stream (O(vocab) rows out), joined back on the
+    high-cardinality token key, then one per-doc aggregate — the same
+    two-exchange df-join shape as text_tfidf, no driver collect, nothing
+    quadratic."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (
+        toks.join(cf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("corpus_n").alias("sum_corpus_n"),
+            round_pos(
+                F.sum("corpus_n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_corpus_freq"),
+        )
+    )

@@ -596,3 +596,36 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+@register(
+    "agg_histogram",
+    group="relational-ext",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    )
+    SELECT cents // 5000000 AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM c GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value ($50k buckets) — the
+    profiling/visualization aggregate. Prices go through integer cents
+    before the truncating bucket division, so bucket edges are exact in
+    both engines (Spark `div` == DuckDB `//` toward zero on BIGINT).
+    One partial-aggregated shuffle of O(buckets) rows at any scale."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(cents.alias("cents"))
+        .groupBy(F.expr("cents div 5000000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
