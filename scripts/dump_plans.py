@@ -25,6 +25,7 @@ HEADLINE = [
     "join_skew_salted",
     "join_asof",
     "window_range_frame",
+    "sessionize_events",
     "unpivot_measures",
     "cdc_fanout_route",
     "cdc_dedupe_first",
