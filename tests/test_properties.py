@@ -180,3 +180,44 @@ def test_approx_percentile_rank_error_bounded(spark, sf_dir):
         e50, e95 = exact[flag]
         assert abs(a50 - e50) <= 0.05 * max(e50, 1.0), (flag, a50, e50)
         assert abs(a95 - e95) <= 0.05 * max(e95, 1.0), (flag, a95, e95)
+
+
+@given(events=EVENTS, size=st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_batch_pack_keyed_bounds_and_conservation(spark, events, size):
+    """The declared scalable pack (batch_pack_keyed) must conserve ids and
+    honor the <= batch_size bound per bucket — and, per key group, leave at
+    most one partial bucket (the reference's only contract is batch SIZE)."""
+    from cdc_dedupe_spark.operators.cdc import batch_pack_keyed
+
+    df = _df(spark, events)
+    packed = batch_pack_keyed(
+        df, "entity_id", F.col("entity_id") % 3, ["arrival"], batch_size=size
+    ).collect()
+    ids = [i for r in packed for i in json.loads(r.ids_json)]
+    assert sorted(ids) == sorted(e for e, _, _ in events)
+    assert all(r.n_ids <= size for r in packed)
+    by_group: dict[int, list[int]] = {}
+    for r in packed:
+        by_group.setdefault(r.bucket >> 32, []).append(r.n_ids)
+    for sizes in by_group.values():
+        assert sum(1 for n in sizes if n < size) <= 1
+
+
+@given(x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@_SETTINGS
+def test_round_pos_never_emits_negative_zero(spark, x):
+    """The signed-zero normalization rule (r4): round_pos output is never
+    -0.0 and otherwise bit-equals a plain round."""
+    import math
+
+    from cdc_dedupe_spark.queries._determinism import round_pos
+
+    got = (
+        spark.range(1)
+        .select(round_pos(F.lit(x).cast("double"), 4).alias("r"))
+        .first()
+        .r
+    )
+    assert not (got == 0.0 and math.copysign(1.0, got) < 0)
+    assert got == round(x, 4) or abs(got - round(x, 4)) < 1e-9
