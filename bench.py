@@ -65,11 +65,32 @@ def main() -> int:
         result["stream_events_per_s"] = round(n_events / per_query["cdc_dedupe_stream"], 1)
     if failures:
         result["failures"] = failures
-    line = json.dumps(result)
-    # Persist the full result (the r3 driver tail-capture truncated the
+    # Persist the full result (the r3/r4 driver tail-capture truncated the
     # printed line), then stop the session BEFORE printing so no JVM
     # shutdown logs land after the JSON and push it out of a tail window.
-    Path(_REPO, "BENCH_LOCAL.json").write_text(line + "\n")
+    Path(_REPO, "BENCH_LOCAL.json").write_text(json.dumps(result) + "\n")
+    # The driver captures only the LAST 2000 bytes of output (measured:
+    # BENCH_r04 tail == 2000 chars while the full line was 2629 -> parsed
+    # null). Budget the printed line: keep the slowest queries (the ones
+    # graded against the 30 s/query ceiling) until the line fits, and say
+    # how many fast ones were dropped. The full per-query map is always in
+    # BENCH_LOCAL.json above.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        slowest_first = sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0]))
+        result["queries"] = {}
+        result["queries_omitted"] = len(slowest_first)
+        result["full_queries_in"] = "BENCH_LOCAL.json"
+        for name, secs in slowest_first:
+            result["queries"][name] = secs
+            result["queries_omitted"] -= 1
+            trial = json.dumps(result, separators=(",", ":"))
+            if len(trial) > budget:
+                del result["queries"][name]
+                result["queries_omitted"] += 1
+                break
+        line = json.dumps(result, separators=(",", ":"))
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()

@@ -25,11 +25,11 @@ from . import cdc  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 
 # Rotation offset for the driver window. Advance by 50 each round (r4=50,
-# r5=100, ...); applied mod the registry size. At offset 50 the r4 window
-# is alphabetical positions 50..99 (wrapping), which contains the two
-# never-driver-checked entries (profile_stats at ~53, agg_approx_percentile
-# at ~1 via the wrap) and the longest-unchecked relational/scalar tail.
-DRIVER_ROTATION_OFFSET = 50
+# r5=100, ...); applied mod the registry size, so consecutive rounds'
+# 50-entry windows sweep the whole alphabetical surface. r4 (offset 50)
+# covered positions 50..99-wrap and came back all green
+# (CORRECTNESS_r04.json); r5 moves on by another 50.
+DRIVER_ROTATION_OFFSET = 100
 
 
 def driver_order() -> list[str]:
