@@ -36,7 +36,11 @@ def main() -> int:
 
     # Warm the JVM/Python-worker paths once so per-query numbers measure the
     # engine, not first-call startup (BASELINE.md: warm JVM, cached session).
-    REGISTRY["cdc_dedupe_first"].spark(spark, sf_dir).count()
+    # Guarded: a broken single table must never zero the whole bench (r5).
+    try:
+        REGISTRY["cdc_dedupe_first"].spark(spark, sf_dir).count()
+    except Exception:
+        pass
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}

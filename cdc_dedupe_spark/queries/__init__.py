@@ -26,10 +26,10 @@ from . import relational  # noqa: F401,E402
 
 # Rotation offset for the driver window. Advance by 50 each round (r4=50,
 # r5=100, ...); applied mod the registry size, so consecutive rounds'
-# 50-entry windows sweep the whole alphabetical surface. r4 (offset 50)
-# covered positions 50..99-wrap and came back all green
-# (CORRECTNESS_r04.json); r5 moves on by another 50.
-DRIVER_ROTATION_OFFSET = 100
+# 50-entry windows sweep the whole alphabetical surface. r6 (offset 150 ≡
+# 52 mod 98) puts the 48 entries r5 could not reach — the whole streaming
+# group and the text_* family among them — at the front of the window.
+DRIVER_ROTATION_OFFSET = 150
 
 
 def driver_order() -> list[str]:

@@ -6,13 +6,16 @@ checkpoint/file-source log)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """`events` parquet as a stream. The parquet streaming source needs a
-    directory, so point it at sf_dir with a glob filter; ts (parquet NANOS)
-    is read as long and rebuilt as a µs timestamp (see tables._events)."""
+    directory, so point it at sf_dir with a glob filter; `ts` is normalized
+    to session-tz TIMESTAMP by the same schema-adaptive helper the batch
+    loader uses (tables.normalize_event_ts), so a generator encoding change
+    can only break in one place."""
+    from ..tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = (
@@ -21,5 +24,4 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(reader.parquet(sf_dir))

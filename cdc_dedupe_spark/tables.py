@@ -40,14 +40,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (runtime SQL conf) and rebuild the
-    column as a µs timestamp with integer division — stays a distributed
-    columnar scan; truncation to µs matches DuckDB's TIMESTAMP_NS ->
-    TIMESTAMP cast (SURVEY.md §7 timestamp-parity risk)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import functions as F
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to session-tz TIMESTAMP regardless of how the
+    generator encoded it. The corpus has shipped two encodings so far:
 
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so we
+      read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
+      rebuild a µs timestamp with integer division — truncation to µs
+      matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast (SURVEY.md §7).
+    - plain µs TIMESTAMP (isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+      cast to TIMESTAMP, which is value-identity under the UTC session tz
+      (session.py) and keeps downstream windows/watermarks on the same type
+      every round has verified against.
+
+    Branching on the *read* schema (not an assumed file schema) means the
+    next generator change breaks one obvious test, not 30 queries.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nanosAsLong is a no-op for non-NANOS files, so it is safe to set
+    # unconditionally; normalize_event_ts adapts to whatever was read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
