@@ -37,10 +37,15 @@ def main() -> int:
     # Warm the JVM/Python-worker paths once so per-query numbers measure the
     # engine, not first-call startup (BASELINE.md: warm JVM, cached session).
     # Guarded: a broken single table must never zero the whole bench (r5).
-    try:
-        REGISTRY["cdc_dedupe_first"].spark(spark, sf_dir).count()
-    except Exception:
-        pass
+    # cdc_dedupe_first warms the batch path; cdc_dedupe_stream warms the
+    # streaming engine (state store, micro-batch planner, replay schema
+    # cache) so the first measured streaming query isn't charged one-time
+    # init — BASELINE.md's replay floor is a warm-engine number.
+    for warm in ("cdc_dedupe_first", "cdc_dedupe_stream"):
+        try:
+            REGISTRY[warm].spark(spark, sf_dir).count()
+        except Exception as e:
+            print(f"bench warm-up {warm} failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}

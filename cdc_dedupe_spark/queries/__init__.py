@@ -29,7 +29,9 @@ from . import relational  # noqa: F401,E402
 # 50-entry windows sweep the whole alphabetical surface. r6 (offset 150 ≡
 # 52 mod 98) puts the 48 entries r5 could not reach — the whole streaming
 # group and the text_* family among them — at the front of the window.
-DRIVER_ROTATION_OFFSET = 150
+# r7 (offset 200 ≡ 4 mod 98) fronts the 48 entries off-window in r6
+# (cdc_*, join_*, fn_*, dedup_*, ann_* families — VERDICT r6 item 2).
+DRIVER_ROTATION_OFFSET = 200
 
 
 def driver_order() -> list[str]:

@@ -57,14 +57,22 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     next generator change breaks one obvious test, not 30 queries.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if isinstance(dt, TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    if isinstance(dt, TimestampType):
+        return df
+    # A third encoding (string ISO, millis-long behind a different reader
+    # conf, ...) must fail HERE — loudly, batch and streaming alike — not
+    # surface as mis-scaled values 30 queries downstream.
+    raise ValueError(
+        f"events.ts has unhandled type {dt.simpleString()}; "
+        "extend normalize_event_ts for the new generator encoding"
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
