@@ -21,14 +21,34 @@ Spark-first mapping of the reference's consumer-group model:
    partition planner below is the single place to do it.
 
 Admission control (the reference's poll batch size, config.yaml:13-15 —
-capping entries per micro-batch) is deliberately NOT implemented: the
-Python Data Source API's ``latestOffset()`` takes no start/ReadLimit
-argument (unlike the JVM DSv2 ``latestOffset(start, limit)``), and the
-engine recreates reader instances between planning and execution, so any
-reader-side cap state yields non-monotonic ends and duplicate batches
-(verified empirically). Batch size is therefore bounded by the trigger
-interval (size-or-time degrades to time-only); a JVM-side source or a
-future ReadLimit-aware Python API is the path to a true size cap.
+capping entries per micro-batch): the Python Data Source API's
+``latestOffset()`` takes no start/ReadLimit argument (unlike the JVM DSv2
+``latestOffset(start, limit)``), so the cap advances a reader-held
+*watermark* — the max end ever reported — by at most
+``max_entries_per_batch`` entries per call (one XRANGE COUNT probe per
+stream). The watermark must survive planner-process restarts AND must
+never be seeded behind the engine's committed offset: the engine calls
+``latestOffset`` BEFORE ``initialOffset`` on a fresh query (verified
+empirically on 4.1: batch-0's end is the first latestOffset answer), and
+never calls ``initialOffset`` at all on a checkpoint restart, so a
+watermark guessed from the configured start id would regress the offset
+log and replay batches. Resolution, in ``latestOffset``'s first call:
+
+ - ``cap_state_dir`` set and its watermark file exists -> restart: resume
+   capped batching from the persisted watermark (always >= the engine's
+   committed offset, because only reported ends are persisted).
+ - ``cap_state_dir`` set, file absent -> fresh query (the state dir must
+   co-live with the checkpoint so file-absent <=> checkpoint-fresh; the
+   watch pipeline wires this automatically): seed from the configured
+   start id and cap from the very first batch.
+ - no ``cap_state_dir`` -> no safe seed exists: the first batch is
+   uncapped (the stream's own monotonic last-generated-id), capped from
+   the second on. Never a regressed offset, never a duplicate.
+
+Updates are max-merged per stream, so the watermark is monotonic by
+construction. Under Trigger.AvailableNow the engine fixes its drain
+target with a single latestOffset call — a capped answer would truncate
+the drain, so drains should leave the cap unset (the watch pipeline does).
 
 The ``redis`` client library is not installed in this container: the
 connection factory is import-gated and the planner/reader logic takes any
@@ -179,6 +199,14 @@ class RedisStreamReader(DataSourceStreamReader):
         if not self.streams:
             raise ValueError("redis_stream source requires .option('streams', 'a,b,...')")
         self.start = options.get("start", ZERO_ID)
+        # The reference's poll batch cap (buffers.source.size,
+        # config.yaml:13-15 -> RedisSource.java:85-87): at most this many
+        # entries per stream admitted per micro-batch. 0 = unbounded.
+        self.max_entries_per_batch = int(options.get("max_entries_per_batch", "0"))
+        self.cap_state_dir = options.get("cap_state_dir")
+        # Watermark = max end ever reported, per stream. None until the
+        # first latestOffset call resolves a safe seed (module docstring).
+        self._watermark: dict[str, str] | None = None
         self._client: Any = None
 
     def _c(self) -> Any:
@@ -189,12 +217,57 @@ class RedisStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {s: self.start for s in self.streams}
 
+    # --- admission-control watermark ---------------------------------
+
+    def _watermark_path(self) -> "Path":
+        from pathlib import Path
+
+        return Path(self.cap_state_dir) / "cap_watermark.json"
+
+    def _seed_watermark(self) -> dict[str, str] | None:
+        """Safe seed for the first latestOffset call of this process; None
+        means no safe seed exists -> the first batch runs uncapped."""
+        if not self.cap_state_dir:
+            return None
+        p = self._watermark_path()
+        if p.exists():
+            return json.loads(p.read_text())  # restart: resume capped
+        return {s: self.start for s in self.streams}  # fresh query
+
+    def _merge_watermark(self, end: dict[str, str]) -> None:
+        """Max-merge per stream: the watermark never regresses, whatever
+        order the engine interleaves latestOffset/commit calls in."""
+        base = self._watermark or {}
+        merged = dict(base)
+        for s, rid in end.items():
+            prev = base.get(s)
+            if prev is None or _record_id_tuple(rid) > _record_id_tuple(prev):
+                merged[s] = rid
+        self._watermark = merged
+        if self.cap_state_dir:
+            p = self._watermark_path()
+            p.parent.mkdir(parents=True, exist_ok=True)
+            tmp = p.with_suffix(".tmp")
+            tmp.write_text(json.dumps(merged))
+            tmp.replace(p)  # atomic: a crash never leaves a torn file
+
+    def _capped_end(self, stream: str, prev_end: str, actual_end: str) -> str:
+        """Advance prev_end by at most max_entries_per_batch entries: ONE
+        XRANGE COUNT round trip. If fewer than cap entries remain, admit
+        everything (actual_end); otherwise the cap-th entry's id becomes the
+        batch end — an existing id, so partitions()/read() ranges stay
+        exact. Payload cost is bounded by the cap itself, same as the
+        reference's poll which also fetches the batch it admits."""
+        cap = self.max_entries_per_batch
+        entries = self._c().xrange(stream, f"({prev_end}", actual_end, count=cap)
+        if len(entries) < cap:
+            return actual_end
+        return entries[-1][0]
+
     def latestOffset(self) -> dict:
-        """Driver-side metadata poll only (XINFO STREAM last-generated-id):
-        O(|streams|) round trips per micro-batch, no payload bytes. Must be
-        stateless: the engine may recreate this reader between planning and
-        execution, so the only safe answer is the stream's own monotonic
-        last-generated-id (see module docstring on admission control).
+        """Driver-side poll: XINFO STREAM last-generated-id per stream, plus
+        one XRANGE COUNT probe per stream when the batch-size cap is set —
+        O(|streams|) round trips per micro-batch.
 
         Only a *missing stream* maps to ZERO_ID (stream not created yet —
         partitions() treats an end <= start as empty, so this never rewinds
@@ -202,15 +275,26 @@ class RedisStreamReader(DataSourceStreamReader):
         end is persisted to the offset log, so swallowing a transient
         connection error as ZERO_ID would commit a regressed offset and the
         next healthy batch would re-read the entire stream."""
+        capping = self.max_entries_per_batch > 0
+        if capping and self._watermark is None:
+            self._watermark = self._seed_watermark()
         out = {}
         for s in self.streams:
             try:
                 info = self._c().xinfo_stream(s)
-                out[s] = info.get("last-generated-id", ZERO_ID)
+                end = info.get("last-generated-id", ZERO_ID)
+                if capping and self._watermark is not None:
+                    prev = self._watermark.get(s, ZERO_ID)
+                    if _record_id_tuple(end) > _record_id_tuple(prev):
+                        end = self._capped_end(s, prev, end)
+                    else:
+                        end = prev  # nothing new: re-report the watermark
+                out[s] = end
             except Exception as e:
                 if not _is_missing_stream(e):
                     raise
                 out[s] = ZERO_ID  # stream not created yet
+        self._merge_watermark(out)
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[StreamRange]:
@@ -255,7 +339,11 @@ class RedisStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         """Offsets live in the checkpoint; nothing to do server-side (XACK
-        parity is handled by the watch pipeline's ack ledger)."""
+        parity is handled by the watch pipeline's ack ledger). Max-merge the
+        committed end into the watermark: with no cap_state_dir this is what
+        restores capped batching after a planner restart (one uncapped
+        batch, then capped again)."""
+        self._merge_watermark(end)
 
 
 class RedisStreamWriter(DataSourceStreamWriter):

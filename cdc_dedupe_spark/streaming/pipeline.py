@@ -220,6 +220,24 @@ def watch(
             for t in cfg.mapping:
                 ensure_group(client, f"{cfg.source.prefix}{t}", cfg.source.group)
         reader = spark.readStream.format("redis_stream").option("streams", source_streams)
+        # The reference's poll batch cap (buffers.source.size,
+        # config.yaml:13-15) becomes the source's per-batch admission cap;
+        # an explicit reader option still overrides the config. NOT set in
+        # availableNow drain mode: that trigger fixes its target offset
+        # with ONE latestOffset call, so a capped answer would truncate the
+        # drain instead of pacing it — a drain wants everything.
+        if (
+            not available_now
+            and "max_entries_per_batch" not in redis_options
+            and cfg.buffers.source.size > 0
+        ):
+            reader = reader.option("max_entries_per_batch", str(cfg.buffers.source.size))
+            # Watermark state lives INSIDE the checkpoint dir (a subdir the
+            # engine ignores) so the two share one lifecycle: wiping the
+            # checkpoint wipes the watermark, keeping file-absent <=>
+            # checkpoint-fresh — what makes capping the very first batch
+            # safe (redis_stream.py module docstring).
+            reader = reader.option("cap_state_dir", str(work / "checkpoint" / "redis_cap"))
         for k, v in redis_options.items():
             reader = reader.option(k, v)
         stream = reader.load()
