@@ -20,6 +20,11 @@ _SCHEMA_CACHE: dict[str, StructType] = {}
 def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     schema = _SCHEMA_CACHE.get(sf_dir)
     if schema is None:
+        from ..tables import assert_events_ts_is_timestamp
+
+        # Same footer tripwire as the batch loader: a raw-int64 ts must
+        # fail here, not stream mis-scaled values (ADVICE r6 #1).
+        assert_events_ts_is_timestamp(sf_dir)
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         _SCHEMA_CACHE[sf_dir] = schema
     return schema

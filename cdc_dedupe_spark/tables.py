@@ -75,8 +75,39 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     )
 
 
+_TS_ENCODING_OK: set[str] = set()
+
+
+def assert_events_ts_is_timestamp(sf_dir: str) -> None:
+    """Close the nanos-assumption hole in normalize_event_ts's LongType
+    branch (ADVICE r6 #1): under nanosAsLong, a TIMESTAMP(NANOS) column and
+    a raw int64 column are indistinguishable in the *Spark* schema, but the
+    parquet footer knows. A raw int64 ts (e.g. epoch millis) would silently
+    mis-scale 1000x — so check the footer's physical/logical type once per
+    load (one footer read, driver-side) and fail loudly instead."""
+    import pyarrow.parquet as pq
+
+    if sf_dir in _TS_ENCODING_OK:
+        return
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # partitioned dataset: any one footer decides
+        parts = [e for e in sorted(os.listdir(path)) if e.endswith(".parquet")]
+        if not parts:
+            return  # empty dataset dir; Spark will fail on read anyway
+        path = os.path.join(path, parts[0])
+    ts_type = str(pq.read_schema(path).field("ts").type)
+    if not ts_type.startswith("timestamp["):
+        raise ValueError(
+            f"events.ts parquet type is {ts_type!r}, not a timestamp; "
+            "normalize_event_ts would mis-scale it — extend the loader for "
+            "the new generator encoding"
+        )
+    _TS_ENCODING_OK.add(sf_dir)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanosAsLong is a no-op for non-NANOS files, so it is safe to set
     # unconditionally; normalize_event_ts adapts to whatever was read.
+    assert_events_ts_is_timestamp(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -163,7 +163,9 @@ def test_events_loader_rejects_unknown_ts_encoding(spark, tmp_path):
         }
     )
     pq.write_table(tbl, path)
-    with pytest.raises(ValueError, match="unhandled type"):
+    # the parquet-footer check catches this before normalize_event_ts even
+    # sees a DataFrame; either tripwire firing is the contract
+    with pytest.raises(ValueError, match="not a timestamp|unhandled type"):
         table(spark, str(tmp_path), "events")
 
 
@@ -181,3 +183,24 @@ def test_replay_schema_probe_cached(spark, sf_dir):
     replay._SCHEMA_CACHE[sf_dir] = cached
     replay.events_stream(spark, sf_dir)
     assert replay._SCHEMA_CACHE[sf_dir] is cached
+
+
+def test_events_loader_rejects_raw_int64_ts(spark, tmp_path):
+    """A raw int64 ts (e.g. epoch MILLIS) is indistinguishable from
+    TIMESTAMP(NANOS) in the Spark schema under nanosAsLong — the LongType
+    branch would silently mis-scale it 1000x. The parquet-footer check
+    must reject it before any value is produced (ADVICE r6 #1)."""
+    path = str(tmp_path / "events.parquet")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([v // 1000 for v in _TS_VALUES_US], pa.int64()),  # millis
+            "user_id": pa.array([8, 46, 7], pa.int64()),
+            "event_type": pa.array(["error", "click", "view"]),
+            "value": pa.array([6.55, 12.31, 1.63], pa.float64()),
+            "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}']),
+        }
+    )
+    pq.write_table(tbl, path)
+    with pytest.raises(ValueError, match="not a timestamp"):
+        table(spark, str(tmp_path), "events")

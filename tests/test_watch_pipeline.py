@@ -286,7 +286,11 @@ def test_declared_format_mismatch_warns_once(spark, tmp_path):
     non-empty batch (detection is per-record, so output is unaffected)."""
     import warnings as _w
 
-    from cdc_dedupe_spark.streaming.pipeline import _format_checked, _warn_format_mismatch
+    from cdc_dedupe_spark.streaming.pipeline import (
+        _format_check_key,
+        _format_checked,
+        _warn_format_mismatch,
+    )
 
     cfg = load_config(_write_config(tmp_path, "simple"))
     cfg = type(cfg)(
@@ -304,7 +308,7 @@ def test_declared_format_mismatch_warns_once(spark, tmp_path):
     with _w.catch_warnings():
         _w.simplefilter("error")  # second call: checked-set short-circuits, no warning
         _warn_format_mismatch(batch, cfg)
-    _format_checked.discard(id(cfg))
+    _format_checked.discard(_format_check_key(cfg))
 
 
 def test_watch_delete_with_foreign_consumer_pel(spark, tmp_path):
