@@ -1516,3 +1516,158 @@ def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_corpus_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing & contamination (round 7 additions)
+
+_SEQ_LEN = 256  # tokens per packed training sequence
+_PACK_BUCKET = 1000  # docs per prefix-sum bucket
+
+
+@register(
+    "doc_pack_sequences",
+    group="llm-ext",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           CAST(tok_start // {_SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((tok_start + n_tokens - 1) // {_SEQ_LEN} AS BIGINT) AS seq_last,
+           (tok_start // {_SEQ_LEN}) <> ((tok_start + n_tokens - 1) // {_SEQ_LEN})
+             AS straddles
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens in
+    doc_id order and cut the stream into fixed {_SEQ_LEN}-token training
+    sequences; report each doc's global token offset, the sequences its
+    tokens land in, and whether it straddles a cut.
+
+    The interesting part is the DISTRIBUTED PREFIX SUM. The naive plan —
+    `SUM(n_tokens) OVER (ORDER BY doc_id)` — is a single-partition window
+    over the whole corpus (exactly the global-sort shape the oracle uses,
+    fine for DuckDB, fatal at 100 TB). Instead, the classic two-phase scan:
+
+      1. per-bucket token sums (one map-side-combined groupBy over
+         doc_id div {_PACK_BUCKET});
+      2. exclusive cumsum of the bucket sums — a window over the *bucket
+         table* only (|buckets| = |docs|/{_PACK_BUCKET} rows: thousands at
+         100 TB, safe to order globally);
+      3. broadcast the bucket offsets back and add a within-bucket
+         exclusive cumsum (window PARTITIONED by bucket — parallel).
+
+    All integer arithmetic -> bit-exact vs the oracle's global window.
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        # integer div, not a double round-trip: doc ids at 100 TB exceed
+        # double's 2^53 exact-integer range
+        F.expr(f"doc_id div {_PACK_BUCKET}").alias("bkt"),
+    )
+    bsums = t.groupBy("bkt").agg(F.sum("n_tokens").alias("bsum"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boffs = bsums.select(
+        "bkt", F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("boff")
+    )
+    ww = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    tok_start = (F.col("boff") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))).alias(
+        "tok_start"
+    )
+    packed = (
+        t.join(F.broadcast(boffs), "bkt")
+        .select("doc_id", "n_tokens", tok_start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_start",
+            F.expr(f"tok_start div {_SEQ_LEN}").alias("seq_first"),
+            F.expr(f"(tok_start + n_tokens - 1) div {_SEQ_LEN}").alias("seq_last"),
+        )
+        .withColumn("straddles", F.col("seq_first") != F.col("seq_last"))
+    )
+    return packed
+
+
+@register(
+    "contamination_ngram",
+    group="llm-ext",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang, (doc_id % 29 = 0) AS is_eval,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
+               i -> substr(substr(text, 1, 200), i, 5)))) AS s
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang, is_eval,
+             {SQL_TOKEN_HASH.format(t='s')} AS hs
+      FROM g
+    ), tr AS (
+      SELECT DISTINCT lang, hs FROM h WHERE NOT is_eval
+    ), ev AS (
+      SELECT DISTINCT doc_id, lang, hs FROM h WHERE is_eval
+    )
+    SELECT ev.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.hs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           (round(CAST(SUM(CASE WHEN tr.hs IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) + 0.0) AS contamination_r
+    FROM ev LEFT JOIN tr ON ev.lang = tr.lang AND ev.hs = tr.hs
+    GROUP BY ev.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the benchmark-hygiene op every
+    pretraining pipeline needs: which fraction of an eval document's
+    character 5-grams also appears anywhere in the training split?
+
+    Split rule: doc_id % 29 == 0 is "eval", the rest "train" (a stand-in
+    for a real held-out set). Per eval doc: n_shingles distinct 5-grams
+    (200-char prefix, the dedup_ngram_jaccard representation),
+    n_contaminated of them present in some same-lang train doc, and the
+    contamination ratio.
+
+    Scale shape: shingles are HASHED to 61-bit longs map-side
+    (functions.text.token_hash — dialect-portable, so the oracle applies
+    the identical formula and parity is exact by construction); the
+    membership probe shuffles (lang, 8-byte hash) pairs, never shingle
+    strings, and both sides are distinct-reduced before the join — a
+    hash-join whose build side is the distinct train-shingle set, never
+    an all-pairs document comparison.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 29 == 0).alias("is_eval"), "text"
+    )
+    g = d.select(
+        "doc_id",
+        "lang",
+        "is_eval",
+        F.explode(
+            F.transform(char_shingles(F.col("text"), n=5, prefix_len=200), token_hash)
+        ).alias("hs"),
+    )
+    tr = g.filter(~F.col("is_eval")).select("lang", "hs").distinct().withColumn("hit", F.lit(1))
+    ev = g.filter(F.col("is_eval")).select("doc_id", "lang", "hs").distinct()
+    return (
+        ev.join(tr, ["lang", "hs"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+            round_pos(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("contamination_r"),
+        )
+    )

@@ -270,3 +270,27 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     event stream at scale."""
     plan = plan_of(spark, sf_dir, "sessionize_events")
     assert n_exchanges(plan) == 1
+
+
+def test_pack_sequences_prefix_sum_is_two_phase(spark, sf_dir):
+    """doc_pack_sequences' global token cumsum must be the two-phase scan:
+    the full-corpus window is PARTITIONED by bucket (parallel), the only
+    SinglePartition exchange feeds the window over the tiny bucket-sum
+    table, and the bucket offsets come back via broadcast — never a
+    single-partition window over the documents themselves."""
+    plan = plan_of(spark, sf_dir, "doc_pack_sequences")
+    assert "BroadcastHashJoin" in plan
+    # exactly one SinglePartition exchange (bucket-sum table only)
+    assert plan.count("SinglePartition") == 1, plan
+    # the docs-side window is partitioned by bkt: its spec lists a
+    # partition expression, windowspecdefinition(bkt..., doc_id ASC ...)
+    assert re.search(r"windowspecdefinition\(bkt#\d+L, doc_id#\d+L ASC", plan), plan
+
+
+def test_contamination_join_is_hash_on_hashed_shingles(spark, sf_dir):
+    """contamination_ngram's membership probe joins on (lang, 61-bit
+    shingle hash) — an equi hash join over 8-byte keys, never a nested
+    loop or a join on raw shingle strings."""
+    plan = plan_of(spark, sf_dir, "contamination_ngram")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"hashpartitioning\(lang#\d+, hs#\d+L", plan), plan
