@@ -13,6 +13,11 @@ round — not just the driver's window.
 Run from the repo root: `python scripts/parity_sweep.py` (takes a few
 minutes; run it alone — concurrent Spark JVMs skew nothing here but slow
 everything down).
+
+Targeted mode: `python scripts/parity_sweep.py name1 name2 ...` sweeps
+only those queries and does NOT write PARITY_LOCAL.json (the committed
+artifact must always be a full-surface run) — the fast path for
+verifying a new or edited query before the full sweep.
 """
 
 from __future__ import annotations
@@ -39,6 +44,12 @@ def main() -> int:
     from cdc_dedupe_spark.session import get_spark
     from cdc_dedupe_spark.tables import TABLE_NAMES
 
+    only = sys.argv[1:]
+    unknown = [n for n in only if n not in REGISTRY]
+    if unknown:
+        print(f"unknown query names: {unknown}; have {sorted(REGISTRY)}", file=sys.stderr)
+        return 2
+
     spark = get_spark("cdc-dedupe-parity-sweep")
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -46,7 +57,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     t0 = time.time()
-    for name in sorted(REGISTRY):
+    for name in sorted(only or REGISTRY):
         q = REGISTRY[name]
         try:
             sdf = q.spark(spark, SF_DIR).toPandas()
@@ -85,7 +96,8 @@ def main() -> int:
         "wall_sec": round(time.time() - t0, 1),
         "queries": results,
     }
-    (_REPO / "PARITY_LOCAL.json").write_text(json.dumps(summary, indent=1) + "\n")
+    if not only:  # targeted runs never overwrite the full-surface artifact
+        (_REPO / "PARITY_LOCAL.json").write_text(json.dumps(summary, indent=1) + "\n")
     print(
         f"total={summary['total']} match={summary['match']} "
         f"rows_only={summary['rows_only']} mismatch={summary['mismatch']} error={summary['error']}"
