@@ -379,3 +379,75 @@ def test_cap_e2e_processing_time_batches(spark, tmp_path):
     assert len(ends) >= 5
     keys = [tuple(int(x) for x in e.split("-")) for e in ends]
     assert keys == sorted(keys) and len(set(keys)) == len(keys), f"non-monotonic ends: {ends}"
+
+
+def test_cap_e2e_restart_no_duplicates(spark, tmp_path):
+    """Engine-level checkpoint restart WITH the cap: run a few capped
+    batches, stop, add more entries, restart on the same checkpoint +
+    cap_state_dir. On restart the engine calls latestOffset without
+    initialOffset — the persisted watermark must resume capped batching
+    with every entry delivered exactly once and offset-log ends strictly
+    increasing across both runs."""
+    import json as _json
+    import pathlib
+    import time
+
+    streams_dir = tmp_path / "streams"
+    _fill(streams_dir, "s", range(300))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.dataSource.register(RedisStreamDataSource)
+    opts = _opts(streams_dir, "s") | {
+        "max_entries_per_batch": "100",
+        "cap_state_dir": ckpt + "/redis_cap",
+    }
+
+    def n_out() -> int:
+        try:
+            return spark.read.json(out).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    def run_until(want: int) -> None:
+        reader = spark.readStream.format("redis_stream")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .selectExpr("offset", "stream")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and n_out() < want:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+
+    run_until(300)
+    assert n_out() == 300
+
+    fake = FakeRedis(str(streams_dir))
+    for i in range(250):
+        fake.xadd("s", {"payload": ENVELOPE % i})
+    run_until(550)
+
+    # the restarted run replays nothing (offsets resume in the checkpoint)
+    # and delivers exactly the 250 new entries
+    got = [r.offset for r in spark.read.json(out).collect()]
+    assert len(got) == len(set(got)) == 550
+    new_seqs = sorted(int(o.split("-")[1]) for o in got)[300:]
+    assert new_seqs == list(range(301, 551))
+
+    offs = sorted(int(p.name) for p in pathlib.Path(ckpt, "offsets").iterdir() if p.name.isdigit())
+    ends = [
+        _json.loads(pathlib.Path(ckpt, "offsets", str(o)).read_text().splitlines()[-1])["s"]
+        for o in offs
+    ]
+    keys = [tuple(int(x) for x in e.split("-")) for e in ends]
+    assert keys == sorted(set(keys)), f"offset log regressed: {ends}"
+    # the second run stayed capped too: >= 3 batches for its 250 entries
+    assert len([k for k in keys if k > (1, 300)]) >= 3, ends
