@@ -29,11 +29,14 @@ from . import relational  # noqa: F401,E402
 # 50-entry windows sweep the whole alphabetical surface. r6 (offset 150 ≡
 # 52 mod 98) puts the 48 entries r5 could not reach — the whole streaming
 # group and the text_* family among them — at the front of the window.
-# r7 (offset 200; registry grew 98 -> 100 this round, so ≡ 0 mod 100)
-# fronts the alphabetical head — exactly the families off-window in r6
-# (agg_*, ann_*, cdc_*, dedup_*, doc_*, fn_*, join_* — VERDICT r6 item 2)
-# plus the two r7 additions (contamination_ngram, doc_pack_sequences).
-DRIVER_ROTATION_OFFSET = 200
+# r7 (offset 206; registry grew 98 -> 101 this round, so ≡ 4 mod 101):
+# maximal-coverage window over the entries the driver has not yet
+# verified — the whole r6 off-window alphabetical head (agg_*, ann_*,
+# cdc_*, dedup_*, doc_*, fn_*, join_* — VERDICT r6 item 2) plus two of
+# the three r7 additions (contamination_ngram, doc_pack_sequences); only
+# source_scorecard waits for the r8 window (it has committed sf0.01
+# sweep + local parity evidence meanwhile).
+DRIVER_ROTATION_OFFSET = 206
 
 
 def driver_order() -> list[str]:

@@ -113,6 +113,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate self-join — the exact-arithmetic cousin of MinHash-LSH.
     Intersection/union sizes are integers; only the final ratio is float
     (identical division both engines)."""
+    return _ngram_pair_scores(spark, sf_dir)
+
+
+def _ngram_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 5-gram Jaccard pair scores (doc_a, doc_b, jaccard_r) — the
+    shared candidate machinery behind dedup_ngram_jaccard and
+    source_scorecard."""
     band = 10
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", "lang", char_shingles(F.col("text"), n=5, prefix_len=200).alias("shingles"))
@@ -1669,5 +1676,83 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_pos(
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count(F.lit(1)), 4
             ).alias("contamination_r"),
+        )
+    )
+
+
+_NEAR_DUP_JC = 0.2  # banded-Jaccard near-dup threshold for the scorecard
+
+
+@register(
+    "source_scorecard",
+    group="llm-ext",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
+               i -> substr(substr(text, 1, 200), i, 5))) AS shingles
+      FROM documents
+    ), dup AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      WHERE (round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4) + 0.0)
+            >= {_NEAR_DUP_JC}
+    ), t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) + 0.0)
+             AS mean_tokens,
+           CAST(SUM(CASE WHEN dup.doc_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_dup,
+           (round(CAST(SUM(CASE WHEN dup.doc_b IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) + 0.0) AS near_dup_rate
+    FROM t LEFT JOIN dup ON t.doc_id = dup.doc_b
+    GROUP BY t.source
+    """,
+)
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard — the RefinedWeb/CCNet-style "which
+    crawl sources are junk" aggregation: document count, mean token count,
+    and the banded near-dup rate (docs whose 5-gram Jaccard vs a lower-id
+    same-lang doc within the id band is >= {_NEAR_DUP_JC}, i.e. not the
+    keeper).
+
+    The near-dup rate is band-SCOPED (the same bounded candidate
+    generation as dedup_ngram_jaccard) — a lower bound on the true rate,
+    the standard trade at 100 TB where all-pairs is off the table. Shapes:
+    one banded equi self-join (shared machinery, _ngram_pair_scores), a
+    distinct on (doc_id) duplicates, a broadcast-size LEFT join back, and
+    one groupBy(source) with map-side partials."""
+    pairs = _ngram_pair_scores(spark, sf_dir)
+    dups = (
+        pairs.filter(F.col("jaccard_r") >= _NEAR_DUP_JC)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        t.join(dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_pos(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+                "mean_tokens"
+            ),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_near_dup"),
+            round_pos(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("near_dup_rate"),
         )
     )
