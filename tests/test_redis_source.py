@@ -451,3 +451,88 @@ def test_cap_e2e_restart_no_duplicates(spark, tmp_path):
     assert keys == sorted(set(keys)), f"offset log regressed: {ends}"
     # the second run stayed capped too: >= 3 batches for its 250 entries
     assert len([k for k in keys if k > (1, 300)]) >= 3, ends
+
+
+# --- cap watermark property test ------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# An op sequence: add N entries / poll (latestOffset+consume+commit) /
+# restart the planner (fresh reader, same state dir).
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(min_value=1, max_value=40)),
+        st.tuples(st.just("poll"), st.just(0)),
+        st.tuples(st.just("restart"), st.just(0)),
+    ),
+    min_size=3,
+    max_size=14,
+)
+
+
+@given(ops=_OPS, cap=st.integers(min_value=1, max_value=15))
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cap_watermark_invariants_under_interleaving(tmp_path_factory, ops, cap):
+    """Whatever the interleaving of appends, polls, and planner restarts:
+    reported ends never regress, every batch admits <= cap entries (except
+    at most the first poll after a restart, which may catch up), and a
+    final drain delivers every entry exactly once."""
+    tmp_path = tmp_path_factory.mktemp("capprop")
+    fake = FakeRedis(str(tmp_path))
+    opts = _opts(tmp_path, "s") | {
+        "max_entries_per_batch": str(cap),
+        "cap_state_dir": str(tmp_path / "ckpt" / "redis_cap"),
+    }
+
+    def new_reader(fresh_query: bool) -> RedisStreamReader:
+        r = RedisStreamReader(None, opts)
+        if fresh_query:
+            r.latestOffset()  # engine probes latest BEFORE initialOffset
+            r.initialOffset()
+        return r
+
+    reader = new_reader(fresh_query=True)
+    committed = {"s": ZERO_ID}
+    last_reported = ZERO_ID
+    seen: list[str] = []
+    n_added = 0
+    fresh_after_restart = False
+
+    def poll():
+        nonlocal committed, last_reported, fresh_after_restart
+        end = reader.latestOffset()
+        assert _record_id_tuple(end["s"]) >= _record_id_tuple(last_reported), (
+            f"regressed end: {end} after {last_reported}"
+        )
+        rows = [rid for p in reader.partitions(committed, end) for rid, _, _ in reader.read(p)]
+        if not fresh_after_restart:
+            assert len(rows) <= cap, f"admitted {len(rows)} > cap {cap}"
+        reader.commit(end)
+        seen.extend(rows)
+        committed = end
+        last_reported = end["s"]
+        fresh_after_restart = False
+
+    for op, n in ops:
+        if op == "add":
+            for i in range(n):
+                fake.xadd("s", {"payload": ENVELOPE % i})
+            n_added += n
+        elif op == "poll" and n_added:
+            poll()
+        elif op == "restart":
+            reader = new_reader(fresh_query=False)
+            fresh_after_restart = True
+
+    # final drain: poll until nothing new arrives
+    for _ in range(n_added + 2):
+        before = len(seen)
+        poll()
+        if len(seen) == before and committed["s"] == last_reported:
+            end_now = reader.latestOffset()
+            if end_now == committed:
+                break
+    assert len(seen) == len(set(seen)) == n_added, (
+        f"delivered {len(seen)} ({len(set(seen))} unique) of {n_added}"
+    )
