@@ -36,7 +36,12 @@ log and replay batches. Resolution, in ``latestOffset``'s first call:
 
  - ``cap_state_dir`` set and its watermark file exists -> restart: resume
    capped batching from the persisted watermark (always >= the engine's
-   committed offset, because only reported ends are persisted).
+   committed offset, because only reported ends are persisted — and
+   UNCAPPED runs sharing the checkpoint persist their ends too, see
+   below). Streams added to the config since the file was written seed
+   from the configured start id, not ZERO_ID (narrows, not closes, the
+   regressed-offset window when stream sets change on a live checkpoint —
+   changing the stream set still calls for a fresh checkpoint+cap dir).
  - ``cap_state_dir`` set, file absent -> fresh query (the state dir must
    co-live with the checkpoint so file-absent <=> checkpoint-fresh; the
    watch pipeline wires this automatically): seed from the configured
@@ -46,9 +51,15 @@ log and replay batches. Resolution, in ``latestOffset``'s first call:
    the second on. Never a regressed offset, never a duplicate.
 
 Updates are max-merged per stream, so the watermark is monotonic by
-construction. Under Trigger.AvailableNow the engine fixes its drain
-target with a single latestOffset call — a capped answer would truncate
-the drain, so drains should leave the cap unset (the watch pipeline does).
+construction — and the merge runs whenever ``cap_state_dir`` is set, cap
+or no cap. That keeps the file fresh across UNCAPPED runs on the same
+checkpoint (an availableNow drain advances the committed offsets; if it
+skipped the watermark file, a later capped run would seed from the stale
+file and report an end BEHIND the committed offset — a regressed offset
+the engine would commit, duplicating the gap). Under Trigger.AvailableNow
+the engine fixes its drain target with a single latestOffset call — a
+capped answer would truncate the drain, so drains must leave the cap
+unset but KEEP ``cap_state_dir`` (the watch pipeline wires both).
 
 The ``redis`` client library is not installed in this container: the
 connection factory is import-gated and the planner/reader logic takes any
@@ -229,14 +240,26 @@ class RedisStreamReader(DataSourceStreamReader):
         means no safe seed exists -> the first batch runs uncapped."""
         if not self.cap_state_dir:
             return None
+        # Every configured stream starts at the configured start id; the
+        # persisted file (when present — a restart) overrides per stream.
+        # Streams ADDED to the config since the file was written thus seed
+        # from the configured start, not ZERO_ID (ADVICE r7: a new stream
+        # that already committed offsets under a different run still needs
+        # a fresh checkpoint+cap dir, but the configured start is the
+        # tightest safe default the reader can know).
+        seeded = {s: self.start for s in self.streams}
         p = self._watermark_path()
         if p.exists():
-            return json.loads(p.read_text())  # restart: resume capped
-        return {s: self.start for s in self.streams}  # fresh query
+            seeded.update(json.loads(p.read_text()))  # restart: resume capped
+        return seeded
 
     def _merge_watermark(self, end: dict[str, str]) -> None:
         """Max-merge per stream: the watermark never regresses, whatever
         order the engine interleaves latestOffset/commit calls in."""
+        if self._watermark is None and self.cap_state_dir:
+            # commit() can land on an instance whose latestOffset never ran
+            # (engine restart edge); merge on top of the file, never over it.
+            self._watermark = self._seed_watermark()
         base = self._watermark or {}
         merged = dict(base)
         for s, rid in end.items():
@@ -276,7 +299,10 @@ class RedisStreamReader(DataSourceStreamReader):
         connection error as ZERO_ID would commit a regressed offset and the
         next healthy batch would re-read the entire stream."""
         capping = self.max_entries_per_batch > 0
-        if capping and self._watermark is None:
+        # Seed whenever a state dir exists, cap or no cap: an uncapped run
+        # sharing the checkpoint must merge ON TOP of the file's content
+        # (and keep it fresh), not clobber or ignore it (ADVICE r7).
+        if self._watermark is None and (capping or self.cap_state_dir):
             self._watermark = self._seed_watermark()
         out = {}
         for s in self.streams:

@@ -453,6 +453,73 @@ def test_cap_e2e_restart_no_duplicates(spark, tmp_path):
     assert len([k for k in keys if k > (1, 300)]) >= 3, ends
 
 
+def test_uncapped_drain_refreshes_cap_watermark(tmp_path):
+    """ADVICE r7 (medium): capped run -> UNCAPPED availableNow drain on the
+    same checkpoint/cap dir -> later capped run. The drain must max-merge
+    its (uncapped) ends into cap_watermark.json; a later capped run then
+    seeds at-or-past the drain's committed offset — never a regressed end,
+    never a duplicate."""
+    _fill(tmp_path, "s", range(100))
+    cap_dir = str(tmp_path / "ckpt" / "redis_cap")
+    capped = _opts(tmp_path, "s") | {"max_entries_per_batch": "40", "cap_state_dir": cap_dir}
+    uncapped = _opts(tmp_path, "s") | {"cap_state_dir": cap_dir}
+
+    r1 = RedisStreamReader(None, capped)
+    end1 = r1.latestOffset()
+    assert end1 == {"s": "1-40"}
+    committed = r1.initialOffset()
+    rows1 = [rid for p in r1.partitions(committed, end1) for rid, _, _ in r1.read(p)]
+    r1.commit(end1)
+
+    # availableNow drain (cap unset, cap_state_dir KEPT — the watch
+    # pipeline wires exactly this): consumes to the true stream end.
+    r2 = RedisStreamReader(None, uncapped)
+    end2 = r2.latestOffset()
+    assert end2 == {"s": "1-100"}
+    rows2 = [rid for p in r2.partitions(end1, end2) for rid, _, _ in r2.read(p)]
+    r2.commit(end2)
+
+    # new entries arrive; a later CAPPED run seeds from the cap file
+    fake = FakeRedis(str(tmp_path))
+    for i in range(60):
+        fake.xadd("s", {"payload": ENVELOPE % i})
+    r3 = RedisStreamReader(None, capped)
+    end3 = r3.latestOffset()
+    assert _record_id_tuple(end3["s"]) >= _record_id_tuple(end2["s"]), (
+        f"regressed offset: {end3} after committed {end2}"
+    )
+    assert end3 == {"s": "1-140"}, "must resume capped from the drain's end, not the stale file"
+    rows3 = [rid for p in r3.partitions(end2, end3) for rid, _, _ in r3.read(p)]
+    r3.commit(end3)
+    rows4, _ = _drain_capped(r3, end3)
+    seen = rows1 + rows2 + rows3 + rows4
+    assert len(seen) == len(set(seen)) == 160
+
+
+def test_capped_restart_added_stream_seeds_from_configured_start(tmp_path):
+    """ADVICE r7 (low): a stream ADDED to the config after
+    cap_watermark.json was written seeds from the configured start id, not
+    ZERO_ID — its first capped end lands past the configured start."""
+    _fill(tmp_path, "a", range(50))
+    cap_dir = str(tmp_path / "ckpt" / "redis_cap")
+    r1 = RedisStreamReader(
+        None, _opts(tmp_path, "a") | {"max_entries_per_batch": "20", "cap_state_dir": cap_dir}
+    )
+    assert r1.latestOffset() == {"a": "1-20"}  # file now holds only 'a'
+
+    fake = FakeRedis(str(tmp_path))
+    for i in range(30):
+        fake.xadd("b", {"payload": ENVELOPE % i})
+    r2 = RedisStreamReader(
+        None,
+        _opts(tmp_path, "a,b")
+        | {"max_entries_per_batch": "20", "cap_state_dir": cap_dir, "start": "1-5"},
+    )
+    end = r2.latestOffset()
+    assert end["a"] == "1-40"  # resumed capped from the persisted watermark
+    assert end["b"] == "1-25", "new stream must cap from the configured start (1-5), not 0-0"
+
+
 # --- cap watermark property test ------------------------------------------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
