@@ -385,6 +385,12 @@ class RedisStreamWriter(DataSourceStreamWriter):
         self.field = options.get("field", "ids")
         self.stream_col = options.get("stream_column", "target_stream")
         self.value_col = options.get("value_column", "ids")
+        # Constant fields merged into every entry (JSON dict) — the watch
+        # pipeline's idempotent mode stamps entries with their batchId so
+        # a crash-replay can identify and scrub a partial attempt.
+        self.extra_fields: dict[str, str] = (
+            json.loads(options["extra_fields"]) if "extra_fields" in options else {}
+        )
         self.names = [f.name for f in schema.fields]
 
     def write(self, rows: Iterator[Any]) -> WriterCommitMessage:
@@ -397,7 +403,8 @@ class RedisStreamWriter(DataSourceStreamWriter):
         pipe = client.pipeline() if hasattr(client, "pipeline") else None
         n = 0
         for row in rows:
-            (pipe if pipe is not None else client).xadd(row[si], {self.field: row[vi]})
+            fields = {self.field: row[vi], **self.extra_fields}
+            (pipe if pipe is not None else client).xadd(row[si], fields)
             n += 1
             if pipe is not None and n % PIPELINE_CHUNK == 0:
                 pipe.execute()

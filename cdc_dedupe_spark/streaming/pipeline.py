@@ -20,16 +20,36 @@ partitioned job. State never accumulates across batches (window-scoped
 semantics, like the reference); the cross-batch variant is
 dropDuplicatesWithinWatermark (queries/streaming.py).
 
-Sink semantics: the JSON-file and XADD sinks are append-only, so a
-micro-batch retried after a crash between write and checkpoint commit can
-duplicate its output — exactly the reference's at-least-once contract
-(crash between XADD and XACK replays pending entries, RedisSource.java:92).
-Upgrading to exactly-once is a sink swap (transactional or
-batchId-idempotent sink), not a pipeline change.
+Sink semantics: **effectively-once by default** via a batchId-idempotent
+sink layer (``idempotent_sink=True``). The raw JSON-file and XADD sinks
+are append-only, so a micro-batch retried after a crash between write and
+checkpoint commit would duplicate its output — the reference's
+at-least-once contract (crash between XADD and XACK replays pending
+entries, RedisSource.java:92). The idempotent layer closes both crash
+windows with a per-batch manifest (markers inside the checkpoint dir, so
+both share one lifecycle):
+
+ - crash AFTER the sinks ran but BEFORE the checkpoint commit: the
+   ``{batchId}.done`` marker exists, so the engine's replay of that batch
+   skips every sink action (checkpoint-replay dedupe);
+ - crash DURING the sink writes: the ``{batchId}.started`` marker exists
+   without ``.done``, so the replay first scrubs the crashed attempt's
+   output — file sinks publish under batch-deterministic names
+   (``b{batchId}-*``, staged then moved, the classic committer pattern),
+   XADD entries carry a ``batch`` field — then rewrites. Scrub runs ONLY
+   on a genuine crash-replay (started-without-done), never in the fresh
+   hot path.
+
+At 1000-executor scale with object-store sinks, swap the file publish for
+a transactional table format (Delta/Iceberg appends keyed by batchId) —
+the manifest contract is the same. ``idempotent_sink=False`` restores the
+reference's raw at-least-once behavior (byte-identical sink layout).
 """
 
 from __future__ import annotations
 
+import json
+import shutil
 import warnings
 from dataclasses import dataclass
 from pathlib import Path
@@ -110,15 +130,113 @@ def _warn_format_mismatch(batch: DataFrame, cfg: Config) -> None:
         )
 
 
+class SinkManifest:
+    """Per-batch sink ledger: ``{batchId}.started`` before any sink action,
+    ``{batchId}.done`` after all of them (atomic tmp+replace). Lives INSIDE
+    the checkpoint dir so wiping the checkpoint wipes the manifest — the
+    two must share one lifecycle or a fresh checkpoint would skip batches
+    an old manifest marked done."""
+
+    def __init__(self, root: str | Path) -> None:
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _touch(self, name: str) -> None:
+        tmp = self.root / (name + ".tmp")
+        tmp.write_text("")
+        tmp.replace(self.root / name)
+
+    def committed(self, batch_id: int) -> bool:
+        return (self.root / f"{batch_id}.done").exists()
+
+    def started(self, batch_id: int) -> bool:
+        return (self.root / f"{batch_id}.started").exists()
+
+    def start(self, batch_id: int) -> None:
+        self._touch(f"{batch_id}.started")
+
+    def mark(self, batch_id: int) -> None:
+        self._touch(f"{batch_id}.done")
+
+
+def _publish_json(
+    df: DataFrame, batch_id: int, partition_col: str, final_dir: str, staging_root: Path
+) -> None:
+    """Append ``df`` to the hive-partitioned ``final_dir`` under
+    batch-deterministic file names: stage the write, then move each part
+    file into place as ``b{batchId}-<part-name>`` — the committer pattern
+    that lets a replay of the same batch identify (and scrub) a crashed
+    attempt's files. Moves are driver-side metadata ops, O(part files),
+    not O(rows); a cluster deployment swaps this for a transactional
+    table append (module docstring)."""
+    staging = staging_root / f"b{batch_id}-{Path(final_dir).name}"
+    df.write.mode("overwrite").partitionBy(partition_col).json(str(staging))
+    final = Path(final_dir)
+    for part in staging.rglob("*"):
+        if part.is_file() and not part.name.startswith(("_", ".")):
+            rel = part.relative_to(staging)
+            dest = final / rel.parent / f"b{batch_id}-{rel.name}"
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            part.replace(dest)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _scrub_batch_files(batch_id: int, *dirs: str) -> None:
+    """Delete every file a crashed attempt of this batch published."""
+    for d in dirs:
+        root = Path(d)
+        if root.exists():
+            for f in root.rglob(f"b{batch_id}-*"):
+                if f.is_file():
+                    f.unlink()
+
+
+def _scrub_batch_redis(batch_id: int, cfg: Config, sink_options: dict[str, str]) -> None:
+    """Delete target-stream entries a crashed attempt XADDed (they carry
+    ``batch=<batchId>``, written only in idempotent mode). Runs ONLY on a
+    started-without-done replay — never in the fresh hot path — so the
+    full XRANGE scan is a crash-recovery cost, not a steady-state one."""
+    from ..sources.redis_stream import _is_missing_stream, make_client
+
+    client = make_client(sink_options)
+    for t in cfg.targets():
+        stream = f"{cfg.target.prefix}{t}"
+        try:
+            entries = client.xrange(stream)
+        except Exception as e:
+            if not _is_missing_stream(e):
+                raise
+            continue
+        stale = [rid for rid, fields in entries if fields.get("batch") == str(batch_id)]
+        if stale:
+            client.xdel(stream, *stale)
+
+
 def _process_batch(
     batch: DataFrame,
+    batch_id: int,
     routes: DataFrame,
     cfg: Config,
     output_dir: str,
     ack_dir: str,
     dead_dir: str,
     sink_options: dict[str, str] | None = None,
+    manifest: SinkManifest | None = None,
+    staging_root: Path | None = None,
 ) -> None:
+    if manifest is not None:
+        if manifest.committed(batch_id):
+            # Checkpoint replay of a fully-sunk batch (crash landed between
+            # sink actions and checkpoint commit): every sink action below
+            # already ran — skip them all. XACK/XDEL are idempotent, but
+            # re-running them would also re-read the source for nothing.
+            return
+        if manifest.started(batch_id):
+            # Crashed mid-write: scrub the partial attempt before rewriting.
+            _scrub_batch_files(batch_id, output_dir, ack_dir, dead_dir)
+            if sink_options is not None:
+                _scrub_batch_redis(batch_id, cfg, sink_options)
+        manifest.start(batch_id)
     # One persist covers every action below (isEmpty, the one-shot format
     # probe, the packed/dead/ack writes and the ack foreachPartition):
     # without it each action re-evaluates the whole lineage from the
@@ -131,6 +249,8 @@ def _process_batch(
     batch.persist()
     try:
         if batch.isEmpty():
+            if manifest is not None:
+                manifest.mark(batch_id)  # nothing to sink; replays skip
             return
         _warn_format_mismatch(batch, cfg)
 
@@ -142,7 +262,14 @@ def _process_batch(
         packed, acks, dead = compile_watch_plan(batch, routes, cfg)
         if sink_options is not None:
             # XADD straight to the target Redis streams (reference topology).
-            packed.write.format("redis_stream").options(**sink_options).mode("append").save()
+            opts = dict(sink_options)
+            if manifest is not None:
+                # Entries carry their batchId so a crash-replay can scrub
+                # the partial attempt (_scrub_batch_redis).
+                opts["extra_fields"] = json.dumps({"batch": str(batch_id)})
+            packed.write.format("redis_stream").options(**opts).mode("append").save()
+        elif manifest is not None:
+            _publish_json(packed, batch_id, "target_stream", output_dir, staging_root)
         else:
             packed.write.mode("append").partitionBy("target_stream").json(output_dir)
         # Dead-letter sink BEFORE acks: malformed records must have a
@@ -150,8 +277,12 @@ def _process_batch(
         # source (plans/watch_plan.py dead relation; the reference instead
         # wedges the stream on the first malformed record,
         # RedisSource.java:63-66).
-        dead.write.mode("append").partitionBy("stream").json(dead_dir)
-        acks.write.mode("append").partitionBy("stream").json(ack_dir)
+        if manifest is not None:
+            _publish_json(dead, batch_id, "stream", dead_dir, staging_root)
+            _publish_json(acks, batch_id, "stream", ack_dir, staging_root)
+        else:
+            dead.write.mode("append").partitionBy("stream").json(dead_dir)
+            acks.write.mode("append").partitionBy("stream").json(ack_dir)
 
         # S15-S20: real XACK against the consumer group (WatchStream.java:
         # 196-205 parity — PEL interop with other group consumers), then
@@ -187,6 +318,8 @@ def _process_batch(
                             client.xdel(stream, *chunk)
 
             acks.foreachPartition(_ack)
+        if manifest is not None:
+            manifest.mark(batch_id)
     finally:
         batch.unpersist()
 
@@ -208,6 +341,7 @@ def watch(
     trigger_seconds: int | None = None,
     redis_options: dict[str, str] | None = None,
     redis_sink: bool = False,
+    idempotent_sink: bool = True,
 ) -> WatchHandles:
     """Start the watch pipeline.
 
@@ -219,7 +353,10 @@ def watch(
 
     availableNow=True drains existing input and stops (the test/replay
     mode); trigger_seconds mirrors the reference's 5 s dedupe window
-    (config.yaml:17) for continuous runs."""
+    (config.yaml:17) for continuous runs. ``idempotent_sink`` (default on)
+    dedupes checkpoint-replayed micro-batches via a per-batch manifest —
+    effectively-once sinks (module docstring); off = the reference's raw
+    at-least-once append behavior."""
     work = Path(work_dir)
     output_dir = str(work / "targets")
     ack_dir = str(work / "acks")
@@ -295,8 +432,13 @@ def watch(
         seed_targets(spark, cfg, output_dir)
         stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
 
+    manifest = SinkManifest(work / "checkpoint" / "sink_manifest") if idempotent_sink else None
+    staging_root = work / "staging"
     writer = stream.writeStream.foreachBatch(
-        lambda b, _id: _process_batch(b, routes, cfg, output_dir, ack_dir, dead_dir, sink_options)
+        lambda b, bid: _process_batch(
+            b, bid, routes, cfg, output_dir, ack_dir, dead_dir, sink_options,
+            manifest, staging_root,
+        )
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)

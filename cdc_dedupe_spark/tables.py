@@ -9,6 +9,7 @@ partitioned directory tree and partition pruning applies unchanged.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -85,9 +86,20 @@ def assert_events_ts_is_timestamp(sf_dir: str) -> None:
     parquet footer knows. A raw int64 ts (e.g. epoch millis) would silently
     mis-scale 1000x — so check the footer's physical/logical type once per
     load (one footer read, driver-side) and fail loudly instead."""
-    import pyarrow.parquet as pq
-
     if sf_dir in _TS_ENCODING_OK:
+        return
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - environment-dependent
+        # pyarrow is a declared dependency (pyproject [project]), but an
+        # exotic install without it shouldn't fail every events read over
+        # a diagnostic-only check — warn once and skip the tripwire.
+        warnings.warn(
+            "pyarrow is not installed; skipping the events.ts parquet-footer "
+            "encoding check — a raw-int64 ts column would mis-scale silently",
+            stacklevel=2,
+        )
+        _TS_ENCODING_OK.add(sf_dir)
         return
     path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):  # partitioned dataset: any one footer decides
