@@ -154,6 +154,33 @@ def test_char_shingles_cover_and_bound(spark, text, n):
         assert sh in text or len(text) < n
 
 
+def test_approx_distinct_hll_error_bounded(spark, sf_dir):
+    """agg_approx_distinct is rows-only for the driver (HLL++ estimates are
+    algorithm-dependent); here we bound it empirically (VERDICT r7 #7):
+    the query declares rsd=0.05, and HLL++ is deterministic for a given
+    input, so the estimate must land within a few standard deviations of
+    the exact distinct count — 3*rsd is a deterministic-safe window."""
+    from cdc_dedupe_spark.queries import REGISTRY
+
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["agg_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a - e) <= 3 * 0.05 * e, (
+            f"{flag}: HLL estimate {a} outside 3*rsd of exact {e}"
+        )
+
+
 def test_approx_percentile_rank_error_bounded(spark, sf_dir):
     """agg_approx_percentile is rows-only for the driver; here we bound
     its error: with accuracy=10000 the GK sketch guarantees rank error

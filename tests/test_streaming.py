@@ -78,3 +78,80 @@ def test_dedupe_stream_matches_batch_distinct(spark, sf_dir):
         r.user_id for r in table(spark, sf_dir, "events").select("user_id").distinct().collect()
     )
     assert got == expected
+
+
+def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
+    """Executable witness for SCALING.md's stream-stream-join claim
+    (VERDICT r7 #8): with both sides watermarked, join state is evicted
+    once rows fall behind the watermark — numRowsTotal tracks the range
+    window, not the stream history. Same shape as the registry's
+    stream_stream_join (queries/streaming.py): 10-minute watermarks, a
+    60-minute range predicate. 200 early rows, then two late batches that
+    push the watermark hours past them: the final state must hold only
+    the recent handful, not the 200."""
+    src = tmp_path / "src"
+    src.mkdir()
+    early = [
+        {"user_id": u, "ts": "2024-01-01 10:00:00", "event_type": "click"} for u in range(100)
+    ] + [
+        {"user_id": u, "ts": "2024-01-01 10:30:00", "event_type": "purchase"} for u in range(100)
+    ]
+    # the global watermark is the MIN across both sides, so a late batch
+    # must advance BOTH event-time columns (an idle purchase side would pin
+    # the watermark at 10:20 and nothing would ever evict); distinct user
+    # ids keep the late rows from joining each other.
+    late0 = [
+        {"user_id": 1000, "ts": "2024-01-01 20:00:00", "event_type": "click"},
+        {"user_id": 2000, "ts": "2024-01-01 20:00:00", "event_type": "purchase"},
+    ]
+    late1 = [
+        {"user_id": 1001, "ts": "2024-01-01 20:01:00", "event_type": "click"},
+        {"user_id": 2001, "ts": "2024-01-01 20:01:00", "event_type": "purchase"},
+    ]
+    for i, batch in enumerate([early, late0, late1]):
+        p = src / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_state_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert spark.table("ssj_state_pin").count() == 100  # join itself correct
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert states, "no stateOperators progress recorded"
+    assert max(states) >= 200, f"early rows never entered state: {states}"
+    assert states[-1] <= 10, (
+        f"watermark eviction did not fire: final state {states[-1]} rows of {states}"
+    )
