@@ -23,6 +23,7 @@ from . import relational_ext  # noqa: F401,E402
 from . import scalar  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
 
 # Rotation offset for the driver window. Advance by 50 each round (r4=50,
 # r5=100, ...); applied mod the registry size, so consecutive rounds'
@@ -36,7 +37,15 @@ from . import relational  # noqa: F401,E402
 # the three r7 additions (contamination_ngram, doc_pack_sequences); only
 # source_scorecard waits for the r8 window (it has committed sf0.01
 # sweep + local parity evidence meanwhile).
-DRIVER_ROTATION_OFFSET = 206
+# r8 (offset 269; registry grew 101 -> 107, ≡ 55 mod 107): computed
+# maximal coverage of never-driver-verified entries — source_scorecard
+# (VERDICT r7 item 1) and five of the six r8 curation/relational
+# additions — plus 44 of the 50 entries last verified in r6. Left for
+# r9: dedup_span_ngram (sorts into the d-region; sf0.01 sweep + local
+# parity evidence meanwhile) and 6 r6-verified entries (agg_cube,
+# agg_distinct, window_rank, window_running_sum, and the two rows-only
+# approx aggs that never hash-match by design).
+DRIVER_ROTATION_OFFSET = 269
 
 
 def driver_order() -> list[str]:

@@ -1,0 +1,288 @@
+"""Corpus-curation operators (round 8): the remaining data-engineering
+stages of a pretraining pipeline that sit between raw documents and a
+training mix — span-level dedup, temperature-scaled source mixing,
+leakage-safe dataset splitting, and vocabulary pruning (UNK-ing).
+
+Like the rest of the LLM family these are beyond the reference's own
+surface (the reference is a CDC dedupe engine — RedisSource.java /
+WatchStream.java deal in stream entries, not corpora) but are declared
+first-class registry entries with exact DuckDB oracles.
+
+Scale stances:
+ - span dedup shuffles (doc_id, 16-byte md5) pairs, never text; the
+   window over the hash key is the per-shingle frequency, bounded state;
+ - mixing/splitting decisions are pure functions of row content
+   (portable token_hash of md5(text)) — map-side, rerun-stable, and the
+   per-source rate table is a broadcast of an O(|sources|) aggregate;
+ - vocabulary pruning joins tokens against the kept-vocab table, which
+   is Heaps'-law-bounded and broadcastable; reassembly is the standard
+   sorted-collect over (pos, token) — one doc_id shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_TOKEN_HASH, token_hash
+from ..tables import table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# dedup_span_ngram — token-span (8-gram) duplication profile
+
+
+_SPAN_W = 8
+
+
+@register(
+    "dedup_span_ngram",
+    group="curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, md5(array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_W}
+    ), p AS (
+      SELECT doc_id, h, COUNT(*) AS k FROM s GROUP BY doc_id, h
+    ), w AS (
+      SELECT doc_id, k, SUM(k) OVER (PARTITION BY h) AS tot FROM p
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) AS BIGINT) AS dup_spans,
+           CAST((COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) * 10000)
+                // SUM(k) AS BIGINT) AS dup_frac_bp
+    FROM w GROUP BY doc_id
+    """,
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window substring dedup profile (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better", at token-8-gram
+    granularity): per document, the fraction of its token-span
+    occurrences whose span appears >= 2 times corpus-wide (any doc,
+    within-doc repeats included). Docs shorter than the window emit no
+    spans and are absent by construction.
+
+    Shape at scale: span hashing is map-side (HOF over the token array;
+    only (doc_id, md5) pairs leave the scan — never span text), per-doc
+    span multiplicities are a (doc_id, h) partial-agg, corpus frequency
+    is a window over the 16-byte hash key, and the final per-doc profile
+    re-aggregates on doc_id. Three hash-key exchanges, zero joins, no
+    quadratic pair expansion anywhere. dup_frac_bp uses truncating
+    integer division (Spark `div` == DuckDB `//`), identical both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    spans = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
+                    f" i -> md5(cast(array_join(slice(toks, i, {_SPAN_W}), ' ') as binary)))"
+                )
+            ).alias("h"),
+        )
+    )
+    pairs = spans.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("k"))
+    tot = F.sum("k").over(Window.partitionBy("h"))
+    dup = F.sum(F.when(F.col("tot") > 1, F.col("k")).otherwise(F.lit(0)))
+    return (
+        pairs.withColumn("tot", tot)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_spans"),
+            dup.alias("dup_spans"),
+        )
+        .withColumn("dup_frac_bp", F.expr("dup_spans * 10000 div n_spans"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# mix_sources_temperature — temperature-scaled source mixing
+
+
+@register(
+    "mix_sources_temperature",
+    group="curation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT source,
+             CAST(floor(10000.0 * sqrt(CAST(tok AS DOUBLE))
+                  / sqrt(CAST((SELECT MAX(tok) FROM s) AS DOUBLE))) AS BIGINT) AS rate_bp
+      FROM s
+    )
+    SELECT doc_id, source, lang, n_chars, rate_bp
+    FROM documents JOIN r USING (source)
+    WHERE ({SQL_TOKEN_HASH.format(t='md5(text)')}) % 10000 < rate_bp
+    """,
+)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    rule, alpha = 0.5): per-source keep rate proportional to
+    sqrt(source token mass), normalized so the largest source keeps
+    everything; membership decided by a content-derived hash so the mix
+    is a pure function of the row — reruns, retries, and repartitionings
+    pick the same subset (the property sample_stratified establishes for
+    per-language rates, here driven by corpus statistics instead of a
+    config constant).
+
+    Shape at scale: the rate table is an O(|sources|) aggregate
+    broadcast back onto the fact table; the filter is map-side. The
+    normalizing max is a window over the already-tiny stats table (its
+    SinglePartition exchange moves O(|sources|) rows — the
+    doc_pack_sequences bucket-table pattern), NOT a second aggregate
+    over documents: one fact-scan for stats, one for the filter, total.
+    sqrt and one multiply+divide are correctly-rounded IEEE ops, so
+    rate_bp is bit-identical cross-engine; the rest is integer
+    arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.sum("n_chars").alias("tok"))
+    rates = stats.withColumn(
+        "mx", F.max("tok").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "source",
+        F.floor(
+            F.lit(10000.0)
+            * F.sqrt(F.col("tok").cast("double"))
+            / F.sqrt(F.col("mx").cast("double"))
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    hb = token_hash(F.md5(F.col("text").cast("binary"))) % 10000
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(hb < F.col("rate_bp"))
+        .select("doc_id", "source", "lang", "n_chars", "rate_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_train_holdout — leakage-safe deterministic dataset split
+
+
+@register(
+    "split_train_holdout",
+    group="curation",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS text_hash,
+           CAST(({SQL_TOKEN_HASH.format(t='md5(text)')}) % 100 AS BIGINT) AS content_bucket,
+           CASE WHEN ({SQL_TOKEN_HASH.format(t='md5(text)')}) % 100 < 90 THEN 'train'
+                WHEN ({SQL_TOKEN_HASH.format(t='md5(text)')}) % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (90/5/5): the bucket is a
+    function of md5(text), so byte-identical documents land in the SAME
+    split no matter which doc_id, source, or ingestion batch they arrive
+    under — the property that makes a holdout set trustworthy after
+    (or without) exact dedup. Splitting by doc_id or by random() has no
+    such guarantee and silently leaks dup'd eval docs into train.
+
+    Map-side, zero shuffle at any scale; rerun-stable for the same
+    reason as sample_stratified / mix_sources_temperature."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (token_hash(F.md5(F.col("text").cast("binary"))) % 100).cast("long")
+    return (
+        d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .withColumn("content_bucket", bucket)
+        .select(
+            "doc_id",
+            "text_hash",
+            "content_bucket",
+            F.when(F.col("content_bucket") < 90, F.lit("train"))
+            .when(F.col("content_bucket") < 95, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_unk — vocabulary pruning / UNK replacement
+
+
+@register(
+    "text_vocab_unk",
+    group="curation",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tk
+      FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+    ), c AS (
+      SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+    ), g AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab FROM c
+    ), m AS (
+      SELECT doc_id, pos,
+             CASE WHEN cnt * 2 * vocab < total THEN '<unk>' ELSE tk END AS mt,
+             CASE WHEN cnt * 2 * vocab < total THEN 1 ELSE 0 END AS oov
+      FROM tok JOIN c USING (tk) CROSS JOIN g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST((SUM(oov) * 10000) // COUNT(*) AS BIGINT) AS oov_bp,
+           string_agg(mt, ' ' ORDER BY pos) AS text_unk
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_vocab_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning with UNK replacement (tokenizer-prep): a token
+    is out-of-vocabulary iff its corpus frequency is under half the mean
+    frequency (cnt * 2 * |vocab| < total — integer compare, no division,
+    data-derived so the rule scales with the corpus instead of hardcoding
+    a count). Per doc: token/OOV counts and the text rewritten with rare
+    tokens replaced by '<unk>', original order preserved.
+
+    Shape at scale: corpus counts are one token-key agg; the per-token
+    rare flag joins back on the token key — the kept vocabulary is
+    Heaps'-law-bounded, so this join broadcasts (AQE picks it up here;
+    at 100 TB you'd materialize the vocab table once per corpus
+    snapshot). Reassembly is the one inherent doc_id shuffle: sorted
+    collect of (pos, token) — the fn_string_agg ordered-agg idiom."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tk")
+    counts = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    g = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    flags = counts.crossJoin(F.broadcast(g)).select(
+        "tk",
+        (F.col("cnt") * 2 * F.col("vocab") < F.col("total")).alias("rare"),
+    )
+    m = tok.join(F.broadcast(flags), "tk").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("rare"), F.lit("<unk>")).otherwise(F.col("tk")).alias("mt"),
+        F.when(F.col("rare"), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.expr("sum(oov) * 10000 div count(1)").alias("oov_bp"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("mt").alias("mt")))
+                ),
+                lambda x: x["mt"],
+            ),
+            " ",
+        ).alias("text_unk"),
+    )

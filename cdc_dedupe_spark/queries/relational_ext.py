@@ -629,3 +629,120 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@register(
+    "subquery_correlated",
+    group="relational-ext",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, c_nationkey, total_cents FROM t
+    WHERE total_cents * (SELECT COUNT(*) FROM t AS t2
+                         WHERE t2.c_nationkey = t.c_nationkey)
+        > (SELECT CAST(SUM(total_cents) AS BIGINT) FROM t AS t2
+           WHERE t2.c_nationkey = t.c_nationkey)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: customers (with >= 1 order) whose
+    lifetime spend exceeds their nation's average. Written as the
+    correlated SQL a reference user would write; Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates both subqueries into
+    aggregate-then-join — the textbook unnesting (Neumann & Kemper,
+    "Unnesting Arbitrary Queries") — never a per-row re-execution; the
+    CTE instances the rewrite duplicates collapse via ReusedExchange
+    (the per-customer aggregate shuffles once, both subquery branches
+    read that shuffle output — pinned in tests/test_plans.py), leaving
+    custkey-agg + nationkey-agg shuffles plus a broadcast join back.
+    The above-average compare is the exact
+    integer form total*count > sum (no division, no float average), so
+    it is bit-identical cross-engine."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders_v")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT c_custkey, c_nationkey,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+          FROM sq_customer_v JOIN sq_orders_v ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_nationkey
+        )
+        SELECT c_custkey, c_nationkey, total_cents FROM t
+        WHERE total_cents * (SELECT COUNT(*) FROM t AS t2
+                             WHERE t2.c_nationkey = t.c_nationkey)
+            > (SELECT SUM(total_cents) FROM t AS t2
+               WHERE t2.c_nationkey = t.c_nationkey)
+        """
+    )
+
+
+@register(
+    "ts_downsample_ohlc",
+    group="relational-ext",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_us, cents,
+             row_number() OVER (PARTITION BY event_type, bucket_us
+                                ORDER BY ts_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket_us
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+           MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents
+    FROM r GROUP BY event_type, bucket_us
+    """,
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: per (event_type, 1-hour
+    bucket) OHLC candle — open/close are the values at the first/last
+    event in the bucket (order (ts, event_id): the unique tie-break),
+    high/low/sum/count the usual. Buckets via integer epoch-us division
+    (no date_trunc dialect drift); values via integer cents.
+
+    Shape at scale: both row_number windows AND the final groupBy share
+    the one (event_type, bucket_us) hash partitioning — one Exchange
+    total (the descending window re-sorts within partitions, no second
+    shuffle), state per group is O(1). This is the continuous-aggregate
+    downsample a TSDB materializes; emitted here as a batch operator."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "bucket_us").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("event_type", "bucket_us").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+        )
+    )

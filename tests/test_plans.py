@@ -294,3 +294,46 @@ def test_contamination_join_is_hash_on_hashed_shingles(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "contamination_ngram")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"hashpartitioning\(lang#\d+, hs#\d+L", plan), plan
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    """ts_downsample_ohlc: both row_number windows AND the final groupBy
+    share the one (event_type, bucket_us) hash partitioning — exactly
+    one Exchange, so the candle rollup costs a single shuffle at any
+    scale."""
+    plan = plan_of(spark, sf_dir, "ts_downsample_ohlc")
+    assert n_exchanges(plan) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 2
+
+
+def test_mix_temperature_broadcast_rates(spark, sf_dir):
+    """mix_sources_temperature: the rate table joins back via broadcast
+    (the 100 TB fact side never shuffles for it); the normalizing max is
+    a window over the tiny per-source stats table, not a second pass
+    over documents — so exactly two parquet scans and no nested-loop
+    join anywhere."""
+    plan = plan_of(spark, sf_dir, "mix_sources_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 2, plan
+
+
+def test_span_ngram_no_joins(spark, sf_dir):
+    """dedup_span_ngram: corpus span frequency comes from a window over
+    the hash key — no join, no pair expansion; the three exchanges are
+    (doc_id,h) partial-agg, h window, doc_id final agg."""
+    plan = plan_of(spark, sf_dir, "dedup_span_ngram")
+    assert "Join" not in plan, plan
+    assert n_exchanges(plan) == 3, plan
+
+
+def test_subquery_correlated_reuses_exchange(spark, sf_dir):
+    """subquery_correlated: Catalyst's unnesting duplicates the CTE per
+    scalar subquery; the duplicates must collapse via ReusedExchange so
+    the per-customer aggregate is computed once — and decorrelation must
+    yield hash joins, never a per-row nested loop."""
+    df = REGISTRY["subquery_correlated"].spark(spark, sf_dir)
+    df.collect()  # AQE final plan carries the reuse markers
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

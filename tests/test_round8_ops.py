@@ -1,0 +1,220 @@
+"""Hand-computed unit tests for the round-8 operators
+(dedup_span_ngram, mix_sources_temperature, split_train_holdout,
+text_vocab_unk, subquery_correlated, ts_downsample_ohlc).
+
+The oracle harness proves Spark == DuckDB; these prove both equal the
+INTENDED semantics on inputs small enough to verify by hand — the guard
+against a query and its oracle drifting together.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cdc_dedupe_spark.queries import REGISTRY
+
+
+def _write_documents(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _token_hash(t: str) -> int:
+    """Python twin of functions.text.token_hash (ascii-mix family)."""
+
+    def a(i: int) -> int:
+        return ord(t[i]) if i < len(t) else 0
+
+    h = a(0) * 130003 + a(1) * 1009 + a(2) * 31 + len(t)
+    return (h * 2654435761) % (1 << 61)
+
+
+def _content_bucket(text: str, mod: int) -> int:
+    return _token_hash(hashlib.md5(text.encode()).hexdigest()) % mod
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_ngram
+
+
+def test_span_ngram_hand_computed(spark, tmp_path):
+    """doc 0 and doc 1 are identical 9-token docs -> their 2 spans each
+    are duplicated (cross-doc); doc 2 has a unique 8-token span; doc 3
+    (7 tokens, under the window) emits nothing."""
+    nine = " ".join(f"t{i}" for i in range(9))
+    rows = [
+        (0, nine, "en", "s1"),
+        (1, nine, "en", "s1"),
+        (2, " ".join(f"u{i}" for i in range(8)), "en", "s1"),
+        (3, " ".join(f"v{i}" for i in range(7)), "en", "s1"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_frac_bp)
+        for r in REGISTRY["dedup_span_ngram"].spark(spark, sf).collect()
+    }
+    assert got == {0: (2, 2, 10000), 1: (2, 2, 10000), 2: (1, 0, 0)}
+
+
+def test_span_ngram_within_doc_repeats_count(spark, tmp_path):
+    """A single doc of 16 identical tokens: all 9 spans are the same
+    8-gram -> every occurrence is duplicated (within-doc multiplicity
+    counts, the Lee-et-al semantics)."""
+    sf = _write_documents(tmp_path, [(0, " ".join(["x"] * 16), "en", "s1")])
+    [r] = REGISTRY["dedup_span_ngram"].spark(spark, sf).collect()
+    assert (r.n_spans, r.dup_spans, r.dup_frac_bp) == (9, 9, 10000)
+
+
+# ---------------------------------------------------------------------------
+# mix_sources_temperature
+
+
+def test_mix_temperature_rates_and_membership(spark, tmp_path):
+    """srcB has 4x srcA's token mass -> rate(B)=10000 (keeps all),
+    rate(A)=floor(10000*sqrt(1/4))=5000; membership must equal the
+    Python-recomputed content-hash rule exactly."""
+    rows = [(i, f"doc number {i} " + "pad " * i, "en", "srcA") for i in range(8)]
+    mass_a = sum(len(r[1]) for r in rows)
+    # one srcB doc padded to exactly 4x srcA's mass
+    rows.append((100, "b" * (4 * mass_a), "en", "srcB"))
+    sf = _write_documents(tmp_path, rows)
+    out = REGISTRY["mix_sources_temperature"].spark(spark, sf).collect()
+    rates = {r.source: r.rate_bp for r in out}
+    assert rates.get("srcB") == 10000
+    expected = {
+        r[0]
+        for r in rows
+        if _content_bucket(r[1], 10000) < (5000 if r[3] == "srcA" else 10000)
+    }
+    assert {r.doc_id for r in out} == expected
+    assert all(r.rate_bp == (5000 if r.source == "srcA" else 10000) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# split_train_holdout
+
+
+def test_split_leakage_safe_and_exhaustive(spark, tmp_path):
+    """Byte-identical docs (different doc_id/source) land in the SAME
+    split; every doc gets exactly one split; bucket matches the Python
+    twin of the content hash."""
+    rows = [(i, f"unique doc {i} " + "w " * (i % 7), "en", "s1") for i in range(40)]
+    rows.append((999, rows[0][1], "de", "s2"))  # dup of doc 0, other source
+    sf = _write_documents(tmp_path, rows)
+    out = {r.doc_id: r for r in REGISTRY["split_train_holdout"].spark(spark, sf).collect()}
+    assert len(out) == len(rows)
+    assert out[999].split == out[0].split and out[999].text_hash == out[0].text_hash
+    for r in rows:
+        b = _content_bucket(r[1], 100)
+        want = "train" if b < 90 else ("valid" if b < 95 else "test")
+        assert out[r[0]].content_bucket == b and out[r[0]].split == want
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_unk
+
+
+def test_vocab_unk_hand_computed(spark, tmp_path):
+    """Corpus: 9x 'aa', 1x 'rare' -> vocab=2, total=10; rare iff
+    cnt*2*2 < 10: 'rare' (4<10) is OOV, 'aa' (36>=10) kept. Rewrite
+    preserves order."""
+    rows = [
+        (0, "aa aa aa rare", "en", "s1"),
+        (1, "aa aa aa aa aa aa", "en", "s1"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_bp, r.text_unk)
+        for r in REGISTRY["text_vocab_unk"].spark(spark, sf).collect()
+    }
+    assert got == {
+        0: (4, 1, 2500, "aa aa aa <unk>"),
+        1: (6, 0, 0, "aa aa aa aa aa aa"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# subquery_correlated
+
+
+def test_subquery_correlated_hand_computed(spark, tmp_path):
+    """Nation 1: cust 10 spends 300c, cust 11 spends 100c -> only 10 is
+    strictly above the nation average (200c). Nation 2: single customer
+    is exactly AT the average -> excluded (strict >). Customers with no
+    orders never appear."""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 11, 20, 30], pa.int64()),
+                "c_nationkey": pa.array([1, 1, 2, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([10, 10, 11, 20], pa.int64()),
+                "o_totalprice": pa.array([1.0, 2.0, 1.0, 5.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {
+        r.c_custkey: (r.c_nationkey, r.total_cents)
+        for r in REGISTRY["subquery_correlated"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out == {10: (1, 300)}
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_ohlc
+
+
+def test_ohlc_hand_computed(spark, tmp_path):
+    """Hour 0 (out-of-order arrival): open = value at earliest ts, close
+    at latest, high/low/sum over the bucket. Hour 1: two events at the
+    SAME ts -> event_id breaks the tie for open/close."""
+    h = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minute, hour=0):
+        return h + datetime.timedelta(hours=hour, minutes=minute)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [ts(10), ts(20), ts(5), ts(30, 1), ts(30, 1)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0, 3.0, 2.0, 4.0, 5.0], pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {
+        r.bucket_us: r
+        for r in REGISTRY["ts_downsample_ohlc"].spark(spark, str(tmp_path)).collect()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+    b0 = int((h - epoch).total_seconds()) * 1_000_000
+    b1 = b0 + 3_600_000_000
+    r0, r1 = out[b0], out[b1]
+    assert (r0.n_events, r0.sum_cents, r0.open_cents, r0.close_cents, r0.high_cents, r0.low_cents) == (3, 600, 200, 300, 300, 100)
+    # tie at identical ts: event_id 4 opens, event_id 5 closes
+    assert (r1.n_events, r1.open_cents, r1.close_cents) == (2, 400, 500)
