@@ -37,15 +37,16 @@ from . import curation  # noqa: F401,E402
 # the three r7 additions (contamination_ngram, doc_pack_sequences); only
 # source_scorecard waits for the r8 window (it has committed sf0.01
 # sweep + local parity evidence meanwhile).
-# r8 (offset 269; registry grew 101 -> 107, ≡ 55 mod 107): computed
+# r8 (offset 274; registry grew 101 -> 109, ≡ 56 mod 109): computed
 # maximal coverage of never-driver-verified entries — source_scorecard
-# (VERDICT r7 item 1) and five of the six r8 curation/relational
-# additions — plus 44 of the 50 entries last verified in r6. Left for
-# r9: dedup_span_ngram (sorts into the d-region; sf0.01 sweep + local
-# parity evidence meanwhile) and 6 r6-verified entries (agg_cube,
-# agg_distinct, window_rank, window_running_sum, and the two rows-only
-# approx aggs that never hash-match by design).
-DRIVER_ROTATION_OFFSET = 269
+# (VERDICT r7 item 1) and seven of the eight r8 additions — plus 43 of
+# the 50 entries last verified in r6. Left for r9: dedup_span_ngram and
+# graph_pagerank (they sort into the d/g-region the r7 window already
+# covered; both have sf0.01 sweep + local parity evidence meanwhile)
+# and 7 r6-verified entries (agg_cube, agg_distinct, window_range_frame,
+# window_rank, window_running_sum, and the two rows-only approx aggs
+# that never hash-match by design).
+DRIVER_ROTATION_OFFSET = 274
 
 
 def driver_order() -> list[str]:

@@ -1439,19 +1439,10 @@ _KNN_GRAPH_ORACLE = f"""
     """
 
 
-@register("ann_knn_graph", group="llm-ext", oracle=_KNN_GRAPH_ORACLE)
-def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN graph: for EVERY vector, its top-3 cosine
-    neighbors within its hyperplane-LSH bucket — the all-vectors
-    generalization of ann_lsh_topk's single probe and the edge-building
-    stage SemDeDup-style semantic dedup (dedup_embed_cluster) runs before
-    clustering, declared here as a first-class output.
-
-    Scale shape: bucketing is map-side; candidate scoring is the same
-    content-banded bucket equi self-join as dedup_embed_lsh (pairs bounded
-    per bucket, never all-pairs); top-k per vector is one window over the
-    candidate rows, partitioned on a high-cardinality key. Exact integer
-    cosine => exact oracle, ties broken by neighbor id."""
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared k-NN edge builder: (vec_id, nbr_id, cos_r, rank<=K) per
+    vector, neighbors restricted to the vector's LSH bucket. Used by
+    ann_knn_graph (declared output) and graph_pagerank (edge input)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # Norm precomputed ONCE per vector (n sqrt+fold evaluations), not once
     # per candidate pair (~80n here): sqrt of the same integer-valued
@@ -1477,6 +1468,98 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_r").desc(), "nbr_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _KNN_K)
+
+
+@register("ann_knn_graph", group="llm-ext", oracle=_KNN_GRAPH_ORACLE)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph: for EVERY vector, its top-3 cosine
+    neighbors within its hyperplane-LSH bucket — the all-vectors
+    generalization of ann_lsh_topk's single probe and the edge-building
+    stage SemDeDup-style semantic dedup (dedup_embed_cluster) runs before
+    clustering, declared here as a first-class output.
+
+    Scale shape: bucketing is map-side; candidate scoring is the same
+    content-banded bucket equi self-join as dedup_embed_lsh (pairs bounded
+    per bucket, never all-pairs); top-k per vector is one window over the
+    candidate rows, partitioned on a high-cardinality key. Exact integer
+    cosine => exact oracle, ties broken by neighbor id."""
+    return _knn_edges(spark, sf_dir)
+
+
+_PR_ORACLE = f"""
+    WITH knn AS (
+      SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})
+    ), deg AS (
+      SELECT vec_id, COUNT(*) AS outdeg FROM knn GROUP BY vec_id
+    ), n AS (
+      SELECT vec_id FROM embeddings
+    ), c1 AS (
+      SELECT nbr_id, SUM(1000000 // outdeg) AS s
+      FROM knn JOIN deg USING (vec_id) GROUP BY nbr_id
+    ), p1 AS (
+      SELECT n.vec_id, 150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS pr
+      FROM n LEFT JOIN c1 ON c1.nbr_id = n.vec_id
+    ), c2 AS (
+      SELECT knn.nbr_id, SUM(p1.pr // deg.outdeg) AS s
+      FROM knn JOIN deg USING (vec_id) JOIN p1 ON p1.vec_id = knn.vec_id
+      GROUP BY knn.nbr_id
+    ), ind AS (
+      SELECT nbr_id, COUNT(*) AS cnt FROM knn GROUP BY nbr_id
+    )
+    SELECT n.vec_id,
+           CAST(150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS pr,
+           CAST(COALESCE(ind.cnt, 0) AS BIGINT) AS in_deg
+    FROM n
+    LEFT JOIN c2 ON c2.nbr_id = n.vec_id
+    LEFT JOIN ind ON ind.nbr_id = n.vec_id
+    """
+
+
+@register("graph_pagerank", group="llm-ext", oracle=_PR_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations over the approximate k-NN
+    similarity graph (damping 0.85, all-integer arithmetic scaled 1e6 —
+    exact oracle): a centrality score for every embedding plus its
+    in-degree, the ranking signal a semantic-dedup / data-curation
+    pipeline derives from the same edge set dedup_embed_cluster consumes.
+    Dangling mass is dropped (the standard simplification); nodes with
+    no in-edges sit at the 0.15 baseline.
+
+    Scale shape: edges come from the banded k-NN build (bounded per
+    bucket, never all-pairs) and are lineage-truncated once
+    (localCheckpoint, the dedup_embed_cluster loop discipline) so both
+    iterations read the same materialization instead of re-running the
+    self-join. Each iteration is: co-partitioned edges ⋈ ranks on the
+    source key, partial-aggregated contribution sum on the target key —
+    the standard Pregel-on-shuffle shape, |edges| rows moved per
+    iteration, integer `div` contributions (Spark `div` == DuckDB `//`)."""
+    edges = (
+        _knn_edges(spark, sf_dir).select("vec_id", "nbr_id").localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "vec_id")
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+
+    def iterate(ranks: DataFrame) -> DataFrame:
+        contrib = (
+            ed.join(ranks, "vec_id")
+            .select("nbr_id", F.expr("pr div outdeg").alias("c"))
+            .groupBy("nbr_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        return nodes.join(
+            contrib, nodes["vec_id"] == contrib["nbr_id"], "left"
+        ).select(
+            nodes["vec_id"],
+            (F.lit(150000) + F.expr("(850 * coalesce(s, 0L)) div 1000")).alias("pr"),
+        )
+
+    p0 = nodes.select("vec_id", F.lit(1000000).cast("long").alias("pr"))
+    p2 = iterate(iterate(p0))
+    ind = edges.groupBy("nbr_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return p2.join(ind, p2["vec_id"] == ind["nbr_id"], "left").select(
+        p2["vec_id"], "pr", F.coalesce(F.col("cnt"), F.lit(0)).alias("in_deg")
+    )
 
 
 @register(

@@ -256,3 +256,78 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
     return run_to_memory(joined, "stream_stream_join", output_mode="append")
+
+
+@register(
+    "stream_ohlc_candles",
+    group="streaming",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), k AS (
+      SELECT *, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      FROM e
+    )
+    SELECT event_type, window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           arg_min(cents, ok) AS open_cents,
+           arg_max(cents, ok) AS close_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents
+    FROM k GROUP BY event_type, window_start_us
+    """,
+)
+def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ts_downsample_ohlc: per (event_type, 1-hour
+    tumbling window) OHLC candle computed on a real stream (complete
+    output). row_number is not available in streaming aggregation, so
+    open/close use min_by/max_by over a zero-padded (ts_us, event_id)
+    string key — lexicographic order == (ts, id) order, the same unique
+    tie-break, expressible as a declarative aggregate the state store
+    can maintain incrementally (O(1) state per open candle; with a
+    watermark this is exactly the TSDB continuous-aggregate pattern).
+    DuckDB's arg_min/arg_max over the same key is the exact oracle —
+    candle values are watermark-independent on a bounded replay."""
+    stream = events_stream(spark, sf_dir)
+    e = stream.select(
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "ok",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min_by("cents", "ok").alias("open_cents"),
+            F.max_by("cents", "ok").alias("close_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_cents",
+            "open_cents",
+            "close_cents",
+            "high_cents",
+            "low_cents",
+        )
+    )
+    return run_to_memory(agg, "stream_ohlc_candles", output_mode="complete")

@@ -42,6 +42,10 @@ HEADLINE = [
     "ts_subseq_search",
     "sample_stratified",
     "pipeline_pretrain_docs",
+    "ts_downsample_ohlc",
+    "subquery_correlated",
+    "dedup_span_ngram",
+    "mix_sources_temperature",
 ]
 
 
@@ -56,7 +60,7 @@ def main() -> int:
         "",
         "Plan-shape properties here are pinned by tests/test_plans.py; this",
         "file is the human-readable witness. Iterative queries",
-        "(dedup_embed_cluster, ml_kmeans_train) are documented in",
+        "(dedup_embed_cluster, ml_kmeans_train, graph_pagerank) are documented in",
         "SCALING.md instead — their interesting structure is the loop, not",
         "one final plan.",
         "",

@@ -218,3 +218,76 @@ def test_ohlc_hand_computed(spark, tmp_path):
     assert (r0.n_events, r0.sum_cents, r0.open_cents, r0.close_cents, r0.high_cents, r0.low_cents) == (3, 600, 200, 300, 300, 100)
     # tie at identical ts: event_id 4 opens, event_id 5 closes
     assert (r1.n_events, r1.open_cents, r1.close_cents) == (2, 400, 500)
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank
+
+
+def test_pagerank_matches_independent_python(spark, sf_dir):
+    """The PageRank arithmetic, checked against a plain-Python
+    implementation driven by the (independently oracle-verified)
+    ann_knn_graph edge set — an independent witness that isn't SQL in
+    either engine."""
+    edges = [
+        (r.vec_id, r.nbr_id)
+        for r in REGISTRY["ann_knn_graph"].spark(spark, sf_dir).collect()
+    ]
+    nodes = [r.vec_id for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id").collect()]
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1_000_000 for v in nodes}
+    for _ in range(2):
+        s: dict = {}
+        for a, b in edges:
+            s[b] = s.get(b, 0) + pr[a] // outdeg[a]
+        pr = {v: 150_000 + (850 * s.get(v, 0)) // 1000 for v in nodes}
+    ind: dict = {}
+    for _, b in edges:
+        ind[b] = ind.get(b, 0) + 1
+    got = {
+        r.vec_id: (r.pr, r.in_deg)
+        for r in REGISTRY["graph_pagerank"].spark(spark, sf_dir).collect()
+    }
+    assert got == {v: (pr[v], ind.get(v, 0)) for v in nodes}
+    # nodes with no in-edges sit exactly at the damping baseline
+    assert all(got[v][0] == 150_000 for v in nodes if v not in ind)
+
+
+# ---------------------------------------------------------------------------
+# stream_ohlc_candles
+
+
+def test_stream_ohlc_hand_computed(spark, tmp_path):
+    """Streaming twin of the ts_downsample_ohlc hand case: out-of-order
+    arrival within the hour and a same-ts tie broken by event_id, via
+    min_by/max_by over the padded string key on a real stream."""
+    h = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minute, hour=0):
+        return h + datetime.timedelta(hours=hour, minutes=minute)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [ts(10), ts(20), ts(5), ts(30, 1), ts(30, 1)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0, 3.0, 2.0, 4.0, 5.0], pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {
+        r.window_start_us: r
+        for r in REGISTRY["stream_ohlc_candles"].spark(spark, str(tmp_path)).collect()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+    b0 = int((h - epoch).total_seconds()) * 1_000_000
+    r0, r1 = out[b0], out[b0 + 3_600_000_000]
+    assert (r0.n_events, r0.sum_cents, r0.open_cents, r0.close_cents, r0.high_cents, r0.low_cents) == (3, 600, 200, 300, 300, 100)
+    assert (r1.n_events, r1.open_cents, r1.close_cents) == (2, 400, 500)
