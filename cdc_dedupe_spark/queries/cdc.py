@@ -241,3 +241,62 @@ def cdc_dedupe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "cdc_upsert_latest",
+    group="cdc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), k AS (
+      SELECT *, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           MAX(ts_us) AS last_ts_us,
+           arg_max(event_id, ok) AS last_event_id,
+           arg_max(event_type, ok) AS last_event_type,
+           arg_max(cents, ok) AS last_cents
+    FROM k GROUP BY user_id
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins upsert materialization — the current-state table a CDC
+    consumer builds from the change stream (SCD-type-1 / Debezium
+    read-model; the dual of cdc_dedupe_first's first-wins): per entity,
+    the latest version's fields plus the fold count, order (ts, event_id)
+    with the unique tie-break via the zero-padded string key (the
+    stream_ohlc_candles idiom).
+
+    Shape at scale: ONE partial-aggregated shuffle of O(|entities|) rows
+    (max_by folds map-side) — not a window + filter, which would move
+    every version to the entity's partition; the same declarative
+    aggregate runs unchanged as a streaming update-mode query, which is
+    exactly how the materialization stays continuously current."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "ok",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.max_by("event_id", "ok").alias("last_event_id"),
+        F.max_by("event_type", "ok").alias("last_event_type"),
+        F.max_by("cents", "ok").alias("last_cents"),
+    )

@@ -309,11 +309,11 @@ _BM25_ORACLE_BODY = """
     SELECT doc_id,
            (round({score}, 4) + 0.0) AS bm25_r
     FROM pd CROSS JOIN st
-    ORDER BY {score} DESC, doc_id LIMIT 10
+    ORDER BY {score} DESC, doc_id LIMIT {limit}
     """
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(limit: int = 10) -> str:
     tf_cols = ",\n             ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS)
     )
@@ -327,7 +327,7 @@ def _bm25_oracle() -> str:
         den = f"(CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
         terms.append(f"({idf} * ({num} / {den}))")
     score = "(" + " + ".join(terms) + ")"
-    return _BM25_ORACLE_BODY.format(tf_cols=tf_cols, df_cols=df_cols, score=score)
+    return _BM25_ORACLE_BODY.format(tf_cols=tf_cols, df_cols=df_cols, score=score, limit=limit)
 
 
 @register("text_bm25_topk", group="llm", oracle=_bm25_oracle())
@@ -345,6 +345,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_tfidf pattern); scoring is map-side; top-10 compiles to
     TakeOrderedAndProject. The big side is scanned once and never
     shuffled."""
+    j, score = _bm25_scored(spark, sf_dir)
+    return (
+        j.select("doc_id", round_pos(score, 4).alias("bm25_r"), score.alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "bm25_r")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str):
+    """Shared BM25 scorer: (docs ⨯ broadcast corpus-stats frame, exact
+    score column). Used by text_bm25_topk (declared output) and
+    retrieval_hybrid_rerank (candidate generation)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
@@ -379,9 +392,78 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = idf * (num / den)
         score = term if score is None else score + term
-    return (
+    return j, score
+
+
+def _hybrid_oracle() -> str:
+    from ..functions.vector import SQL_IDOT, SQL_INORM2
+
+    cos_e = (
+        SQL_IDOT.format(sa="se", sb="pse")
+        + f" / (sqrt({SQL_INORM2.format(sa='se')}) * sqrt({SQL_INORM2.format(sa='pse')}))"
+    )
+    return f"""
+    WITH cand AS (
+      SELECT * FROM ({_bm25_oracle(limit=20)})
+    ), je AS (
+      SELECT c.doc_id, c.bm25_r, {SQL_ISCALE.format(a='e.embedding')} AS se
+      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+    ), pr AS (
+      SELECT {SQL_ISCALE.format(a='embedding')} AS pse FROM embeddings WHERE vec_id = 0
+    ), sc AS (
+      SELECT doc_id, bm25_r, {cos_e} AS cos_e
+      FROM je CROSS JOIN pr
+    )
+    SELECT doc_id, bm25_r, (round(cos_e, 4) + 0.0) AS cos_r,
+           CAST(row_number() OVER (ORDER BY cos_e DESC, doc_id) AS INTEGER) AS final_rank
+    FROM sc
+    """
+
+
+@register("retrieval_hybrid_rerank", group="llm", oracle=_hybrid_oracle())
+def retrieval_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the RAG-prep shape): lexical BM25 candidate
+    generation (top-20, shared scorer with text_bm25_topk) followed by
+    dense rerank — candidates joined to their embeddings (vec_id ==
+    doc_id in the synthetic corpus) and re-ordered by exact integer
+    cosine against the probe vector (vec_id=0, the sim_cosine_topk
+    convention). Output carries both scores and the final dense rank.
+
+    Scale shape: stage 1 is the bm25 map-side score + TakeOrdered (the
+    corpus is scanned once, never shuffled); stage 2 touches only the
+    k=20 candidate rows — the embeddings side is joined AFTER the
+    top-k cut, so the dense kernel runs 20 times, not |corpus| times,
+    and the final window orders 20 rows (bounded by construction).
+    Exact doubles order the rank identically in both engines."""
+    from ..functions.vector import idot, iscale
+
+    j, score = _bm25_scored(spark, sf_dir)
+    cand = (
         j.select("doc_id", round_pos(score, 4).alias("bm25_r"), score.alias("_s"))
         .orderBy(F.col("_s").desc(), "doc_id")
-        .limit(10)
+        .limit(20)
         .select("doc_id", "bm25_r")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(iscale(F.col("embedding")).alias("pse"))
+    )
+    je = cand.join(e, cand["doc_id"] == e["vec_id"]).select(
+        "doc_id", "bm25_r", iscale(F.col("embedding")).alias("se")
+    )
+    cos_e = idot(F.col("se"), F.col("pse")).cast("double") / (
+        F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
+        * F.sqrt(idot(F.col("pse"), F.col("pse")).cast("double"))
+    )
+    w = Window.orderBy(F.col("cos_e").desc(), "doc_id")
+    return (
+        je.crossJoin(probe)
+        .select("doc_id", "bm25_r", cos_e.alias("cos_e"))
+        .withColumn("final_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "bm25_r",
+            round_pos(F.col("cos_e"), 4).alias("cos_r"),
+            "final_rank",
+        )
     )

@@ -291,3 +291,99 @@ def test_stream_ohlc_hand_computed(spark, tmp_path):
     r0, r1 = out[b0], out[b0 + 3_600_000_000]
     assert (r0.n_events, r0.sum_cents, r0.open_cents, r0.close_cents, r0.high_cents, r0.low_cents) == (3, 600, 200, 300, 300, 100)
     assert (r1.n_events, r1.open_cents, r1.close_cents) == (2, 400, 500)
+
+
+# ---------------------------------------------------------------------------
+# cdc_upsert_latest
+
+
+def test_upsert_latest_hand_computed(spark, tmp_path):
+    """user 0: out-of-order arrival — the ts-latest event wins, not the
+    last-written row; user 1: same-ts tie broken by event_id."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([ts(10), ts(5), ts(7), ts(7)], pa.timestamp("us")),
+            "user_id": pa.array([0, 0, 1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view", "view", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: (r.n_versions, r.last_event_id, r.last_event_type, r.last_cents)
+        for r in REGISTRY["cdc_upsert_latest"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (2, 1, "click", 100), 1: (2, 4, "purchase", 400)}
+
+
+# ---------------------------------------------------------------------------
+# retrieval_hybrid_rerank
+
+
+def test_hybrid_rerank_invariants(spark, sf_dir):
+    """Stage-1 candidates must contain text_bm25_topk's top-10 (shared
+    scorer); final_rank must be the permutation 1..20 ordered by the
+    Python-recomputed exact cosine vs probe vec 0 (descending, doc_id
+    tie-break)."""
+    import math
+
+    out = REGISTRY["retrieval_hybrid_rerank"].spark(spark, sf_dir).collect()
+    assert len(out) == 20
+    top10 = {r.doc_id for r in REGISTRY["text_bm25_topk"].spark(spark, sf_dir).collect()}
+    assert top10 <= {r.doc_id for r in out}
+    vecs = {
+        r.vec_id: [round(x * 10_000_000) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    p = vecs[0]
+
+    def cos(v):
+        dot = sum(a * b for a, b in zip(v, p))
+        return dot / (math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in p)))
+
+    want = sorted(out, key=lambda r: (-cos(vecs[r.doc_id]), r.doc_id))
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.final_rank)] == [r.doc_id for r in want]
+    assert sorted(r.final_rank for r in out) == list(range(1, 21))
+    for r in out:
+        assert abs(r.cos_r - round(cos(vecs[r.doc_id]), 4)) < 1e-9
+
+
+def test_span_ngram_randomized_vs_bruteforce(spark, tmp_path):
+    """Seeded random corpus vs a brute-force Python recomputation of the
+    span-dedup profile — catches windowing/multiplicity edge cases the
+    hand cases don't enumerate (var-length docs straddling the 8-token
+    minimum, partial cross-doc overlap)."""
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 14))), "en", "s1")
+        for i in range(30)
+    ]
+    sf = _write_documents(tmp_path, rows)
+    spans: dict = {}
+    per_doc: dict = {}
+    for doc_id, text, _, _ in rows:
+        toks = text.split(" ")
+        ss = [" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)]
+        if ss:
+            per_doc[doc_id] = ss
+            for s in ss:
+                spans[s] = spans.get(s, 0) + 1
+    want = {}
+    for doc_id, ss in per_doc.items():
+        dup = sum(1 for s in ss if spans[s] > 1)
+        want[doc_id] = (len(ss), dup, dup * 10000 // len(ss))
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_frac_bp)
+        for r in REGISTRY["dedup_span_ngram"].spark(spark, sf).collect()
+    }
+    assert got == want
