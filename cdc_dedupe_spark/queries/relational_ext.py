@@ -746,3 +746,80 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("low_cents"),
         )
     )
+
+
+@register(
+    "events_gap_fill",
+    group="relational-ext",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2
+    ), rng AS (
+      SELECT event_type, MIN(bucket_us) AS mn, MAX(bucket_us) AS mx
+      FROM base GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, 3600000000)) AS bucket_us
+      FROM rng
+    )
+    SELECT g.event_type, g.bucket_us,
+           COALESCE(b.n_events, 0) AS n_events,
+           b.sum_cents AS sum_cents,
+           last_value(b.sum_cents IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents,
+           (b.n_events IS NULL) AS is_gap
+    FROM grid g LEFT JOIN base b
+      ON b.event_type = g.event_type AND b.bucket_us = g.bucket_us
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB-style gap fill + LOCF (last-observation-carried-forward):
+    densify the per-(event_type, 1-hour bucket) rollup over each type's
+    own [min, max] bucket range — missing hours appear with n_events=0,
+    NULL sum, the carried-forward last observed sum, and an is_gap flag.
+    The dashboard/feature-engineering companion to ts_downsample_ohlc.
+
+    Shape at scale: the grid is generated from the O(|types|) range
+    aggregate (sequence + explode — rows ∝ types x hours, never a join
+    against a calendar table scan); the left join back to the rollup is
+    an equi hash join on (type, bucket); LOCF is one window on the same
+    partitioning. The raw events shuffle once (the rollup partial agg) —
+    everything downstream is bucket-table-sized."""
+    e = table(spark, sf_dir, "events")
+    base = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
+    )
+    grid = (
+        base.groupBy("event_type")
+        .agg(F.min("bucket_us").alias("mn"), F.max("bucket_us").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.lit(3600000000).cast("long"))).alias("bucket_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(base, ["event_type", "bucket_us"], "left")
+        .select(
+            "event_type",
+            "bucket_us",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "sum_cents",
+            F.last("sum_cents", ignorenulls=True).over(w).alias("locf_cents"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )

@@ -387,3 +387,72 @@ def test_span_ngram_randomized_vs_bruteforce(spark, tmp_path):
         for r in REGISTRY["dedup_span_ngram"].spark(spark, sf).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# events_gap_fill
+
+
+def test_gap_fill_hand_computed(spark, tmp_path):
+    """'click' has events in hours 0 and 3 only -> the grid densifies
+    hours 1-2 with n=0 / NULL sum / LOCF of hour 0 / is_gap; 'view' has
+    one hour -> one row, no gap. Grid is per-type min..max, not global."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(hour, minute=0):
+        return t0 + datetime.timedelta(hours=hour, minutes=minute)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([ts(0), ts(0, 30), ts(3), ts(5)], pa.timestamp("us")),
+            "user_id": pa.array([0] * 4, pa.int64()),
+            "event_type": pa.array(["click", "click", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 4.0, 9.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = REGISTRY["events_gap_fill"].spark(spark, str(tmp_path)).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    h0 = int((t0 - epoch).total_seconds()) * 1_000_000
+    HR = 3_600_000_000
+    got = {(r.event_type, r.bucket_us): (r.n_events, r.sum_cents, r.locf_cents, r.is_gap) for r in rows}
+    assert got == {
+        ("click", h0): (2, 300, 300, False),
+        ("click", h0 + HR): (0, None, 300, True),
+        ("click", h0 + 2 * HR): (0, None, 300, True),
+        ("click", h0 + 3 * HR): (1, 400, 400, False),
+        ("view", h0 + 5 * HR): (1, 900, 900, False),
+    }
+
+
+# ---------------------------------------------------------------------------
+# stream_upsert_latest
+
+
+def test_stream_upsert_matches_batch_twin(spark, tmp_path):
+    """The streaming materialization must equal the batch fold on the
+    same events — same out-of-order + same-ts-tie fixture as the batch
+    test."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([ts(10), ts(5), ts(7), ts(7)], pa.timestamp("us")),
+            "user_id": pa.array([0, 0, 1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view", "view", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: (r.n_versions, r.last_event_id, r.last_cents)
+        for r in REGISTRY["stream_upsert_latest"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (2, 1, 100), 1: (2, 4, 400)}
