@@ -337,3 +337,22 @@ def test_subquery_correlated_reuses_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_latest_single_exchange(spark, sf_dir):
+    """cdc_upsert_latest: the materialization is ONE partial-aggregated
+    shuffle on the entity key — no window over version history, no join."""
+    plan = plan_of(spark, sf_dir, "cdc_upsert_latest")
+    assert n_exchanges(plan) == 1, plan
+    assert "partial_max_by" in plan or "partial_count" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_gap_fill_grid_is_hash_join(spark, sf_dir):
+    """events_gap_fill: the densified grid joins back to the rollup via
+    an equi hash join on (type, bucket) — never a nested loop — and the
+    raw events shuffle exactly once (the rollup partial agg; every other
+    exchange moves bucket-table-sized data)."""
+    plan = plan_of(spark, sf_dir, "events_gap_fill")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 2, plan
