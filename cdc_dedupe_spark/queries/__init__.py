@@ -37,17 +37,17 @@ from . import curation  # noqa: F401,E402
 # the three r7 additions (contamination_ngram, doc_pack_sequences); only
 # source_scorecard waits for the r8 window (it has committed sf0.01
 # sweep + local parity evidence meanwhile).
-# r8 (offset 284; registry grew 101 -> 113, ≡ 58 mod 113): computed
+# r8 (offset 286; registry grew 101 -> 114, ≡ 58 mod 114): computed
 # maximal coverage of never-driver-verified entries — source_scorecard
-# (VERDICT r7 item 1) and eight of the twelve r8 additions — plus 41 of
-# the 50 entries last verified in r6 (the window is saturated: 9 never +
-# 41 r6 = 50 slots exactly). Left for r9: cdc_upsert_latest,
+# (VERDICT r7 item 1) and nine of the thirteen r8 additions — plus 40 of
+# the 50 entries last verified in r6 (the window is saturated: 10 never
+# + 40 r6 = 50 slots exactly). Left for r9: cdc_upsert_latest,
 # dedup_span_ngram, events_gap_fill and graph_pagerank (they sort into
 # the c..g region the r7 window already covered; all have sf0.01 sweep +
-# local parity evidence meanwhile) and 9 r6-verified entries (agg_cube,
+# local parity evidence meanwhile) and 10 r6-verified entries (agg_cube,
 # agg_distinct, the window_* family, and the two rows-only approx aggs
 # that never hash-match by design).
-DRIVER_ROTATION_OFFSET = 284
+DRIVER_ROTATION_OFFSET = 286
 
 
 def driver_order() -> list[str]:

@@ -35,10 +35,7 @@ from .registry import register
 _SPAN_W = 8
 
 
-@register(
-    "dedup_span_ngram",
-    group="curation",
-    oracle=f"""
+_SPAN_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), s AS (
@@ -56,8 +53,10 @@ _SPAN_W = 8
            CAST((COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) * 10000)
                 // SUM(k) AS BIGINT) AS dup_frac_bp
     FROM w GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("dedup_span_ngram", group="curation", oracle=_SPAN_ORACLE)
 def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window substring dedup profile (Lee et al. "Deduplicating
     Training Data Makes Language Models Better", at token-8-gram
@@ -74,7 +73,13 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pair expansion anywhere. dup_frac_bp uses truncating
     integer division (Spark `div` == DuckDB `//`), identical both
     engines."""
-    d = table(spark, sf_dir, "documents")
+    return _span_profile(table(spark, sf_dir, "documents"))
+
+
+def _span_profile(d: DataFrame) -> DataFrame:
+    """Shared span-dedup profiler over a documents frame. Used by
+    dedup_span_ngram (declared output) and pipeline_curation_mix
+    (dedup gate)."""
     spans = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= _SPAN_W)
@@ -144,8 +149,22 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_bp is bit-identical cross-engine; the rest is integer
     arithmetic."""
     d = table(spark, sf_dir, "documents")
+    hb = token_hash(F.md5(F.col("text").cast("binary"))) % 10000
+    return (
+        d.join(F.broadcast(_temp_rates(d)), "source")
+        .filter(hb < F.col("rate_bp"))
+        .select("doc_id", "source", "lang", "n_chars", "rate_bp")
+    )
+
+
+def _temp_rates(d: DataFrame) -> DataFrame:
+    """Shared temperature-rate table (source, rate_bp) over a documents
+    frame: rate ∝ sqrt(source token mass), normalized to the largest
+    source via a window over the tiny per-source stats table. Used by
+    mix_sources_temperature (declared output) and pipeline_curation_mix
+    (post-dedup-gate mixing)."""
     stats = d.groupBy("source").agg(F.sum("n_chars").alias("tok"))
-    rates = stats.withColumn(
+    return stats.withColumn(
         "mx", F.max("tok").over(Window.partitionBy(F.lit(1)))
     ).select(
         "source",
@@ -156,12 +175,6 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rate_bp"),
-    )
-    hb = token_hash(F.md5(F.col("text").cast("binary"))) % 10000
-    return (
-        d.join(F.broadcast(rates), "source")
-        .filter(hb < F.col("rate_bp"))
-        .select("doc_id", "source", "lang", "n_chars", "rate_bp")
     )
 
 
@@ -285,4 +298,79 @@ def text_vocab_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("text_unk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_mix — composed corpus-curation flow
+
+
+_CURATION_ORACLE = f"""
+    WITH prof AS (
+      SELECT * FROM ({_SPAN_ORACLE})
+    ), g AS (
+      SELECT d.doc_id, d.text, d.source, d.lang, d.n_chars,
+             COALESCE(p.dup_frac_bp, 0) AS dup_bp
+      FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
+      WHERE COALESCE(p.dup_frac_bp, 0) <= 2000
+    ), s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok FROM g GROUP BY source
+    ), r AS (
+      SELECT source,
+             CAST(floor(10000.0 * sqrt(CAST(tok AS DOUBLE))
+                  / sqrt(CAST((SELECT MAX(tok) FROM s) AS DOUBLE))) AS BIGINT) AS rate_bp
+      FROM s
+    )
+    SELECT g.doc_id, g.source, g.lang, g.dup_bp, r.rate_bp,
+           CASE WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 90 THEN 'train'
+                WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM g JOIN r USING (source)
+    WHERE ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 10000 < r.rate_bp
+    """
+
+
+@register("pipeline_curation_mix", group="curation", oracle=_CURATION_ORACLE)
+def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation flow — the round-8 counterpart of
+    pipeline_pretrain_docs: (1) span-dedup gate: drop documents with
+    more than 20% duplicated token-8-gram occurrences (the Lee-et-al
+    filter, _span_profile; short docs with no spans pass); (2)
+    temperature mix at alpha=0.5 with rates recomputed over the
+    SURVIVING corpus (_temp_rates — staged recompute, the real pipeline
+    ordering: dedup changes the source masses the mixer must see);
+    (3) leakage-safe split assignment on the content hash.
+
+    Shape at scale: the span profiler's three hash-key exchanges
+    dominate; the gate is a doc_id equi join (profile already
+    doc_id-partitioned by its final agg — the join reuses that side's
+    exchange); rates are an O(|sources|) aggregate of the gated frame
+    broadcast back; mix + split decisions are map-side expressions.
+    No stage widens data — each consumes the previous stage's columns
+    plus O(1) broadcast state."""
+    d = table(spark, sf_dir, "documents")
+    prof = _span_profile(d)
+    g = (
+        d.join(prof.select("doc_id", "dup_frac_bp"), "doc_id", "left")
+        .withColumn("dup_bp", F.coalesce("dup_frac_bp", F.lit(0)))
+        .filter(F.col("dup_bp") <= 2000)
+        .select("doc_id", "text", "source", "lang", "n_chars", "dup_bp")
+    )
+    hb100 = token_hash(F.md5(F.col("text").cast("binary"))) % 100
+    hb10k = token_hash(F.md5(F.col("text").cast("binary"))) % 10000
+    return (
+        g.join(F.broadcast(_temp_rates(g)), "source")
+        .filter(hb10k < F.col("rate_bp"))
+        .withColumn("hb100", hb100)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "dup_bp",
+            "rate_bp",
+            F.when(F.col("hb100") < 90, F.lit("train"))
+            .when(F.col("hb100") < 95, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )

@@ -456,3 +456,44 @@ def test_stream_upsert_matches_batch_twin(spark, tmp_path):
         for r in REGISTRY["stream_upsert_latest"].spark(spark, str(tmp_path)).collect()
     }
     assert out == {0: (2, 1, 100), 1: (2, 4, 400)}
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_mix
+
+
+def test_curation_pipeline_hand_computed(spark, tmp_path):
+    """Stage interaction: doc 0/1 are identical 16-token docs (100%
+    duplicated spans -> gated out); docs 2-4 are unique and survive the
+    gate; the mix rates must be computed from the SURVIVING corpus only
+    (dropping 0/1 changes source masses); split matches the content
+    hash."""
+    dup = " ".join(f"d{i}" for i in range(16))
+    rows = [
+        (0, dup, "en", "srcA"),
+        (1, dup, "en", "srcA"),
+        (2, " ".join(f"a{i}" for i in range(10)), "en", "srcA"),
+        (3, " ".join(f"b{i}" for i in range(40)), "en", "srcB"),
+        (4, "tiny doc", "en", "srcB"),  # <8 tokens: no spans, passes gate
+    ]
+    sf = _write_documents(tmp_path, rows)
+    out = {r.doc_id: r for r in REGISTRY["pipeline_curation_mix"].spark(spark, sf).collect()}
+    assert 0 not in out and 1 not in out  # gated: dup_bp = 10000 > 2000
+    # surviving masses: srcA = len(rows[2]), srcB = len(rows[3]) + len(rows[4])
+    import math
+
+    tok_a = len(rows[2][1])
+    tok_b = len(rows[3][1]) + len(rows[4][1])
+    mx = max(tok_a, tok_b)
+    rate = {
+        "srcA": math.floor(10000.0 * math.sqrt(tok_a) / math.sqrt(mx)),
+        "srcB": math.floor(10000.0 * math.sqrt(tok_b) / math.sqrt(mx)),
+    }
+    for doc_id, text, _, src in rows[2:]:
+        kept = _content_bucket(text, 10000) < rate[src]
+        assert (doc_id in out) == kept
+        if kept:
+            r = out[doc_id]
+            assert r.rate_bp == rate[src] and r.dup_bp == 0
+            b = _content_bucket(text, 100)
+            assert r.split == ("train" if b < 90 else "valid" if b < 95 else "test")
