@@ -76,3 +76,52 @@ def marker_count(text: Column, marker: str) -> Column:
 def sql_marker_count(marker: str) -> str:
     """DuckDB twin of marker_count over column ``text``."""
     return f"(length(text) - length(replace(text, '{marker}', ''))) / {len(marker)}"
+
+
+def token_hash_wide(t: Column) -> Column:
+    """Higher-resolution portable hash for basis-point (1/10000) sampling
+    decisions: mixes the first EIGHT char codes (16^8 combos over md5 hex
+    input — token_hash reads only three, capping it at 4096 distinct
+    values, too coarse for %10000 thresholds). Same portability contract
+    as token_hash; SQL twin below."""
+    h = (
+        F.ascii(t) * F.lit(130003)
+        + F.ascii(F.substring(t, 2, 1)) * F.lit(1009)
+        + F.ascii(F.substring(t, 3, 1)) * F.lit(31)
+        + F.ascii(F.substring(t, 4, 1)) * F.lit(10007)
+        + F.ascii(F.substring(t, 5, 1)) * F.lit(2003)
+        + F.ascii(F.substring(t, 6, 1)) * F.lit(101)
+        + F.ascii(F.substring(t, 7, 1)) * F.lit(401)
+        + F.ascii(F.substring(t, 8, 1)) * F.lit(7)
+        + F.length(t)
+    )
+    return (h.cast("long") * F.lit(2654435761)) % F.lit(1 << 61)
+
+
+SQL_TOKEN_HASH_WIDE = (
+    "((ascii({t}) * 130003 + ascii(substr({t}, 2, 1)) * 1009"
+    " + ascii(substr({t}, 3, 1)) * 31 + ascii(substr({t}, 4, 1)) * 10007"
+    " + ascii(substr({t}, 5, 1)) * 2003 + ascii(substr({t}, 6, 1)) * 101"
+    " + ascii(substr({t}, 7, 1)) * 401 + ascii(substr({t}, 8, 1)) * 7"
+    " + length({t})) * 2654435761) % 2305843009213693952"
+)
+
+
+def padded_order_key(ts_us: Column | str, event_id: Column | str) -> Column:
+    """Zero-padded (ts_us, event_id) string whose lexicographic order
+    equals the numeric order — the portable min_by/max_by key (DuckDB
+    arg_min/arg_max twin: SQL_PADDED_ORDER_KEY). Widths hold the full
+    int64 range for the id (19 digits) and epoch-micros through the year
+    ~33658 for the timestamp (20 digits). NON-NEGATIVE inputs only: a
+    '-' sign would sort before '0' and break the order — pre-1970
+    timestamps are out of contract for these keys."""
+    t = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    e = F.col(event_id) if isinstance(event_id, str) else event_id
+    return F.concat(
+        F.lpad(t.cast("string"), 20, "0"), F.lpad(e.cast("string"), 19, "0")
+    )
+
+
+SQL_PADDED_ORDER_KEY = (
+    "lpad(CAST({ts} AS VARCHAR), 20, '0') || lpad(CAST({id} AS VARCHAR), 19, '0')"
+)

@@ -20,6 +20,7 @@ from ..operators.cdc import (
     fanout,
     routing_df,
 )
+from ..functions.text import SQL_PADDED_ORDER_KEY, padded_order_key
 from ..tables import table
 from .registry import register
 
@@ -246,7 +247,7 @@ def cdc_dedupe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_upsert_latest",
     group="cdc",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -254,8 +255,7 @@ def cdc_dedupe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
     ), k AS (
-      SELECT *, lpad(CAST(ts_us AS VARCHAR), 20, '0')
-                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      SELECT *, {SQL_PADDED_ORDER_KEY.format(ts='ts_us', id='event_id')} AS ok
       FROM e
     )
     SELECT user_id,
@@ -272,27 +272,23 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer builds from the change stream (SCD-type-1 / Debezium
     read-model; the dual of cdc_dedupe_first's first-wins): per entity,
     the latest version's fields plus the fold count, order (ts, event_id)
-    with the unique tie-break via the zero-padded string key (the
-    stream_ohlc_candles idiom).
+    with the unique tie-break via the zero-padded string key
+    (functions/text.padded_order_key — full-int64-width safe).
 
     Shape at scale: ONE partial-aggregated shuffle of O(|entities|) rows
     (max_by folds map-side) — not a window + filter, which would move
     every version to the entity's partition; the same declarative
-    aggregate runs unchanged as a streaming update-mode query, which is
-    exactly how the materialization stays continuously current."""
+    aggregate runs unchanged as a streaming aggregation (the
+    stream_upsert_latest twin; update mode against a real sink keeps
+    the materialization continuously current — the bounded-replay
+    harness uses complete mode to read the whole table back)."""
     e = table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).withColumn(
-        "ok",
-        F.concat(
-            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ),
-    )
+    ).withColumn("ok", padded_order_key("ts_us", "event_id"))
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_versions"),
         F.max("ts_us").alias("last_ts_us"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import SQL_TOKEN_HASH, token_hash
+from ..functions.text import SQL_TOKEN_HASH, SQL_TOKEN_HASH_WIDE, token_hash, token_hash_wide
 from ..tables import table
 from .registry import register
 
@@ -126,7 +126,7 @@ def _span_profile(d: DataFrame) -> DataFrame:
     )
     SELECT doc_id, source, lang, n_chars, rate_bp
     FROM documents JOIN r USING (source)
-    WHERE ({SQL_TOKEN_HASH.format(t='md5(text)')}) % 10000 < rate_bp
+    WHERE ({SQL_TOKEN_HASH_WIDE.format(t='md5(text)')}) % 10000 < rate_bp
     """,
 )
 def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,9 +147,11 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     over documents: one fact-scan for stats, one for the filter, total.
     sqrt and one multiply+divide are correctly-rounded IEEE ops, so
     rate_bp is bit-identical cross-engine; the rest is integer
-    arithmetic."""
+    arithmetic. Membership uses token_hash_wide (8 hex chars of mix
+    input): basis-point thresholds need more than token_hash's 4096
+    distinct values to deliver the advertised rate resolution."""
     d = table(spark, sf_dir, "documents")
-    hb = token_hash(F.md5(F.col("text").cast("binary"))) % 10000
+    hb = token_hash_wide(F.md5(F.col("text").cast("binary"))) % 10000
     return (
         d.join(F.broadcast(_temp_rates(d)), "source")
         .filter(hb < F.col("rate_bp"))
@@ -326,7 +328,7 @@ _CURATION_ORACLE = f"""
                 WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 95 THEN 'valid'
                 ELSE 'test' END AS split
     FROM g JOIN r USING (source)
-    WHERE ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 10000 < r.rate_bp
+    WHERE ({SQL_TOKEN_HASH_WIDE.format(t='md5(g.text)')}) % 10000 < r.rate_bp
     """
 
 
@@ -342,12 +344,14 @@ def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) leakage-safe split assignment on the content hash.
 
     Shape at scale: the span profiler's three hash-key exchanges
-    dominate; the gate is a doc_id equi join (profile already
-    doc_id-partitioned by its final agg — the join reuses that side's
-    exchange); rates are an O(|sources|) aggregate of the gated frame
-    broadcast back; mix + split decisions are map-side expressions.
-    No stage widens data — each consumes the previous stage's columns
-    plus O(1) broadcast state."""
+    dominate and run ONCE — the gated frame feeds both the rate
+    aggregate and the mix filter, so it is lineage-truncated with a
+    lazy localCheckpoint (without it each consumer re-runs the profiler
+    and gate join; found by plan probe, 7 scans -> 1 materialization);
+    rates are an O(|sources|) aggregate of the gated frame broadcast
+    back; mix + split decisions are map-side expressions. No stage
+    widens data — each consumes the previous stage's columns plus O(1)
+    broadcast state."""
     d = table(spark, sf_dir, "documents")
     prof = _span_profile(d)
     g = (
@@ -355,9 +359,15 @@ def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_bp", F.coalesce("dup_frac_bp", F.lit(0)))
         .filter(F.col("dup_bp") <= 2000)
         .select("doc_id", "text", "source", "lang", "n_chars", "dup_bp")
+        # The gated frame feeds BOTH the rate aggregate and the mix
+        # filter; without lineage truncation Spark re-runs the span
+        # profiler + gate join once per consumer (plan probe: 7 scans,
+        # 1 reused exchange). Lazy localCheckpoint — the graph_pagerank
+        # discipline — materializes it once.
+        .localCheckpoint(eager=False)
     )
     hb100 = token_hash(F.md5(F.col("text").cast("binary"))) % 100
-    hb10k = token_hash(F.md5(F.col("text").cast("binary"))) % 10000
+    hb10k = token_hash_wide(F.md5(F.col("text").cast("binary"))) % 10000
     return (
         g.join(F.broadcast(_temp_rates(g)), "source")
         .filter(hb10k < F.col("rate_bp"))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..functions.text import SQL_PADDED_ORDER_KEY, padded_order_key
 from ..sources.replay import events_stream
 from ..streaming.run import run_to_memory
 from ..tables import table
@@ -261,7 +262,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_ohlc_candles",
     group="streaming",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT event_type,
              epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
@@ -270,8 +271,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
     ), k AS (
-      SELECT *, lpad(CAST(ts_us AS VARCHAR), 20, '0')
-                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      SELECT *, {SQL_PADDED_ORDER_KEY.format(ts='ts_us', id='event_id')} AS ok
       FROM e
     )
     SELECT event_type, window_start_us,
@@ -302,13 +302,7 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).withColumn(
-        "ok",
-        F.concat(
-            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ),
-    )
+    ).withColumn("ok", padded_order_key("ts_us", "event_id"))
     agg = (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -336,7 +330,7 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_upsert_latest",
     group="streaming",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -344,45 +338,43 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
     ), k AS (
-      SELECT *, lpad(CAST(ts_us AS VARCHAR), 20, '0')
-                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      SELECT *, {SQL_PADDED_ORDER_KEY.format(ts='ts_us', id='event_id')} AS ok
       FROM e
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_versions,
            MAX(ts_us) AS last_ts_us,
            arg_max(event_id, ok) AS last_event_id,
+           arg_max(event_type, ok) AS last_event_type,
            arg_max(cents, ok) AS last_cents
     FROM k GROUP BY user_id
     """,
 )
 def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cdc_upsert_latest executed as a real stream: the last-wins
-    current-state read model maintained by a declarative streaming
-    aggregation (max_by over the padded (ts_us, event_id) key), complete
-    output on the bounded replay. This is the continuously-current
-    materialization the batch twin's docstring promises — state is one
-    row per entity, updated in place by the state store, no window over
-    version history. The oracle is the batch fold, which the streaming
-    result must equal exactly because max_by/count/max are
-    order-insensitive over the same event set."""
+    """cdc_upsert_latest executed as a real stream, SAME output schema
+    as the batch twin: the last-wins current-state read model maintained
+    by a declarative streaming aggregation (max_by over the padded
+    (ts_us, event_id) key). State is one row per entity, updated in
+    place by the state store, no window over version history; a
+    production deployment runs this in update mode against an upsert
+    sink — the bounded-replay harness uses complete mode because the
+    memory sink must expose the whole table for comparison. The oracle
+    is the batch fold, which the streaming result must equal exactly
+    because max_by/count/max are order-insensitive over the same event
+    set."""
     stream = events_stream(spark, sf_dir)
     e = stream.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
+        "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).withColumn(
-        "ok",
-        F.concat(
-            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ),
-    )
+    ).withColumn("ok", padded_order_key("ts_us", "event_id"))
     agg = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_versions"),
         F.max("ts_us").alias("last_ts_us"),
         F.max_by("event_id", "ok").alias("last_event_id"),
+        F.max_by("event_type", "ok").alias("last_event_type"),
         F.max_by("cents", "ok").alias("last_cents"),
     )
     return run_to_memory(agg, "stream_upsert_latest", output_mode="complete")

@@ -42,8 +42,24 @@ def _token_hash(t: str) -> int:
     return (h * 2654435761) % (1 << 61)
 
 
+def _token_hash_wide(t: str) -> int:
+    """Python twin of functions.text.token_hash_wide (8-char mix)."""
+
+    def a(i: int) -> int:
+        return ord(t[i]) if i < len(t) else 0
+
+    h = (
+        a(0) * 130003 + a(1) * 1009 + a(2) * 31 + a(3) * 10007
+        + a(4) * 2003 + a(5) * 101 + a(6) * 401 + a(7) * 7 + len(t)
+    )
+    return (h * 2654435761) % (1 << 61)
+
+
 def _content_bucket(text: str, mod: int) -> int:
-    return _token_hash(hashlib.md5(text.encode()).hexdigest()) % mod
+    """%100 decisions (split) use the narrow hash; %10000 decisions
+    (mix membership) use the wide one — mirroring the operators."""
+    hx = hashlib.md5(text.encode()).hexdigest()
+    return (_token_hash_wide(hx) if mod >= 10000 else _token_hash(hx)) % mod
 
 
 # ---------------------------------------------------------------------------
@@ -338,8 +354,13 @@ def test_hybrid_rerank_invariants(spark, sf_dir):
     assert len(out) == 20
     top10 = {r.doc_id for r in REGISTRY["text_bm25_topk"].spark(spark, sf_dir).collect()}
     assert top10 <= {r.doc_id for r in out}
+    # HALF_UP like Spark's F.round (Python round() is banker's rounding:
+    # an exact-.5 component would diverge and flake)
+    def _iscale(x: float) -> int:
+        return int(math.floor(x * 10_000_000 + 0.5)) if x >= 0 else -int(math.floor(-x * 10_000_000 + 0.5))
+
     vecs = {
-        r.vec_id: [round(x * 10_000_000) for x in r.embedding]
+        r.vec_id: [_iscale(x) for x in r.embedding]
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     }
     p = vecs[0]
@@ -497,3 +518,24 @@ def test_curation_pipeline_hand_computed(spark, tmp_path):
             assert r.rate_bp == rate[src] and r.dup_bp == 0
             b = _content_bucket(text, 100)
             assert r.split == ("train" if b < 90 else "valid" if b < 95 else "test")
+
+
+def test_upsert_latest_wide_ids(spark, tmp_path):
+    """Order-key width edge (code-review finding): event ids wider than
+    12 digits at the SAME ts must order numerically — a truncating pad
+    would rank 1000000000000 below 999999999999 and pick the wrong last
+    version."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([999_999_999_999, 1_000_000_000_000], pa.int64()),
+            "ts": pa.array([t0, t0], pa.timestamp("us")),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}"] * 2),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    [r] = REGISTRY["cdc_upsert_latest"].spark(spark, str(tmp_path)).collect()
+    assert (r.last_event_id, r.last_event_type, r.last_cents) == (1_000_000_000_000, "b", 200)
