@@ -64,8 +64,9 @@ unset but KEEP ``cap_state_dir`` (the watch pipeline wires both).
 The ``redis`` client library is not installed in this container: the
 connection factory is import-gated and the planner/reader logic takes any
 client object exposing ``xinfo_stream`` / ``xrange``, so unit tests drive
-it with a fake. Row schema = the watch pipeline's envelope rows
-(streaming/pipeline.py ENVELOPE_ROW_SCHEMA).
+it with a fake. Row schema = the watch pipeline's envelope rows —
+ENVELOPE_ROW_SCHEMA below is the canonical definition; streaming/pipeline.py
+imports it for the file-stream path so the two can never diverge.
 """
 
 from __future__ import annotations
@@ -309,6 +310,13 @@ class RedisStreamReader(DataSourceStreamReader):
             try:
                 info = self._c().xinfo_stream(s)
                 end = info.get("last-generated-id", ZERO_ID)
+                wm = (self._watermark or {}).get(s)
+                if wm is not None and _record_id_tuple(wm) > _record_id_tuple(end):
+                    # Stream recreated with restarted ids (DEL + re-XADD):
+                    # its raw end sits BELOW what we already reported.
+                    # Hold the watermark — reporting the regressed end
+                    # would re-open an already-committed range.
+                    end = wm
                 if capping and self._watermark is not None:
                     prev = self._watermark.get(s, ZERO_ID)
                     if _record_id_tuple(end) > _record_id_tuple(prev):
@@ -319,7 +327,17 @@ class RedisStreamReader(DataSourceStreamReader):
             except Exception as e:
                 if not _is_missing_stream(e):
                     raise
-                out[s] = ZERO_ID  # stream not created yet
+                # Stream missing: not created yet, OR a consumed stream
+                # DELed / lost mid-run. Report the highest end we ever
+                # reported for it (the watermark; >= the committed
+                # offset) — reporting ZERO_ID would be persisted to the
+                # offset log and a recreated stream would replay every
+                # already-processed entry through the regressed range.
+                # With no watermark state the stream genuinely was never
+                # seen: ZERO_ID, and partitions() treats end <= start as
+                # empty.
+                wm = (self._watermark or {}).get(s)
+                out[s] = wm if wm is not None else ZERO_ID
         self._merge_watermark(out)
         return out
 
@@ -358,10 +376,16 @@ class RedisStreamReader(DataSourceStreamReader):
         if partition.start_id == partition.end_id:
             return
         client = make_client(self.options)
-        # '(' prefix = exclusive start (the offset already consumed).
-        entries = client.xrange(partition.stream, f"({partition.start_id}", partition.end_id)
-        for record_id, fields in entries:
-            yield record_id, partition.stream, dict(fields)
+        try:
+            # '(' prefix = exclusive start (the offset already consumed).
+            entries = client.xrange(partition.stream, f"({partition.start_id}", partition.end_id)
+            for record_id, fields in entries:
+                yield record_id, partition.stream, dict(fields)
+        finally:
+            # Task-scoped client: close it (long-lived executors churn one
+            # connection per (stream, batch) otherwise — sockets linger
+            # until GC). Fake clients without close() are fine.
+            getattr(client, "close", lambda: None)()
 
     def commit(self, end: dict) -> None:
         """Offsets live in the checkpoint; nothing to do server-side (XACK
@@ -399,18 +423,21 @@ class RedisStreamWriter(DataSourceStreamWriter):
         # same batching via Reactor). Falls back to per-call for clients
         # without pipeline support.
         client = make_client(self.options)
-        si, vi = self.names.index(self.stream_col), self.names.index(self.value_col)
-        pipe = client.pipeline() if hasattr(client, "pipeline") else None
-        n = 0
-        for row in rows:
-            fields = {self.field: row[vi], **self.extra_fields}
-            (pipe if pipe is not None else client).xadd(row[si], fields)
-            n += 1
-            if pipe is not None and n % PIPELINE_CHUNK == 0:
+        try:
+            si, vi = self.names.index(self.stream_col), self.names.index(self.value_col)
+            pipe = client.pipeline() if hasattr(client, "pipeline") else None
+            n = 0
+            for row in rows:
+                fields = {self.field: row[vi], **self.extra_fields}
+                (pipe if pipe is not None else client).xadd(row[si], fields)
+                n += 1
+                if pipe is not None and n % PIPELINE_CHUNK == 0:
+                    pipe.execute()
+            if pipe is not None and n % PIPELINE_CHUNK:
                 pipe.execute()
-        if pipe is not None and n % PIPELINE_CHUNK:
-            pipe.execute()
-        return WriterCommitMessage()
+            return WriterCommitMessage()
+        finally:
+            getattr(client, "close", lambda: None)()
 
     def commit(self, messages, batchId) -> None:  # noqa: N803 (API signature)
         pass

@@ -61,8 +61,10 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import Config
 from ..plans.watch_plan import compile_watch_plan
 
-# FIXTURES.md §A: one row per stream entry.
-ENVELOPE_ROW_SCHEMA = "offset string, stream string, fields map<string,string>"
+# FIXTURES.md §A: one row per stream entry. Canonical definition lives
+# with the source (sources/redis_stream.py) — the file-stream and Redis
+# paths must never diverge in schema.
+from ..sources.redis_stream import ENVELOPE_ROW_SCHEMA  # noqa: E402
 
 
 def routing_rows(spark: SparkSession, cfg: Config) -> DataFrame:
@@ -77,6 +79,19 @@ def routing_rows(spark: SparkSession, cfg: Config) -> DataFrame:
         for tgt in tgts
     ]
     return spark.createDataFrame(rows, "stream string, id_column string, target_stream string")
+
+
+def _seed_once(work: Path) -> bool:
+    """True exactly once per pipeline lifetime: the marker lives inside
+    the checkpoint dir, so wiping the checkpoint (a fresh pipeline)
+    re-seeds — restarting on a live checkpoint does not (seeds are not
+    batch-stamped, so each restart would otherwise append another)."""
+    marker = work / "checkpoint" / "targets_seeded"
+    if marker.exists():
+        return False
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.write_text("")
+    return True
 
 
 def seed_targets(spark: SparkSession, cfg: Config, output_dir: str) -> None:
@@ -152,11 +167,24 @@ class SinkManifest:
     def started(self, batch_id: int) -> bool:
         return (self.root / f"{batch_id}.started").exists()
 
+    # Markers retained behind the newest batch. The engine itself only
+    # replays the most recent uncommitted batch, so anything older is
+    # dead weight — without pruning a 5s-trigger deployment writes ~35k
+    # files/day into the checkpoint dir forever.
+    RETAIN = 200
+
     def start(self, batch_id: int) -> None:
         self._touch(f"{batch_id}.started")
 
     def mark(self, batch_id: int) -> None:
         self._touch(f"{batch_id}.done")
+        cutoff = batch_id - self.RETAIN
+        if cutoff <= 0:
+            return
+        for f in self.root.iterdir():
+            stem = f.name.split(".", 1)[0]
+            if stem.isdigit() and int(stem) < cutoff:
+                f.unlink(missing_ok=True)
 
 
 def _publish_json(
@@ -223,16 +251,26 @@ def _process_batch(
     sink_options: dict[str, str] | None = None,
     manifest: SinkManifest | None = None,
     staging_root: Path | None = None,
+    ack_options: dict[str, str] | None = None,
 ) -> None:
-    if manifest is not None:
-        if manifest.committed(batch_id):
-            # Checkpoint replay of a fully-sunk batch (crash landed between
-            # sink actions and checkpoint commit): every sink action below
-            # already ran — skip them all. XACK/XDEL are idempotent, but
-            # re-running them would also re-read the source for nothing.
-            return
+    # Source-side acks (XACK / acknowledge=delete) need the SOURCE's Redis
+    # connection, not the sink's: a Redis-source run with JSON file sinks
+    # still acks (the S15-S20 contract is about the source stream).
+    ack_wanted = ack_options is not None and bool(
+        cfg.source.group or cfg.source.acknowledge == "delete"
+    )
+    already = manifest is not None and manifest.committed(batch_id)
+    if already and not ack_wanted:
+        # Checkpoint replay of a fully-sunk batch (crash landed between
+        # sink actions and checkpoint commit): every sink action below
+        # already ran and there is no ack work — skip it all.
+        return
+    if manifest is not None and not already:
         if manifest.started(batch_id):
             # Crashed mid-write: scrub the partial attempt before rewriting.
+            # Safe precisely because the destructive source ack only ever
+            # runs AFTER mark() (below): started-without-done implies the
+            # source still holds every entry of this batch.
             _scrub_batch_files(batch_id, output_dir, ack_dir, dead_dir)
             if sink_options is not None:
                 _scrub_batch_redis(batch_id, cfg, sink_options)
@@ -249,10 +287,11 @@ def _process_batch(
     batch.persist()
     try:
         if batch.isEmpty():
-            if manifest is not None:
+            if manifest is not None and not already:
                 manifest.mark(batch_id)  # nothing to sink; replays skip
             return
-        _warn_format_mismatch(batch, cfg)
+        if not already:
+            _warn_format_mismatch(batch, cfg)
 
         # Plan compilation is pure (plans/watch_plan.py); this layer only
         # owns the sinks: one partitioned write per relation covers every
@@ -260,43 +299,55 @@ def _process_batch(
         # real at-least-once contract, the ledger is XACK observability
         # parity).
         packed, acks, dead = compile_watch_plan(batch, routes, cfg)
-        if sink_options is not None:
-            # XADD straight to the target Redis streams (reference topology).
-            opts = dict(sink_options)
+        if not already:
+            if sink_options is not None:
+                # XADD straight to the target Redis streams (reference topology).
+                opts = dict(sink_options)
+                if manifest is not None:
+                    # Entries carry their batchId so a crash-replay can scrub
+                    # the partial attempt (_scrub_batch_redis).
+                    opts["extra_fields"] = json.dumps({"batch": str(batch_id)})
+                packed.write.format("redis_stream").options(**opts).mode("append").save()
+            elif manifest is not None:
+                _publish_json(packed, batch_id, "target_stream", output_dir, staging_root)
+            else:
+                packed.write.mode("append").partitionBy("target_stream").json(output_dir)
+            # Dead-letter sink BEFORE acks: malformed records must have a
+            # surviving copy before acknowledge=delete can remove them from
+            # the source (plans/watch_plan.py dead relation; the reference
+            # instead wedges the stream on the first malformed record,
+            # RedisSource.java:63-66).
             if manifest is not None:
-                # Entries carry their batchId so a crash-replay can scrub
-                # the partial attempt (_scrub_batch_redis).
-                opts["extra_fields"] = json.dumps({"batch": str(batch_id)})
-            packed.write.format("redis_stream").options(**opts).mode("append").save()
-        elif manifest is not None:
-            _publish_json(packed, batch_id, "target_stream", output_dir, staging_root)
-        else:
-            packed.write.mode("append").partitionBy("target_stream").json(output_dir)
-        # Dead-letter sink BEFORE acks: malformed records must have a
-        # surviving copy before acknowledge=delete can remove them from the
-        # source (plans/watch_plan.py dead relation; the reference instead
-        # wedges the stream on the first malformed record,
-        # RedisSource.java:63-66).
-        if manifest is not None:
-            _publish_json(dead, batch_id, "stream", dead_dir, staging_root)
-            _publish_json(acks, batch_id, "stream", ack_dir, staging_root)
-        else:
-            dead.write.mode("append").partitionBy("stream").json(dead_dir)
-            acks.write.mode("append").partitionBy("stream").json(ack_dir)
+                _publish_json(dead, batch_id, "stream", dead_dir, staging_root)
+                _publish_json(acks, batch_id, "stream", ack_dir, staging_root)
+            else:
+                dead.write.mode("append").partitionBy("stream").json(dead_dir)
+                acks.write.mode("append").partitionBy("stream").json(ack_dir)
+            # Effectively-once ordering: mark done BEFORE the destructive
+            # source ack. A crash after mark but mid-ack replays into the
+            # ack-only path below (sinks skipped, remaining entries
+            # re-acked — XACK/XDEL are idempotent). Marking AFTER the ack
+            # would let a crash-replay scrub COMPLETE output whose source
+            # entries acknowledge=delete already removed — permanent loss,
+            # not duplication.
+            if manifest is not None:
+                manifest.mark(batch_id)
 
         # S15-S20: real XACK against the consumer group (WatchStream.java:
         # 196-205 parity — PEL interop with other group consumers), then
         # acknowledge=delete removes acked entries (WatchStream.java:207-220;
         # the reference's tests assert the source is emptied,
-        # WatchTests.java:151-154). Executor-side per partition, ids grouped
-        # per stream and sent in many-id chunks (the reference batches its
-        # XDELs the same way) — O(streams · chunks) round trips, never
-        # O(rows). Gate on having anything to send: with no consumer group
-        # and acknowledge != delete there is no XACK and no XDEL, so skip
-        # the foreachPartition entirely (it would open one Redis client per
-        # non-empty partition per batch to do nothing).
-        if sink_options is not None and (cfg.source.group or cfg.source.acknowledge == "delete"):
-            opts = dict(sink_options)
+        # WatchTests.java:151-154). Uses the SOURCE connection (ack_options)
+        # — runs for a Redis source regardless of sink kind. Executor-side
+        # per partition, ids grouped per stream and sent in many-id chunks
+        # (the reference batches its XDELs the same way) — O(streams ·
+        # chunks) round trips, never O(rows). Gate on having anything to
+        # send: with no consumer group and acknowledge != delete there is
+        # no XACK and no XDEL, so skip the foreachPartition entirely (it
+        # would open one Redis client per non-empty partition per batch to
+        # do nothing).
+        if ack_wanted:
+            opts = dict(ack_options)
             group = cfg.source.group
             delete = cfg.source.acknowledge == "delete"
 
@@ -309,17 +360,18 @@ def _process_batch(
                 if not by_stream:
                     return
                 client = make_client(opts)
-                for stream, ids in by_stream.items():
-                    for i in range(0, len(ids), PIPELINE_CHUNK):
-                        chunk = ids[i : i + PIPELINE_CHUNK]
-                        if group:
-                            client.xack(stream, group, *chunk)
-                        if delete:
-                            client.xdel(stream, *chunk)
+                try:
+                    for stream, ids in by_stream.items():
+                        for i in range(0, len(ids), PIPELINE_CHUNK):
+                            chunk = ids[i : i + PIPELINE_CHUNK]
+                            if group:
+                                client.xack(stream, group, *chunk)
+                            if delete:
+                                client.xdel(stream, *chunk)
+                finally:
+                    getattr(client, "close", lambda: None)()
 
             acks.foreachPartition(_ack)
-        if manifest is not None:
-            manifest.mark(batch_id)
     finally:
         batch.unpersist()
 
@@ -421,15 +473,22 @@ def watch(
         for k, v in reader_opts.items():
             reader = reader.option(k, v)
         stream = reader.load()
+        ack_options = dict(redis_options)
         if redis_sink:
             sink_options = dict(redis_options)
-            # Seed every target stream with {"ids": "[]"} (WatchStream.java:262-265).
-            for t in cfg.targets():
-                client.xadd(f"{cfg.target.prefix}{t}", seed_payload())
-        else:
+            # Seed every target stream with {"ids": "[]"} (WatchStream.java:
+            # 262-265) — once per pipeline lifetime, not per process start:
+            # the seeds carry no batch id, so the idempotent machinery
+            # cannot dedupe them and every restart would add another.
+            if _seed_once(work):
+                for t in cfg.targets():
+                    client.xadd(f"{cfg.target.prefix}{t}", seed_payload())
+        elif _seed_once(work):
             seed_targets(spark, cfg, output_dir)
     else:
-        seed_targets(spark, cfg, output_dir)
+        ack_options = None
+        if _seed_once(work):
+            seed_targets(spark, cfg, output_dir)
         stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
 
     manifest = SinkManifest(work / "checkpoint" / "sink_manifest") if idempotent_sink else None
@@ -437,7 +496,7 @@ def watch(
     writer = stream.writeStream.foreachBatch(
         lambda b, bid: _process_batch(
             b, bid, routes, cfg, output_dir, ack_dir, dead_dir, sink_options,
-            manifest, staging_root,
+            manifest, staging_root, ack_options,
         )
     ).option("checkpointLocation", checkpoint)
     if available_now:

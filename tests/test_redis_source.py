@@ -603,3 +603,30 @@ def test_cap_watermark_invariants_under_interleaving(tmp_path_factory, ops, cap)
     assert len(seen) == len(set(seen)) == n_added, (
         f"delivered {len(seen)} ({len(set(seen))} unique) of {n_added}"
     )
+
+
+def test_missing_stream_mid_run_reports_watermark_not_zero(tmp_path):
+    """A consumed stream that disappears mid-run (DEL / failover) must not
+    be reported as 0-0 — that end would be committed to the offset log and
+    a recreated stream would replay every already-processed entry through
+    the regressed range (round-8 review). The reader reports the highest
+    end it ever reported (its watermark) instead; a stream that genuinely
+    never existed still reports 0-0."""
+    fake = _fill(tmp_path, "m1.a", [1, 2, 3])
+    opts = _opts(tmp_path, "m1.a,m1.never")
+    opts["cap_state_dir"] = str(tmp_path / "cap")
+    r = RedisStreamReader(None, opts)
+    first = r.latestOffset()
+    assert first["m1.a"] == "1-3"
+    assert first["m1.never"] == ZERO_ID  # never existed: genuinely fresh
+
+    # the stream vanishes (file-backed fake: remove its storage)
+    fake._path("m1.a").unlink()
+    second = r.latestOffset()
+    assert second["m1.a"] == "1-3", "must hold the watermark, not regress to 0-0"
+
+    # recreated with new entries: resumes past the held end, no replay range
+    fake.xadd("m1.a", {"payload": "x"})  # becomes id 1-1 again (fake ids restart)
+    # ids restarted below the watermark -> reader keeps reporting the max
+    third = r.latestOffset()
+    assert third["m1.a"] == "1-3"

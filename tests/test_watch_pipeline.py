@@ -551,3 +551,113 @@ def test_watch_delete_with_foreign_consumer_pel(spark, tmp_path):
     for target in ("target.catalog_product_flat", "target.catalog_category_product"):
         ids = [json.loads(f["ids"]) for _, f in fake.xrange(target)]
         assert ids == [[], [1, 2]]
+
+
+def test_watch_crash_mid_delete_ack_no_output_loss(spark, tmp_path):
+    """The round-8 review's data-loss window: a crash AFTER some
+    acknowledge=delete XDELs but BEFORE the checkpoint commit. The done
+    marker is written BEFORE the destructive ack, so the restart must
+    take the committed path — skip the sinks (no scrub, no rewrite from
+    the now-partial source) and only finish the remaining acks. Marking
+    AFTER the ack (the old order) scrubbed and rewrote the batch from
+    whatever entries survived the partial delete — permanent loss."""
+    from tests.fake_redis import FakeRedis
+
+    cfg = load_config(_write_config(tmp_path, "delete"))
+    redis_dir = tmp_path / "redis"
+    fake = FakeRedis(str(redis_dir))
+    for i, eid in enumerate([1, 2, 1, 2], start=1):
+        env = _envelope_compact(f"1-{i}", eid)
+        fake.xadd(env["stream"], env["fields"])
+
+    crash_opts = {
+        "client_factory": "tests.fake_redis:make_xdel_crash_client",
+        "fake_dir": str(redis_dir),
+        "crash_state": str(tmp_path / "crash.flag"),
+    }
+    with pytest.raises(Exception):
+        h = watch(
+            spark, cfg, source_dir=None, work_dir=str(tmp_path / "work"),
+            redis_options=crash_opts, redis_sink=True,
+        )
+        h.query.awaitTermination()
+    src_stream = "m2.m2.catalog_category_entity"
+    assert len(fake.xrange(src_stream)) < 4  # the partial delete really happened
+
+    # restart on the same work dir: same factory, crash flag already fired
+    h2 = watch(
+        spark, cfg, source_dir=None, work_dir=str(tmp_path / "work"),
+        redis_options=crash_opts, redis_sink=True,
+    )
+    h2.query.awaitTermination()
+
+    for target in ("target.catalog_product_flat", "target.catalog_category_product"):
+        ids = [json.loads(f["ids"]) for _, f in fake.xrange(target)]
+        assert ids == [[], [1, 2]], f"{target}: {ids}"  # seed + ONE intact batch
+    assert fake.xrange(src_stream) == []  # remaining acks finished on replay
+
+
+def test_watch_redis_source_json_sink_still_acks(spark, tmp_path):
+    """acknowledge=delete with a Redis SOURCE but JSON file sinks: the
+    S15-S20 ack path is about the source stream, not the sink kind — the
+    source must still be XACKed and emptied (round-8 review: the ack
+    block was wrongly gated on redis_sink)."""
+    from tests.fake_redis import FakeRedis
+
+    cfg = load_config(_write_config(tmp_path, "delete"))
+    redis_dir = tmp_path / "redis"
+    fake = FakeRedis(str(redis_dir))
+    for i, eid in enumerate([1, 2, 1, 2], start=1):
+        env = _envelope_compact(f"1-{i}", eid)
+        fake.xadd(env["stream"], env["fields"])
+
+    handles = watch(
+        spark, cfg, source_dir=None, work_dir=str(tmp_path / "work"),
+        redis_options={
+            "client_factory": "tests.fake_redis:make_client",
+            "fake_dir": str(redis_dir),
+        },
+        redis_sink=False,
+    )
+    handles.query.awaitTermination()
+
+    out = spark.read.json(handles.output_dir)
+    tgt = "target.catalog_product_flat"
+    assert [r for r in _target_records(out, tgt) if r != "[]"] == ["[1,2]"] or [
+        json.loads(r) for r in _target_records(out, tgt) if r != "[]"
+    ] == [[1, 2]]
+    src_stream = "m2.m2.catalog_category_entity"
+    assert sorted(fake.acked(src_stream, "cdc")) == [f"1-{i}" for i in range(1, 5)]
+    assert fake.xrange(src_stream) == []  # delete mode empties the source
+
+
+def test_watch_restart_seeds_targets_once(spark, tmp_path):
+    """Seeds carry no batch id, so they are outside the idempotent
+    machinery: re-seeding on every restart would grow each target by one
+    '[]' per process start (round-8 review). The marker inside the
+    checkpoint dir bounds it to once per pipeline lifetime."""
+    _run(spark, tmp_path, [])
+    h2 = watch(spark, load_config(tmp_path / "config.yaml"), str(tmp_path / "in"), str(tmp_path / "work"))
+    h2.query.awaitTermination()
+    out = spark.read.json(h2.output_dir)
+    for target in ("target.catalog_product_flat", "target.catalog_category_product"):
+        assert _target_records(out, target) == ["[]"], target
+
+
+def test_sink_manifest_prunes_old_markers(tmp_path):
+    """The manifest must not grow unboundedly (two files per micro-batch
+    forever — round-8 review): markers behind the RETAIN horizon are
+    pruned on mark()."""
+    from cdc_dedupe_spark.streaming.pipeline import SinkManifest
+
+    m = SinkManifest(tmp_path / "m")
+    for b in range(SinkManifest.RETAIN + 50):
+        m.start(b)
+        m.mark(b)
+    names = {f.name for f in (tmp_path / "m").iterdir()}
+    last = SinkManifest.RETAIN + 49
+    assert f"{last}.done" in names
+    assert "0.done" not in names and "0.started" not in names
+    assert len(names) <= 2 * (SinkManifest.RETAIN + 1)
+    # pruning never touches what committed() relies on for recent batches
+    assert m.committed(last) and not m.committed(0)
