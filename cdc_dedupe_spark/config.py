@@ -77,11 +77,25 @@ def load_config(path: str | Path) -> Config:
     path = Path(path)
     text = path.read_text()
     raw = json.loads(text) if path.suffix == ".json" else yaml.safe_load(text)
+    if not isinstance(raw, dict):
+        raise ValueError(
+            f"config file {path} is empty or not a mapping "
+            f"(parsed as {type(raw).__name__})"
+        )
     src = raw.get("source", {}) or {}
     buf = raw.get("buffers", {}) or {}
     tgt = raw.get("target", {}) or {}
     ack = str(src.get("acknowledge", "simple"))
     if ack not in ("simple", "delete"):
+        # Coerce to the conservative mode (nothing is ever deleted on a
+        # typo) but say so loudly — silently "working" while the operator
+        # believes delete-mode is pruning the source would let the source
+        # streams grow unbounded (round-8 review; format below warns too).
+        warnings.warn(
+            f"source.acknowledge={ack!r} is not one of ('simple', 'delete'); "
+            "falling back to 'simple' — source entries will NOT be deleted",
+            stacklevel=2,
+        )
         ack = "simple"
     fmt = str(src.get("format", "compact"))
     if fmt not in ("compact", "extended"):
@@ -111,7 +125,13 @@ def load_config(path: str | Path) -> Config:
         ),
         target=TargetConfig(prefix=str(tgt.get("prefix", ""))),
         mapping={
-            str(tbl): {str(col): [str(t) for t in tgts] for col, tgts in cols.items()}
+            # A scalar target is the obvious shorthand for a one-target
+            # list; without the guard a string char-splits into one-letter
+            # targets (round-8 review).
+            str(tbl): {
+                str(col): [str(t) for t in ([tgts] if isinstance(tgts, str) else tgts)]
+                for col, tgts in cols.items()
+            }
             for tbl, cols in (raw.get("mapping", {}) or {}).items()
         },
     )
@@ -120,13 +140,24 @@ def load_config(path: str | Path) -> Config:
 
 
 def _validate(cfg: Config) -> None:
+    # target.size divides the packing row number (plans/watch_plan.py); 0
+    # would be DIVIDE_BY_ZERO on every non-empty batch under ANSI mode.
+    # source.size=0 is meaningful (unbounded admission) and stays legal.
+    if cfg.buffers.target.size < 1:
+        raise ValueError(
+            f"buffers.target.size must be >= 1, got {cfg.buffers.target.size}"
+        )
+    if cfg.buffers.source.size < 0 or cfg.buffers.dedupe.size < 0:
+        raise ValueError("buffer sizes must be non-negative")
     sp, tp = cfg.source.prefix, cfg.target.prefix
-    if sp and tp:
-        for tbl in cfg.mapping:
-            for tgt in cfg.targets():
-                if f"{tp}{tgt}" == f"{sp}{tbl}":
-                    raise ValueError(
-                        f"target stream {tp}{tgt!r} collides with source stream "
-                        f"{sp}{tbl!r}; output would feed back into the source "
-                        "(latent misconfig in the reference's config.json)"
-                    )
+    # No `if sp and tp` guard: empty prefixes (the defaults) are exactly
+    # when a target name can equal a source table name outright — the
+    # feedback loop this validator exists to block (round-8 review).
+    for tbl in cfg.mapping:
+        for tgt in cfg.targets():
+            if f"{tp}{tgt}" == f"{sp}{tbl}":
+                raise ValueError(
+                    f"target stream {tp}{tgt!r} collides with source stream "
+                    f"{sp}{tbl!r}; output would feed back into the source "
+                    "(latent misconfig in the reference's config.json)"
+                )

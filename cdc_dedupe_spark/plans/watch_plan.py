@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import Config
-from ..operators.cdc import envelope_payload, extract_entity_id
+from ..operators.cdc import dedupe_first, envelope_payload, extract_entity_id
 
 
 def compile_watch_plan(
@@ -30,18 +30,28 @@ def compile_watch_plan(
     ``acks``: (stream, offset, ack_mode) — every routed input record; under
     checkpointed foreachBatch all fan-out copies of a batch land atomically,
     so batch membership IS the refcount barrier (WatchStream.java:183-190).
-    ``dead``: (stream, offset, id_column, payload) — routed records whose
-    payload decode or id extract degraded to NULL (operators/cdc.py's
-    degrade-to-NULL policy). These rows are dropped from ``packed`` but
-    still acked/deleted, so without this relation a malformed source entry
+    ``dead``: (stream, offset, id_column, payload) — records whose payload
+    decode / id extract degraded to NULL (operators/cdc.py's
+    degrade-to-NULL policy) OR whose offset is not a parseable Redis
+    RecordId (try_cast — a plain ANSI cast would throw and wedge the
+    stream on one malformed record, the exact failure mode this plan
+    exists to avoid). One row per malformed source ENTRY (distinct), not
+    per fan-out target. These rows are dropped from ``packed`` but still
+    acked/deleted, so without this relation a malformed source entry
     under acknowledge=delete would vanish with no surviving record; the
     dead-letter sink is where they survive. (The reference instead throws
     and wedges the whole stream on the first malformed record —
     RedisSource.java:63-66.)
+
+    Determinism: both windows order by (_ms, _seq, stream, offset) — the
+    trailing (stream, offset) pair makes the order total even when two
+    source streams feeding one target carry equal RecordIds, so a replay
+    of the batch packs identically.
     """
-    # Redis RecordId "millis-seq" -> numeric arrival order.
-    off_ms = F.split("offset", "-").getItem(0).cast("long")
-    off_seq = F.coalesce(F.split("offset", "-").getItem(1).cast("long"), F.lit(0))
+    # Redis RecordId "millis-seq" -> numeric arrival order. try_cast:
+    # malformed offsets become NULL and route to `dead` below.
+    off_ms = F.split("offset", "-").getItem(0).try_cast("long")
+    off_seq = F.coalesce(F.split("offset", "-").getItem(1).try_cast("long"), F.lit(0))
 
     # S2/S3 + S6: decode once, fan out via broadcast routing join; the id
     # column is resolved per routing row, so multi-column tables extract
@@ -54,21 +64,24 @@ def compile_watch_plan(
         .withColumn("_ms", off_ms)
         .withColumn("_seq", off_seq)
     )
-    routed = decoded.filter(F.col("entity_id").isNotNull())
-    dead = decoded.filter(F.col("entity_id").isNull()).select(
-        "stream", "offset", "id_column", "payload"
+    ok = F.col("entity_id").isNotNull() & F.col("_ms").isNotNull()
+    routed = decoded.filter(ok)
+    dead = (
+        decoded.filter(~ok)
+        .select("stream", "offset", "id_column", "payload")
+        .distinct()  # one row per malformed entry, not per fan-out target
     )
 
     # S9: first-wins per (target, entity_id) within this micro-batch —
-    # keyed by entity id only, like Collectors.toMap (WatchStream.java:272).
-    w_first = Window.partitionBy("target_stream", "entity_id").orderBy("_ms", "_seq")
-    survivors = (
-        routed.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1).drop("_rn")
+    # keyed by entity id only, like Collectors.toMap (WatchStream.java:272);
+    # shared operator with the declared cdc_dedupe_first query.
+    survivors = dedupe_first(
+        routed, ["target_stream", "entity_id"], ["_ms", "_seq", "stream", "offset"]
     )
 
     # S12/S13: arrival-order packing into <= target.size ids per record.
     size = cfg.buffers.target.size
-    w_order = Window.partitionBy("target_stream").orderBy("_ms", "_seq")
+    w_order = Window.partitionBy("target_stream").orderBy("_ms", "_seq", "stream", "offset")
     packed = (
         survivors.withColumn("_rn", F.row_number().over(w_order))
         .withColumn("_bucket", F.ceil(F.col("_rn") / F.lit(size)))

@@ -38,6 +38,10 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     can only break in one place."""
     from ..tables import normalize_event_ts
 
+    # Session-wide by design, same as tables._events: the conf is a no-op
+    # for non-NANOS parquet, and any events load runs the parquet-footer
+    # tripwire (tables.assert_events_ts_is_timestamp) that catches the
+    # raw-int64 mis-scale this conf could otherwise hide.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = _events_schema(spark, sf_dir)
     reader = (

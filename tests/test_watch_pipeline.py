@@ -661,3 +661,71 @@ def test_sink_manifest_prunes_old_markers(tmp_path):
     assert len(names) <= 2 * (SinkManifest.RETAIN + 1)
     # pruning never touches what committed() relies on for recent batches
     assert m.committed(last) and not m.committed(0)
+
+
+def test_config_hardening(tmp_path):
+    """Round-8 review hardening: empty file -> clear error; zero target
+    buffer -> rejected (it divides the packing row number); scalar target
+    -> one-target list, never char-split; invalid acknowledge -> loud
+    conservative fallback; feedback loop detected with EMPTY prefixes."""
+    import warnings as w
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("# nothing here\n")
+    with pytest.raises(ValueError, match="empty or not a mapping"):
+        load_config(empty)
+
+    zb = tmp_path / "zb.yaml"
+    zb.write_text(
+        CONFIG_YAML.format(ack="simple").replace(
+            "target: {size: 1000, time: 1000}", "target: {size: 0, time: 1000}"
+        )
+    )
+    with pytest.raises(ValueError, match="buffers.target.size"):
+        load_config(zb)
+
+    scalar = tmp_path / "scalar.yaml"
+    scalar.write_text(
+        "mapping:\n  events_tbl:\n    user_id: analytics\n"
+    )
+    cfg = load_config(scalar)
+    assert cfg.mapping["events_tbl"]["user_id"] == ["analytics"]
+
+    badack = tmp_path / "badack.yaml"
+    badack.write_text(CONFIG_YAML.format(ack="Delete"))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        cfg = load_config(badack)
+    assert cfg.source.acknowledge == "simple"
+    assert any("acknowledge" in str(c.message) for c in caught)
+
+    loop = tmp_path / "loop.yaml"
+    loop.write_text("mapping:\n  events_tbl:\n    user_id:\n      - events_tbl\n")
+    with pytest.raises(ValueError, match="feed back"):
+        load_config(loop)
+
+
+def test_watch_plan_malformed_offset_routes_to_dead(spark, tmp_path):
+    """An unparseable offset must degrade to the dead relation (try_cast),
+    never throw under ANSI mode and wedge the stream; and dead carries ONE
+    row per malformed source entry, not one per fan-out target (round-8
+    review)."""
+    from cdc_dedupe_spark.plans.watch_plan import compile_watch_plan
+    from cdc_dedupe_spark.streaming.pipeline import ENVELOPE_ROW_SCHEMA, routing_rows
+
+    cfg = load_config(_write_config(tmp_path, "simple"))
+    good = _envelope_compact("1-1", 7)
+    bad = _envelope_compact("not-an-id", 8)  # ms part unparseable
+    batch = spark.createDataFrame(
+        [(e["offset"], e["stream"], e["fields"]) for e in (good, bad)],
+        ENVELOPE_ROW_SCHEMA,
+    )
+    packed, acks, dead = compile_watch_plan(batch, routing_rows(spark, cfg), cfg)
+    ids = sorted(json.loads(r.ids) for r in packed.collect())
+    assert ids == [[7], [7]]  # one batch per target, malformed entry excluded
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1  # entity maps to TWO targets; still one row
+    assert dead_rows[0].offset == "not-an-id"
+    # both offsets still acked: under acknowledge=delete the malformed
+    # entry is removed from the source only because dead retains a copy
+    assert sorted(r.offset for r in acks.collect()) == ["1-1", "not-an-id"]
