@@ -31,14 +31,17 @@ both share one lifecycle):
 
  - crash AFTER the sinks ran but BEFORE the checkpoint commit: the
    ``{batchId}.done`` marker exists, so the engine's replay of that batch
-   skips every sink action (checkpoint-replay dedupe);
+   skips every sink write (checkpoint-replay dedupe) and only finishes
+   the idempotent source acks (XACK/XDEL);
  - crash DURING the sink writes: the ``{batchId}.started`` marker exists
    without ``.done``, so the replay first scrubs the crashed attempt's
    output — file sinks publish under batch-deterministic names
    (``b{batchId}-*``, staged then moved, the classic committer pattern),
    XADD entries carry a ``batch`` field — then rewrites. Scrub runs ONLY
    on a genuine crash-replay (started-without-done), never in the fresh
-   hot path.
+   hot path, and is safe precisely because ``done`` is marked BEFORE the
+   destructive acknowledge=delete: started-without-done implies the
+   source still holds every entry of the batch.
 
 At 1000-executor scale with object-store sinks, swap the file publish for
 a transactional table format (Delta/Iceberg appends keyed by batchId) —
