@@ -21,27 +21,33 @@ def token_hash(t: Column) -> Column:
     leading char codes + length, spread by a Knuth multiplier into 61 bits.
     (Not cryptographic — a hash *family* member for sketching; portable to
     any SQL dialect so oracle twins can reproduce it, see SQL_TOKEN_HASH.)"""
+    # long BEFORE the multiplies: ascii() of a non-ASCII codepoint times
+    # 130003 overflows int32 — Spark wraps silently (non-ANSI int math in
+    # this expression) while DuckDB errors, so the first non-ASCII token
+    # would break parity. Values are identical for ASCII inputs.
     h = (
-        F.ascii(t) * F.lit(130003)
-        + F.ascii(F.substring(t, 2, 1)) * F.lit(1009)
-        + F.ascii(F.substring(t, 3, 1)) * F.lit(31)
+        F.ascii(t).cast("long") * F.lit(130003)
+        + F.ascii(F.substring(t, 2, 1)).cast("long") * F.lit(1009)
+        + F.ascii(F.substring(t, 3, 1)).cast("long") * F.lit(31)
         + F.length(t)
     )
-    return (h.cast("long") * F.lit(2654435761)) % F.lit(1 << 61)
+    return (h * F.lit(2654435761)) % F.lit(1 << 61)
 
 
 # DuckDB twin of token_hash; format with t=<token expression>.
 SQL_TOKEN_HASH = (
-    "((ascii({t}) * 130003 + ascii(substr({t}, 2, 1)) * 1009"
-    " + ascii(substr({t}, 3, 1)) * 31 + length({t})) * 2654435761) % 2305843009213693952"
+    "((CAST(ascii({t}) AS BIGINT) * 130003 + CAST(ascii(substr({t}, 2, 1)) AS BIGINT) * 1009"
+    " + CAST(ascii(substr({t}, 3, 1)) AS BIGINT) * 31 + length({t})) * 2654435761) % 2305843009213693952"
 )
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash signature over token hashes: per output bit, the majority
     vote of that bit across all token hashes. One pass over the token
-    array, zero shuffle."""
-    hs = F.transform(tokens(text), token_hash)
+    array, zero shuffle. Uses token_hash_wide: with the narrow 3-char
+    hash, suffix-divergent tokens of equal length ('table'/'tabby') vote
+    identically and the sketch loses discrimination (round-8 review)."""
+    hs = F.transform(tokens(text), token_hash_wide)
 
     def bit(i: int) -> Column:
         mask = F.shiftleft(F.lit(1).cast("long"), i)
@@ -79,30 +85,35 @@ def sql_marker_count(marker: str) -> str:
 
 
 def token_hash_wide(t: Column) -> Column:
-    """Higher-resolution portable hash for basis-point (1/10000) sampling
-    decisions: mixes the first EIGHT char codes (16^8 combos over md5 hex
-    input — token_hash reads only three, capping it at 4096 distinct
-    values, too coarse for %10000 thresholds). Same portability contract
-    as token_hash; SQL twin below."""
+    """Higher-resolution portable hash: mixes the first EIGHT char codes,
+    making it injective on ASCII strings up to 8 chars — the right hash
+    wherever inputs are short raw-text fragments (5-gram shingles,
+    whitespace tokens: simhash/minhash/contamination) or where the
+    modulus is fine-grained (%10000 sampling: token_hash reads only
+    three chars, capping it at 4096 distinct values over hex input).
+    token_hash remains adequate for %100 bucketing of md5 hex digests
+    (high-entropy input, coarse threshold). Same portability contract;
+    SQL twin below."""
+    # long-first for the same non-ASCII overflow reason as token_hash.
     h = (
-        F.ascii(t) * F.lit(130003)
-        + F.ascii(F.substring(t, 2, 1)) * F.lit(1009)
-        + F.ascii(F.substring(t, 3, 1)) * F.lit(31)
-        + F.ascii(F.substring(t, 4, 1)) * F.lit(10007)
-        + F.ascii(F.substring(t, 5, 1)) * F.lit(2003)
-        + F.ascii(F.substring(t, 6, 1)) * F.lit(101)
-        + F.ascii(F.substring(t, 7, 1)) * F.lit(401)
-        + F.ascii(F.substring(t, 8, 1)) * F.lit(7)
+        F.ascii(t).cast("long") * F.lit(130003)
+        + F.ascii(F.substring(t, 2, 1)).cast("long") * F.lit(1009)
+        + F.ascii(F.substring(t, 3, 1)).cast("long") * F.lit(31)
+        + F.ascii(F.substring(t, 4, 1)).cast("long") * F.lit(10007)
+        + F.ascii(F.substring(t, 5, 1)).cast("long") * F.lit(2003)
+        + F.ascii(F.substring(t, 6, 1)).cast("long") * F.lit(101)
+        + F.ascii(F.substring(t, 7, 1)).cast("long") * F.lit(401)
+        + F.ascii(F.substring(t, 8, 1)).cast("long") * F.lit(7)
         + F.length(t)
     )
-    return (h.cast("long") * F.lit(2654435761)) % F.lit(1 << 61)
+    return (h * F.lit(2654435761)) % F.lit(1 << 61)
 
 
 SQL_TOKEN_HASH_WIDE = (
-    "((ascii({t}) * 130003 + ascii(substr({t}, 2, 1)) * 1009"
-    " + ascii(substr({t}, 3, 1)) * 31 + ascii(substr({t}, 4, 1)) * 10007"
-    " + ascii(substr({t}, 5, 1)) * 2003 + ascii(substr({t}, 6, 1)) * 101"
-    " + ascii(substr({t}, 7, 1)) * 401 + ascii(substr({t}, 8, 1)) * 7"
+    "((CAST(ascii({t}) AS BIGINT) * 130003 + CAST(ascii(substr({t}, 2, 1)) AS BIGINT) * 1009"
+    " + CAST(ascii(substr({t}, 3, 1)) AS BIGINT) * 31 + CAST(ascii(substr({t}, 4, 1)) AS BIGINT) * 10007"
+    " + CAST(ascii(substr({t}, 5, 1)) AS BIGINT) * 2003 + CAST(ascii(substr({t}, 6, 1)) AS BIGINT) * 101"
+    " + CAST(ascii(substr({t}, 7, 1)) AS BIGINT) * 401 + CAST(ascii(substr({t}, 8, 1)) AS BIGINT) * 7"
     " + length({t})) * 2654435761) % 2305843009213693952"
 )
 

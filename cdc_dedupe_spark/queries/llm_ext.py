@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._determinism import round_pos
-from ..functions.text import SQL_TOKEN_HASH, char_shingles, marker_count, simhash, sql_marker_count, token_hash
+from ..functions.text import SQL_TOKEN_HASH, SQL_TOKEN_HASH_WIDE, char_shingles, marker_count, simhash, sql_marker_count, token_hash, token_hash_wide
 from ..functions.vector import (
     SQL_ICOSINE,
     SQL_ISCALE,
@@ -70,7 +70,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hashed AS (
       SELECT doc_id,
-             list_transform(string_split(text, ' '), t -> {SQL_TOKEN_HASH.format(t='t')}) AS hs
+             list_transform(string_split(text, ' '), t -> {SQL_TOKEN_HASH_WIDE.format(t='t')}) AS hs
       FROM documents
     )
     SELECT doc_id,
@@ -265,6 +265,22 @@ _DEDUP_LSH_ORACLE = f"""
     """
 
 
+def _lsh_projection(e, with_norm: bool = True):
+    """Shared scaled/bucketed embedding projection: (vec_id, se, bucket
+    [, nrm]) — integer-scaled vector, hyperplane-LSH bucket, and (when
+    the consumer scores cosines) the norm computed ONCE per vector, not
+    once per candidate pair (bit-identical: same sqrt on the same
+    integer-valued double, so pair-expanding oracles still match). One
+    definition for dedup_embed_lsh / ann_lsh_topk / dedup_embed_cluster
+    / _knn_edges — previously four verbatim copies (round-8 review)."""
+    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
+        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
+    )
+    if with_norm:
+        bk = bk.withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
+    return bk
+
+
 @register("dedup_embed_lsh", group="llm-ext", oracle=_DEDUP_LSH_ORACLE)
 def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidates via random-hyperplane LSH (SimHash
@@ -283,16 +299,7 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on a high-cardinality key (planes dial bucket granularity),
     and nothing is ever all-pairs."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bk = (
-        e.select(
-            "vec_id",
-            iscale(F.col("embedding")).alias("se"),
-        )
-        .withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
-        # norm once per vector, not once per pair (bit-identical: same
-        # sqrt on the same integer-valued double)
-        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
-    )
+    bk = _lsh_projection(e)
     a, b = bk.alias("a"), bk.alias("b")
     return a.join(
         b,
@@ -332,11 +339,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a bucket-equality filter + exact cosine into
     TakeOrderedAndProject. Zero shuffles of the embedding table."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bk = (
-        e.select("vec_id", iscale(F.col("embedding")).alias("se"))
-        .withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
-        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
-    )
+    bk = _lsh_projection(e)
     probe = F.broadcast(
         bk.filter(F.col("vec_id") == 0).select(
             F.col("bucket").alias("pb"), F.col("se").alias("pse"), F.col("nrm").alias("pnrm")
@@ -474,9 +477,7 @@ def dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     read once. The oracle computes the same min-reachable label with a
     recursive CTE."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bk = e.select("vec_id", iscale(F.col("embedding")).alias("se")).withColumn(
-        "bucket", lsh_bucket(F.col("se"), _LSH_PLANES)
-    )
+    bk = _lsh_projection(e, with_norm=False)
     a, b = bk.alias("a"), bk.alias("b")
     pairs = a.join(
         b,
@@ -577,6 +578,17 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = sc_df.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("se").alias("ce")
     )
+    # Loud dim tripwire (fail-HERE discipline, tables.normalize_event_ts):
+    # the per-dimension sums below hardcode _KM_DIM columns; a generator
+    # dim change would make element_at return NULL (non-ANSI) and the
+    # centroids/inertia silently NULL instead of erroring. Piggybacks on
+    # the seed rows (no extra corpus scan — dim is a global property).
+    seed_dims = [r.d for r in c0.select(F.size("ce").alias("d")).distinct().collect()]
+    if seed_dims != [_KM_DIM]:
+        raise ValueError(
+            f"ml_kmeans_train expects embedding dim {_KM_DIM}, data has {seed_dims}; "
+            "update _KM_DIM for the new generator encoding"
+        )
     c0_row = c0.agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
     a1 = sc_df.crossJoin(F.broadcast(c0_row)).select(
         "vec_id", "se", _km_argmin(F.col("se"), F.col("cents")).alias("cid")
@@ -731,8 +743,22 @@ def _rep_metrics(toks: Column):
     keep). The keep flag compares scaled integers only."""
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
+    # Max token multiplicity via sort + run-length, O(n log n) per doc —
+    # the transform(distinct)×filter form is O(n_distinct · n) and turns
+    # long documents into per-row quadratic hot spots (round-8 review).
+    # Same VALUE as the oracle's quadratic formula, so parity holds.
+    st = F.array_sort(toks)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(st, i) != F.element_at(st, F.greatest(i - 1, F.lit(1)))),
+    )
+    bp2 = F.concat(bpos, F.array(n + 1))
     top_count = F.array_max(
-        F.transform(F.array_distinct(toks), lambda tk: F.size(F.filter(toks, lambda x: x == tk)))
+        F.transform(
+            F.sequence(F.lit(1), F.size(bpos)),
+            lambda k: F.element_at(bp2, k + 1) - F.element_at(bp2, k),
+        )
     )
     n_2grams = F.when(n >= 2, n - 1).otherwise(0)
     grams = F.when(
@@ -839,13 +865,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Map-side filter, zero shuffle at any scale."""
     d = table(spark, sf_dir, "documents")
     hb = token_hash(F.md5(F.col("text").cast("binary"))) % 100
-    rate = F.col("lang")
-    expr = F.lit(_SAMPLE_DEFAULT)
+    rate = F.lit(_SAMPLE_DEFAULT)
     for lang, r in _SAMPLE_RATES.items():
-        expr = F.when(rate == lang, r).otherwise(expr)
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
     return (
         d.select("doc_id", "lang", "source", "n_chars", hb.alias("hash_bucket"))
-        .filter(F.col("hash_bucket") < expr)
+        .filter(F.col("hash_bucket") < rate)
     )
 
 
@@ -891,8 +916,6 @@ def pipeline_pretrain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     *_, keep = _rep_metrics(toks)
     q = d.filter(keep)
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     dd = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     hb = token_hash(F.md5(F.col("text").cast("binary"))) % 100
@@ -1248,7 +1271,10 @@ _MH_FOLD_M = 2_147_483_647
 
 
 def _mh_sig_sql() -> str:
-    th = SQL_TOKEN_HASH.format(t="s")
+    # wide hash: injective on ASCII 5-grams — the narrow 3-char hash
+    # conflated shingles sharing a leading trigram, inflating signature
+    # agreement between non-near-duplicate docs (round-8 review).
+    th = SQL_TOKEN_HASH_WIDE.format(t="s")
     mins = ",\n        ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_M}))"
         for a, b in zip(_MH_A, _MH_B)
@@ -1313,7 +1339,7 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(
             char_shingles(F.col("text"), n=5, prefix_len=200),
-            lambda s: token_hash(s) % _MH_M,
+            lambda s: token_hash_wide(s) % _MH_M,
         ).alias("hs"),
     )
 
@@ -1448,11 +1474,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per candidate pair (~80n here): sqrt of the same integer-valued
     # double is bit-identical wherever it's computed, so the oracle — which
     # expands it per pair — still matches exactly.
-    bk = (
-        e.select("vec_id", iscale(F.col("embedding")).alias("se"))
-        .withColumn("bucket", lsh_bucket(F.col("se"), _LSH_PLANES))
-        .withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
-    )
+    bk = _lsh_projection(e)
     a, b = bk.alias("a"), bk.alias("b")
     cos_r = round_pos(
         idot(F.col("a.se"), F.col("b.se")).cast("double") / (F.col("a.nrm") * F.col("b.nrm")),
@@ -1701,7 +1723,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), h AS (
       SELECT doc_id, lang, is_eval,
-             {SQL_TOKEN_HASH.format(t='s')} AS hs
+             {SQL_TOKEN_HASH_WIDE.format(t='s')} AS hs
       FROM g
     ), tr AS (
       SELECT DISTINCT lang, hs FROM h WHERE NOT is_eval
@@ -1730,8 +1752,11 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination ratio.
 
     Scale shape: shingles are HASHED to 61-bit longs map-side
-    (functions.text.token_hash — dialect-portable, so the oracle applies
-    the identical formula and parity is exact by construction); the
+    (functions.text.token_hash_wide — mixes all 8 leading chars, so it
+    is injective on ASCII 5-grams; the narrow 3-char hash conflated ~27%
+    of distinct shingles and overcounted contamination. Dialect-portable,
+    so the oracle applies the identical formula and parity is exact by
+    construction); the
     membership probe shuffles (lang, 8-byte hash) pairs, never shingle
     strings, and both sides are distinct-reduced before the join — a
     hash-join whose build side is the distinct train-shingle set, never
@@ -1745,7 +1770,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "is_eval",
         F.explode(
-            F.transform(char_shingles(F.col("text"), n=5, prefix_len=200), token_hash)
+            F.transform(char_shingles(F.col("text"), n=5, prefix_len=200), token_hash_wide)
         ).alias("hs"),
     )
     tr = g.filter(~F.col("is_eval")).select("lang", "hs").distinct().withColumn("hit", F.lit(1))
