@@ -743,23 +743,30 @@ def _rep_metrics(toks: Column):
     keep). The keep flag compares scaled integers only."""
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    # Max token multiplicity via sort + run-length, O(n log n) per doc —
-    # the transform(distinct)×filter form is O(n_distinct · n) and turns
-    # long documents into per-row quadratic hot spots (round-8 review).
-    # Same VALUE as the oracle's quadratic formula, so parity holds.
-    st = F.array_sort(toks)
-    bpos = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(st, i) != F.element_at(st, F.greatest(i - 1, F.lit(1)))),
+    # Max token multiplicity via ONE aggregate fold over the sorted array
+    # (longest equal-run), O(n log n) per doc — the transform(distinct)
+    # × filter form is O(n_distinct · n) and turns long documents into
+    # per-row quadratic hot spots (round-8 review). A single fold matters:
+    # expressions referenced inside other HOF lambdas are re-inlined per
+    # element (a position-index formulation re-evaluated array_sort per
+    # element and was ~70x slower at sf0.1); aggregate() evaluates its
+    # input array exactly once. Same VALUE as the oracle's quadratic
+    # formula, so parity holds.
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    bp2 = F.concat(bpos, F.array(n + 1))
-    top_count = F.array_max(
-        F.transform(
-            F.sequence(F.lit(1), F.size(bpos)),
-            lambda k: F.element_at(bp2, k + 1) - F.element_at(bp2, k),
+
+    def _merge(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
         )
-    )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_count = F.aggregate(F.array_sort(toks), zero, _merge, lambda acc: acc["best"])
     n_2grams = F.when(n >= 2, n - 1).otherwise(0)
     grams = F.when(
         n >= 2,
