@@ -86,8 +86,12 @@ def sql_marker_count(marker: str) -> str:
 
 def token_hash_wide(t: Column) -> Column:
     """Higher-resolution portable hash: mixes the first EIGHT char codes,
-    making it injective on ASCII strings up to 8 chars — the right hash
-    wherever inputs are short raw-text fragments (5-gram shingles,
+    giving a low collision rate on short ASCII strings — NOT injective
+    even below 8 chars (the per-position coefficients are not linearly
+    independent over the ASCII deltas: e.g. the position-3 (x31) and
+    position-8 (x7) contributions can cancel, ADVICE r8), but the
+    collision mass is negligible for its consumers' purposes — the right
+    hash wherever inputs are short raw-text fragments (5-gram shingles,
     whitespace tokens: simhash/minhash/contamination) or where the
     modulus is fine-grained (%10000 sampling: token_hash reads only
     three chars, capping it at 4096 distinct values over hex input).

@@ -49,9 +49,17 @@ def compile_watch_plan(
     of the batch packs identically.
     """
     # Redis RecordId "millis-seq" -> numeric arrival order. try_cast:
-    # malformed offsets become NULL and route to `dead` below.
+    # malformed offsets become NULL and route to `dead` below. A bare
+    # "123" (no '-') is the valid Redis shorthand for "123-0", so a NULL
+    # seq PART defaults to 0 — but a PRESENT, unparseable part ("123-abc")
+    # is malformed and must not alias a genuine "123-0" in the packing
+    # order (ADVICE r8), so its NULL try_cast routes the record to dead.
+    # F.get (not getItem): a bare "123" splits to one part, and ANSI-mode
+    # getItem(1) would throw INVALID_ARRAY_INDEX instead of yielding NULL.
+    raw_seq = F.get(F.split("offset", "-"), 1)
     off_ms = F.split("offset", "-").getItem(0).try_cast("long")
-    off_seq = F.coalesce(F.split("offset", "-").getItem(1).try_cast("long"), F.lit(0))
+    off_seq = F.coalesce(raw_seq.try_cast("long"), F.lit(0))
+    seq_ok = raw_seq.isNull() | raw_seq.try_cast("long").isNotNull()
 
     # S2/S3 + S6: decode once, fan out via broadcast routing join; the id
     # column is resolved per routing row, so multi-column tables extract
@@ -64,12 +72,18 @@ def compile_watch_plan(
         .withColumn("_ms", off_ms)
         .withColumn("_seq", off_seq)
     )
-    ok = F.col("entity_id").isNotNull() & F.col("_ms").isNotNull()
+    ok = F.col("entity_id").isNotNull() & F.col("_ms").isNotNull() & seq_ok
     routed = decoded.filter(ok)
+    # One row per malformed source ENTRY, not per fan-out target: a
+    # payload-decode failure on a multi-id-column table hits every routing
+    # row, so the failing id columns aggregate into one sorted CSV cell
+    # instead of fanning out one dead row each (ADVICE r8; single-id-column
+    # tables produce the identical single-name cell as before).
     dead = (
         decoded.filter(~ok)
+        .groupBy("stream", "offset", "payload")
+        .agg(F.array_join(F.array_sort(F.collect_set("id_column")), ",").alias("id_column"))
         .select("stream", "offset", "id_column", "payload")
-        .distinct()  # one row per malformed entry, not per fan-out target
     )
 
     # S9: first-wins per (target, entity_id) within this micro-batch —

@@ -73,6 +73,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import warnings
 from dataclasses import dataclass
 from typing import Any, Iterator, Sequence, Tuple
 
@@ -219,6 +220,7 @@ class RedisStreamReader(DataSourceStreamReader):
         # Watermark = max end ever reported, per stream. None until the
         # first latestOffset call resolves a safe seed (module docstring).
         self._watermark: dict[str, str] | None = None
+        self._regress_warned: set[str] = set()
         self._client: Any = None
 
     def _c(self) -> Any:
@@ -315,7 +317,21 @@ class RedisStreamReader(DataSourceStreamReader):
                     # Stream recreated with restarted ids (DEL + re-XADD):
                     # its raw end sits BELOW what we already reported.
                     # Hold the watermark — reporting the regressed end
-                    # would re-open an already-committed range.
+                    # would re-open an already-committed range. Safe for
+                    # auto-generated ms-clock ids; a producer re-adding
+                    # explicit ids below the old watermark loses those
+                    # entries, so say so once per stream (ADVICE r8) —
+                    # operators can then tell "recreated stream being
+                    # held back" apart from "no new data".
+                    if s not in self._regress_warned:
+                        self._regress_warned.add(s)
+                        warnings.warn(
+                            f"redis stream {s!r}: end id {end} regressed below the "
+                            f"committed watermark {wm}; holding the watermark. Entries "
+                            "re-added with explicit ids at or below it will not be "
+                            "delivered (recreate the checkpoint/cap state to re-read).",
+                            stacklevel=2,
+                        )
                     end = wm
                 if capping and self._watermark is not None:
                     prev = self._watermark.get(s, ZERO_ID)

@@ -84,17 +84,21 @@ def routing_rows(spark: SparkSession, cfg: Config) -> DataFrame:
     return spark.createDataFrame(rows, "stream string, id_column string, target_stream string")
 
 
-def _seed_once(work: Path) -> bool:
-    """True exactly once per pipeline lifetime: the marker lives inside
-    the checkpoint dir, so wiping the checkpoint (a fresh pipeline)
-    re-seeds — restarting on a live checkpoint does not (seeds are not
-    batch-stamped, so each restart would otherwise append another)."""
+def _needs_seed(work: Path) -> bool:
+    """True until ``_mark_seeded`` runs — the marker lives inside the
+    checkpoint dir, so wiping the checkpoint (a fresh pipeline) re-seeds;
+    restarting on a live checkpoint does not (seeds are not batch-stamped,
+    so each restart would otherwise append another). Callers write the
+    marker AFTER seeding succeeds: a crash inside the seed window then
+    re-seeds on restart (rare duplicate seed) instead of permanently
+    losing the target-stream seeds (silent loss — ADVICE r8)."""
+    return not (work / "checkpoint" / "targets_seeded").exists()
+
+
+def _mark_seeded(work: Path) -> None:
     marker = work / "checkpoint" / "targets_seeded"
-    if marker.exists():
-        return False
     marker.parent.mkdir(parents=True, exist_ok=True)
     marker.write_text("")
-    return True
 
 
 def seed_targets(spark: SparkSession, cfg: Config, output_dir: str) -> None:
@@ -483,15 +487,18 @@ def watch(
             # 262-265) — once per pipeline lifetime, not per process start:
             # the seeds carry no batch id, so the idempotent machinery
             # cannot dedupe them and every restart would add another.
-            if _seed_once(work):
+            if _needs_seed(work):
                 for t in cfg.targets():
                     client.xadd(f"{cfg.target.prefix}{t}", seed_payload())
-        elif _seed_once(work):
+                _mark_seeded(work)
+        elif _needs_seed(work):
             seed_targets(spark, cfg, output_dir)
+            _mark_seeded(work)
     else:
         ack_options = None
-        if _seed_once(work):
+        if _needs_seed(work):
             seed_targets(spark, cfg, output_dir)
+            _mark_seeded(work)
         stream = spark.readStream.schema(ENVELOPE_ROW_SCHEMA).json(source_dir)
 
     manifest = SinkManifest(work / "checkpoint" / "sink_manifest") if idempotent_sink else None

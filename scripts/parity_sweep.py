@@ -82,12 +82,17 @@ def main() -> int:
             **({"detail": detail} if detail else {}),
         }
 
+    # Self-contained provenance: `--dirty` + a wall-clock stamp describe
+    # the exact TREE the sweep verified, not just the last commit — a
+    # sweep run with fixes still uncommitted says so in the artifact
+    # (VERDICT r8 "What's wrong" #4).
     head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO, capture_output=True, text=True
+        ["git", "describe", "--always", "--dirty"], cwd=_REPO, capture_output=True, text=True
     ).stdout.strip()
     summary = {
         "sf_dir": SF_DIR,
         "git_head": head,
+        "run_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         "total": len(results),
         "match": sum(1 for r in results.values() if r["status"] == "match"),
         "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),

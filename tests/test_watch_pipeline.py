@@ -729,3 +729,26 @@ def test_watch_plan_malformed_offset_routes_to_dead(spark, tmp_path):
     # both offsets still acked: under acknowledge=delete the malformed
     # entry is removed from the source only because dead retains a copy
     assert sorted(r.offset for r in acks.collect()) == ["1-1", "not-an-id"]
+
+
+def test_watch_plan_malformed_seq_part_routes_to_dead(spark, tmp_path):
+    """A PRESENT but unparseable seq part ("123-abc") is malformed and
+    must go to dead — silently coercing it to seq 0 would alias a genuine
+    "123-0" in the packing order (ADVICE r8). A bare "123" (no '-') stays
+    valid: it is the documented Redis shorthand for "123-0"."""
+    from cdc_dedupe_spark.plans.watch_plan import compile_watch_plan
+    from cdc_dedupe_spark.streaming.pipeline import ENVELOPE_ROW_SCHEMA, routing_rows
+
+    cfg = load_config(_write_config(tmp_path, "simple"))
+    bare = _envelope_compact("123", 7)  # valid shorthand -> routed
+    bad_seq = _envelope_compact("123-abc", 8)  # malformed seq -> dead
+    batch = spark.createDataFrame(
+        [(e["offset"], e["stream"], e["fields"]) for e in (bare, bad_seq)],
+        ENVELOPE_ROW_SCHEMA,
+    )
+    packed, acks, dead = compile_watch_plan(batch, routing_rows(spark, cfg), cfg)
+    ids = sorted(json.loads(r.ids) for r in packed.collect())
+    assert ids == [[7], [7]]  # bare-ms entry routed, bad-seq entry excluded
+    dead_rows = dead.collect()
+    assert [r.offset for r in dead_rows] == ["123-abc"]
+    assert sorted(r.offset for r in acks.collect()) == ["123", "123-abc"]
