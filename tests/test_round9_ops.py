@@ -61,3 +61,137 @@ def test_kmeans_wrong_dim_fails_loudly(spark, tmp_path):
     df = REGISTRY["ml_kmeans_train"].spark(spark, sf)
     with pytest.raises(Exception, match="expects embedding dim"):
         df.collect()
+
+
+# --- corpus-adaptive LSH plane count (VERDICT r8 "What's wrong" #1) --------
+
+
+def test_lsh_shift_sizing_rule_matches_sql_twin(spark):
+    """P = clamp(ceil(log2(n/8)), 6, 18) via integer CASE chains — pinned
+    against hand-computed values AND against the DuckDB twin, across the
+    clamp floor, interior powers of two, and the ceiling."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.functions.vector import lsh_shift, sql_lsh_shift
+
+    cases = {  # n -> expected P
+        1: 6, 100: 6, 512: 6, 513: 7, 1024: 7, 2000: 8, 4096: 9,
+        5000: 10, 8192: 10, 100_000: 14, 2_000_000: 18, 10**9: 18,
+    }
+    df = spark.createDataFrame([(n,) for n in cases], "n long")
+    got = {r.n: 18 - r.sh for r in df.select("n", lsh_shift(F.col("n")).alias("sh")).collect()}
+    assert got == cases
+    con = duckdb.connect()
+    for n, p in cases.items():
+        (sh,) = con.execute(f"SELECT {sql_lsh_shift(str(n))}").fetchone()
+        assert 18 - sh == p, f"sql twin disagrees at n={n}"
+
+
+def test_lsh_buckets_backward_compatible_at_clamp_floor(spark, sf_dir):
+    """At the n=500 parity corpora P clamps to 6 and the adaptive bucket
+    (top 6 bits of the 18-plane signature) must be BIT-IDENTICAL to the
+    historical fixed-6-plane bucket — the nesting property that keeps
+    every committed parity artifact valid."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.functions.vector import iscale, lsh_bucket
+    from cdc_dedupe_spark.queries.llm_ext import _lsh_projection
+    from cdc_dedupe_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    adaptive = _lsh_projection(e, with_norm=False)
+    legacy = e.select(
+        "vec_id", lsh_bucket(iscale(F.col("embedding")), 6).alias("legacy_bucket")
+    )
+    diff = (
+        adaptive.join(legacy, "vec_id")
+        .filter(F.col("bucket") != F.col("legacy_bucket"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_plane_sign_python_matches_sql_formula():
+    """The Spark side bakes plane signs from plane_sign_value into literal
+    tables while the DuckDB twin spells the arithmetic out — this pins the
+    two routes to identical values over every (plane, position) the
+    oracles can touch."""
+    import duckdb
+
+    from cdc_dedupe_spark.functions.vector import plane_sign_value, sql_lsh_bucket
+
+    con = duckdb.connect()
+    # recover plane p's per-position sign from the (p+1)-plane bucket of a
+    # one-hot vector: plane p is the bucket's LSB, set iff sign >= 0
+    for p in range(18):
+        expr = sql_lsh_bucket("__v__", planes=p + 1)
+        for i in [0, 1, 7, 15, 63, 255, 511]:
+            vec = "[" + ",".join("1" if j == i else "0" for j in range(i + 1)) + "]"
+            (b,) = con.execute(f"SELECT {expr.replace('__v__', vec)}").fetchone()
+            sql_sign = 1 if (b & 1) == 1 else -1
+            assert sql_sign == plane_sign_value(p, i), f"plane {p} pos {i}"
+
+
+def test_planes_are_decorrelated():
+    """The r8 linear plane mix produced near-duplicate planes (pairwise
+    |corr| up to 1.0 at dim 16, 0.94 at dim 64), collapsing the effective
+    plane count; the xor-shift mixer keeps every pair of the 18 planes
+    below |corr| 0.5 at dim 64."""
+    import itertools
+
+    from cdc_dedupe_spark.functions.vector import plane_sign_value
+
+    dim = 64
+    planes = [[plane_sign_value(p, i) for i in range(dim)] for p in range(18)]
+    worst = max(
+        abs(sum(x * y for x, y in zip(a, b))) / dim
+        for a, b in itertools.combinations(planes, 2)
+    )
+    assert worst < 0.5, f"max pairwise |corr| {worst}"
+
+
+def test_lsh_occupancy_tracks_target_on_spread_corpus(spark, tmp_path):
+    """On a corpus with well-spread sign patterns, the sizing rule holds
+    expected occupancy near the target (8): n=4096 -> P=9 -> 512 buckets.
+    Real data can still concentrate (true near-dups SHOULD share a
+    bucket), so this pins the rule's behavior where occupancy is
+    controllable — the random-collision component of the self-join."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.queries.llm_ext import _lsh_projection
+    from cdc_dedupe_spark.tables import table
+
+    import numpy as np
+
+    n, dim = 4096, 16
+    # Seeded Gaussian vectors: isotropic, so hyperplane sign patterns are
+    # ~uniform (an integer-mix generator here resonates with the plane
+    # constants and collapses onto a handful of sign patterns).
+    vecs = np.random.default_rng(7).normal(size=(n, dim)).astype("float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    bk = _lsh_projection(
+        table(spark, str(tmp_path), "embeddings").select("vec_id", "embedding"),
+        with_norm=False,
+    )
+    occ = bk.groupBy("bucket").count()
+    stats = occ.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket").alias("max_bucket"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+    ).collect()[0]
+    assert stats.max_bucket < 512  # P=9 at n=4096
+    # a healthy fraction of the 512 buckets populated, and the candidate
+    # self-join stays near n * occupancy/2 — not n²/buckets-at-fixed-P
+    assert stats.n_buckets > 128
+    assert stats.pairs < 40 * n  # vs C(4096,2)/64 ≈ 131k pairs at fixed P=6
+    assert math.isfinite(stats.pairs)
