@@ -47,6 +47,34 @@ def main() -> int:
         except Exception as e:
             print(f"bench warm-up {warm} failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Fixed Structured-Streaming harness cost, measured ONCE on a warm
+    # engine: a no-op availableNow query (stream the events file into a
+    # single global count) costs ~1 s regardless of dataflow —
+    # StreamExecution thread spawn, offset/commit WAL writes, file
+    # listing, and 32 state-store instances. Every stream_* per-query
+    # number below carries this constant, so the suite wall overstates
+    # the streaming DATAFLOW cost by ~n_stream × overhead; the summary
+    # fields let the reader (and BASELINE comparisons) separate the two
+    # (VERDICT r8 "Next round" #6). Raw per-query numbers stay untouched
+    # for round-over-round comparability.
+    stream_overhead = None
+    try:
+        from cdc_dedupe_spark.sources.replay import events_stream
+        from cdc_dedupe_spark.streaming.run import run_to_memory
+
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_to_memory(
+                events_stream(spark, sf_dir).groupBy().count(),
+                "bench_noop_stream",
+                output_mode="complete",
+            ).count()
+            samples.append(time.perf_counter() - t0)
+        stream_overhead = round(sorted(samples)[1], 3)  # median of 3
+    except Exception as e:
+        print(f"stream overhead probe failed (continuing): {e}", file=sys.stderr)
+
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     total = 0.0
@@ -68,6 +96,15 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
     }
+    stream_names = [n for n in per_query if n.startswith("stream_") or n == "cdc_dedupe_stream"]
+    if stream_overhead is not None and stream_names:
+        fam_wall = sum(per_query[n] for n in stream_names)
+        result["stream_harness_overhead_sec"] = stream_overhead
+        result["stream_family"] = {
+            "n_queries": len(stream_names),
+            "wall_sec": round(fam_wall, 3),
+            "dataflow_sec": round(max(0.0, fam_wall - stream_overhead * len(stream_names)), 3),
+        }
     # BASELINE.md floor: streaming dedupe replay >= 5,000 events/s.
     if "cdc_dedupe_stream" in per_query and per_query["cdc_dedupe_stream"] > 0:
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
