@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Generate an sf1-scale `documents` + `embeddings` corpus for LOCAL
+scaling measurements (SCALING.md's measured table): /root/testdata tops
+out at sf0.1, and the three historically-superlinear queries
+(dedup_minhash_exact, dedup_embed_cluster, ann_knn_graph) need one
+measured point beyond it (VERDICT r8 "Next round" #8).
+
+NOT driver test data and NOT used by correctness runs — the shapes follow
+the observed driver corpus (unit-norm dim-64 float32 embeddings with 10
+loose labels; ~300-char docs over a small tech vocab; langs ~41% en /
+~15% each zh es fr de; sources src0..src19; ~0.2% exact-dup texts and
+~1% near-dup embedding pairs so the dedup queries stay non-trivial), but
+values are from an independent fixed seed. Output is gitignored.
+
+Usage: python scripts/gen_scale_corpus.py [out_dir] [n_docs] [n_vecs]
+defaults: .localdata/sf1  50000  20000
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REPO = Path(__file__).resolve().parents[1]
+
+VOCAB = (
+    "batch part spark line column order small sort vector scan fast query agg "
+    "stream filter big merge group value customer slow join shuffle hash key "
+    "plan table row read write cache disk memory node task stage broadcast "
+    "window state store sink source offset commit log file page index"
+).split()
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+
+def main() -> int:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else _REPO / ".localdata" / "sf1"
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(20260814)
+
+    # --- documents -------------------------------------------------------
+    lengths = rng.poisson(48, n_docs) + 8  # ~300 chars at ~6 chars/word
+    langs = rng.choice(len(LANGS), n_docs, p=LANG_W)
+    sources = rng.integers(0, 20, n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        words = rng.choice(VOCAB, lengths[i])
+        texts.append(" ".join(words))
+    # ~0.2% exact duplicates of an earlier doc
+    for j in rng.choice(np.arange(1, n_docs), max(1, n_docs // 500), replace=False):
+        texts[j] = texts[j // 2]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array([LANGS[k] for k in langs]),
+                "source": pa.array([f"src{s}" for s in sources]),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(out / "documents.parquet"),
+    )
+
+    # --- embeddings ------------------------------------------------------
+    dim = 64
+    labels = rng.integers(0, 10, n_vecs)
+    centers = rng.normal(size=(10, dim)) * 0.3
+    v = rng.normal(size=(n_vecs, dim)) + centers[labels]
+    # ~1% near-duplicate pairs: copy an earlier vector + small noise
+    dups = rng.choice(np.arange(1, n_vecs), max(1, n_vecs // 100), replace=False)
+    v[dups] = v[dups // 2] + rng.normal(size=(len(dups), dim)) * 0.02
+    v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vecs), pa.int64()),
+                "embedding": pa.array([list(r) for r in v], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(out / "embeddings.parquet"),
+    )
+    print(f"wrote {out}/documents.parquet ({n_docs}) and embeddings.parquet ({n_vecs})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
