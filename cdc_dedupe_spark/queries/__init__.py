@@ -24,6 +24,7 @@ from . import scalar  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
+from . import sketch  # noqa: F401,E402
 
 # Rotation offset for the driver window. Advance by 50 each round (r4=50,
 # r5=100, ...); applied mod the registry size, so consecutive rounds'
@@ -47,7 +48,20 @@ from . import curation  # noqa: F401,E402
 # local parity evidence meanwhile) and 10 r6-verified entries (agg_cube,
 # agg_distinct, the window_* family, and the two rows-only approx aggs
 # that never hash-match by design).
-DRIVER_ROTATION_OFFSET = 286
+# r9 (offset 349; registry grew 114 -> 119, ≡ 111 mod 119): computed
+# maximal coverage again (scripted argmax over all 119 rotations). The
+# window wraps vec_pq_encode (111) through events_gap_fill (41): 8 of
+# the 9 never-driver-verified entries — the four r8 leftovers
+# cdc_upsert_latest / dedup_span_ngram / events_gap_fill (+ the r9
+# additions agg_cms_heavy_hitters, agg_hll_registers,
+# dedup_minhash_cluster, events_anomaly_mad, vec_pq_encode) — plus ALL
+# 10 r6-stale entries (agg_cube, agg_distinct, the six window_*
+# queries, both rows-only approx aggs). No 50-entry window can also
+# reach graph_pagerank (index 51, just past events_gap_fill at 41 with
+# the window anchored at 111): it keeps its committed-sweep exact-hash
+# + independent pure-Python PageRank cross-check
+# (tests/test_round8_ops.py) and rotates into the r10 window.
+DRIVER_ROTATION_OFFSET = 349
 
 
 def driver_order() -> list[str]:

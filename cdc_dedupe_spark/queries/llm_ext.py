@@ -1924,3 +1924,153 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near_dup_rate"),
         )
     )
+
+
+# --- minhash pair list -> transitive clusters (the output-capping path) ----
+
+_MHC_MIN_SIM = 0.5  # signature-agreement gate; sims are exact eighths
+
+_MINHASH_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE mh AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) p WHERE minhash_sim >= {_MHC_MIN_SIM}
+    ), und AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh UNION SELECT doc_b, doc_a FROM mh
+    ), reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN und e ON e.u = r.v
+    )
+    SELECT v AS doc_id, MIN(lbl) AS cluster_id,
+           CAST(CASE WHEN v = MIN(lbl) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+    FROM reach GROUP BY v
+    """
+
+
+@register("dedup_minhash_cluster", group="llm-ext", oracle=_MINHASH_CLUSTER_ORACLE)
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup CLUSTERS: the pair list from dedup_minhash_exact
+    gated at signature agreement >= {gate}, closed transitively
+    (operators/graph.py hook + pointer-jump), one keeper per cluster —
+    the text-side sibling of dedup_embed_cluster and the scale dial
+    SCALING.md names for pair-mass growth: an exact near-dup PAIR list is
+    inherently quadratic in duplicate-group size (sf1 measured 1.18M
+    pairs), while this output is exactly |corpus| rows at any scale —
+    dup-group size moves work, never output.
+
+    Shape at scale: signature/band work is the shared map-side pipeline;
+    only the gated (doc_a, doc_b) edge table (already deduped,
+    3-scalar rows) reaches the CC loop, which touches O(|docs|) label
+    rows per round for O(log chain) rounds. The gate uses exact-eighth
+    agreement fractions, so the >= compare cannot straddle an engine
+    rounding difference."""
+    pairs = dedup_minhash_exact(spark, sf_dir).filter(F.col("minhash_sim") >= _MHC_MIN_SIM)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    nodes = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("vec_id"))
+    from ..operators.graph import connected_components
+
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
+dedup_minhash_cluster.__doc__ = dedup_minhash_cluster.__doc__.format(gate=_MHC_MIN_SIM)
+
+
+# --- product quantization encode (the ANN memory-compression step) ---------
+
+_PQ_SUBS = 8  # subspaces of dim 64/8 = 8
+_PQ_K = 16  # codebook entries per subspace (a nibble each)
+_PQ_SUB_DIM = 8
+
+# correlated references must come from ONE plain outer table (DuckDB's
+# binder rejects correlation through a comma-joined unnest), so the
+# (vector x subspace) cross product flattens into its own CTE first
+# generate_series bound is spelled len(vv.se)//8 (== _PQ_SUB_DIM), not the
+# literal: DuckDB 1.0's binder resolves a correlated column INSIDE a
+# lambda only when the same table is also referenced in the HOF's input
+# expression (verified by minimal repro; the kmeans oracle relies on the
+# same quirk via len(s.se)).
+_PQ_SQL_SUBDIST = (
+    "list_sum(list_transform(generate_series(1, len(vv.se) // {subs}), "
+    "i -> (vv.se[vv.si * {sd} + i] - c.ce[vv.si * {sd} + i]) "
+    "* (vv.se[vv.si * {sd} + i] - c.ce[vv.si * {sd} + i])))"
+).format(sd=_PQ_SUB_DIM, subs=_PQ_SUBS)
+
+_PQ_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), cb AS (
+      SELECT vec_id AS cid, se AS ce FROM sc WHERE vec_id < {_PQ_K}
+    ), sv AS MATERIALIZED (
+      SELECT v.vec_id, g.si, v.se
+      FROM sc v, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
+    ), sub AS (
+      SELECT vv.vec_id, vv.si,
+             (SELECT c.cid FROM cb c
+              ORDER BY {_PQ_SQL_SUBDIST} ASC, c.cid ASC LIMIT 1) AS cid,
+             (SELECT MIN({_PQ_SQL_SUBDIST}) FROM cb c) AS d
+      FROM sv vv
+    )
+    SELECT vec_id,
+           CAST(SUM(cid * (CAST(1 AS BIGINT) << (4 * si))) AS BIGINT) AS pq_code,
+           CAST(SUM(d) AS BIGINT) AS recon_err
+    FROM sub GROUP BY vec_id
+    """
+
+
+@register("vec_pq_encode", group="llm-ext", oracle=_PQ_ORACLE)
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: split each dim-64 vector into 8
+    subvectors of 8 dims, assign each to the nearest of 16 per-subspace
+    codebook entries (exact integer L2², ties to lowest cid — the
+    ml_kmeans_train argmin discipline), pack the 8 nibble codes into ONE
+    BIGINT pq_code and report the integer reconstruction error. PQ is
+    how an ANN index shrinks 64 floats to 4 bytes per vector; codebook =
+    the first {_PQ_K} vectors' subvectors (the deterministic seed rule
+    every trained-structure query here uses, so the oracle is exact —
+    swap in per-subspace k-means at scale, plan shape unchanged).
+
+    Shape at scale: codebook collapses to ONE broadcast row; encode is a
+    per-row HOF argmin over 8 x 16 subvector distances — the embedding
+    table is never shuffled or row-expanded (the ann_ivf_topk pin)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc_df = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+    cb = sc_df.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("se").alias("ce")
+    )
+    cb_row = cb.agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+
+    def sub_best(s: int) -> Column:
+        lo = s * _PQ_SUB_DIM + 1
+        return F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    il2(
+                        F.slice(F.col("se"), lo, _PQ_SUB_DIM),
+                        F.slice(c["ce"], lo, _PQ_SUB_DIM),
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    enc = sc_df.crossJoin(F.broadcast(cb_row)).withColumn(
+        "subs", F.array(*[sub_best(s) for s in range(_PQ_SUBS)])
+    )
+    code = F.aggregate(
+        F.zip_with(
+            F.col("subs"),
+            F.expr(f"array({','.join(str(1 << (4 * s)) for s in range(_PQ_SUBS))})"),
+            lambda sub, w: sub["cid"] * w.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    err = F.aggregate(
+        F.col("subs"), F.lit(0).cast("long"), lambda acc, x: acc + x["d"]
+    )
+    return enc.select("vec_id", code.alias("pq_code"), err.alias("recon_err"))

@@ -823,3 +823,77 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "events_anomaly_mad",
+    group="relational-ext",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, median(n_events) AS med FROM c GROUP BY 1
+    ), mad AS (
+      SELECT c.event_type, median(abs(c.n_events - m.med)) AS mad
+      FROM c JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT c.event_type, c.bucket_us, c.n_events,
+           (m.med + 0.0) AS med, (d.mad + 0.0) AS mad,
+           CAST(CASE WHEN d.mad > 0 AND abs(c.n_events - m.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM c JOIN med m USING (event_type) JOIN mad d ON d.event_type = c.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly flags: per (event_type, 1-hour bucket)
+    event counts scored against the per-type median and median absolute
+    deviation — |c - med| > 3*MAD marks the bucket anomalous (MAD = 0
+    disables flagging for that type rather than flagging everything,
+    the standard robust-scores convention). Median/MAD beat mean/stddev
+    here because the anomalies being hunted are exactly the points that
+    would poison a mean-based threshold.
+
+    Determinism: counts are integers; exact-median interpolation is
+    (a+b)/2 of integers (exact binary halves) in both engines, so med,
+    MAD, and every comparison are bit-identical cross-engine (+ 0.0
+    normalizes DuckDB's -0.0, the repo-wide rule).
+
+    Shape at scale: ONE shuffle of the raw events (the (type, bucket)
+    partial-agg rollup — same exchange ts_downsample_ohlc uses); both
+    median aggregates run over the O(types x buckets) rollup, and the
+    per-type med/MAD tables (O(types) rows) broadcast back onto it. The
+    raw stream is never shuffled twice, never windowed per row."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = c.groupBy("event_type").agg(F.median("n_events").alias("med"))
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("n_events") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "bucket_us",
+            "n_events",
+            (F.col("med") + F.lit(0.0)).alias("med"),
+            (F.col("mad") + F.lit(0.0)).alias("mad"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("n_events") - F.col("med")) > 3 * F.col("mad"))
+            )
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )

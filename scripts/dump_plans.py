@@ -46,6 +46,10 @@ HEADLINE = [
     "subquery_correlated",
     "dedup_span_ngram",
     "mix_sources_temperature",
+    "events_anomaly_mad",
+    "agg_cms_heavy_hitters",
+    "agg_hll_registers",
+    "vec_pq_encode",
 ]
 
 

@@ -195,3 +195,71 @@ def test_lsh_occupancy_tracks_target_on_spread_corpus(spark, tmp_path):
     assert stats.n_buckets > 128
     assert stats.pairs < 40 * n  # vs C(4096,2)/64 ≈ 131k pairs at fixed P=6
     assert math.isfinite(stats.pairs)
+
+
+# --- round-9 operator semantics (hand-computed / independent-impl) ---------
+
+
+def test_cms_estimates_are_one_sided(spark, sf_dir):
+    """The CMS guarantee is one-sided: an estimate can only OVERcount
+    (every row's counter is incremented by every colliding token). A
+    negative overcount anywhere means the sketch or the probe hashes
+    diverged — the invariant neither the query nor its oracle can satisfy
+    by accident if either drifts."""
+    rows = REGISTRY["agg_cms_heavy_hitters"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_est == r.n_true + r.overcount for r in rows)
+
+
+def test_hll_estimate_within_theory(spark, sf_dir):
+    """HLL raw estimate vs the exact distinct count: m=256 gives a
+    1.04/sqrt(m) = 6.5% theoretical sd; pin a 3-sigma-ish 15% band. This
+    is what caught the avalanche-free token_hash_wide (6.9x off) during
+    round 9."""
+    (row,) = REGISTRY["agg_hll_registers"].spark(spark, sf_dir).collect()
+    assert row.true_distinct > 2.5 * row.m, "corpus too small for the raw-HLL regime"
+    rel = abs(row.hll_raw_estimate - row.true_distinct) / row.true_distinct
+    assert rel < 0.15, f"HLL rel err {rel:.3f} (est {row.hll_raw_estimate} vs {row.true_distinct})"
+
+
+def test_minhash_cluster_hand_case(spark, tmp_path):
+    """Two byte-identical docs must cluster together under the min-id
+    keeper; a distinct doc stays a singleton."""
+    from tests.test_round8_ops import _write_documents
+
+    same = "spark batch stream filter merge group column order value quick"
+    other = "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll"
+    _write_documents(
+        tmp_path,
+        [(0, same, "en", "src0"), (1, same, "en", "src1"), (2, other, "en", "src2")],
+    )
+    rows = {r.doc_id: r for r in REGISTRY["dedup_minhash_cluster"].spark(spark, str(tmp_path)).collect()}
+    assert rows[0].cluster_id == 0 and rows[0].is_keeper == 1
+    assert rows[1].cluster_id == 0 and rows[1].is_keeper == 0
+    assert rows[2].cluster_id == 2 and rows[2].is_keeper == 1
+
+
+def test_pq_encode_codebook_vectors_reconstruct_exactly(spark, sf_dir):
+    """Vectors 0..15 ARE the codebook, so each of their subvectors is at
+    distance 0 from itself — recon_err must be exactly 0 for them and
+    the packed code must fit in 8 nibbles."""
+    rows = REGISTRY["vec_pq_encode"].spark(spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    for vid in range(16):
+        assert by_id[vid].recon_err == 0, f"vec {vid}"
+    assert all(0 <= r.pq_code < 16**8 for r in rows)
+    assert all(r.recon_err >= 0 for r in rows)
+
+
+def test_anomaly_mad_matches_independent_pandas(spark, sf_dir):
+    """Recompute median/MAD flags in pandas (independent implementation)
+    and compare every flag — the cross-check discipline graph_pagerank
+    uses, guarding against the query and oracle drifting together."""
+    df = REGISTRY["events_anomaly_mad"].spark(spark, sf_dir).toPandas()
+    for et, g in df.groupby("event_type"):
+        med = g.n_events.median()
+        mad = (g.n_events - med).abs().median()
+        expect = ((mad > 0) & ((g.n_events - med).abs() > 3 * mad)).astype(int)
+        assert (g.med == med).all() and (g.mad == mad).all(), et
+        assert (g.is_anomaly == expect).all(), et
