@@ -1928,7 +1928,13 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- minhash pair list -> transitive clusters (the output-capping path) ----
 
-_MHC_MIN_SIM = 0.5  # signature-agreement gate; sims are exact eighths
+# Signature-agreement gate; sims are exact eighths so the compare can
+# never straddle an engine rounding difference. 0.75 (6 of 8), NOT 0.5:
+# a banded candidate already agrees on one full band = 4 of 8 positions
+# by construction, so a 0.5 gate admits EVERY candidate pair (verified:
+# 58,419 of 58,419 at sf0.1) and the "gate" is vacuous — the cluster
+# stage must be stricter than the recall stage that feeds it.
+_MHC_MIN_SIM = 0.75
 
 _MINHASH_CLUSTER_ORACLE = f"""
     WITH RECURSIVE mh AS (

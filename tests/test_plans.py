@@ -371,3 +371,40 @@ def test_gap_fill_grid_is_hash_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_gap_fill")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 2, plan
+
+
+def test_pq_encode_is_map_side(spark, sf_dir):
+    """vec_pq_encode: codebook collapses to one broadcast row and encode
+    is a per-row HOF argmin — the embedding table must never be
+    hash-shuffled or windowed (the ann_ivf_topk discipline)."""
+    plan = plan_of(spark, sf_dir, "vec_pq_encode")
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_sketch_shuffles_sketch_not_tokens(spark, sf_dir):
+    """agg_cms_heavy_hitters: every hash-partition exchange must key on
+    sketch coordinates (j, bucket) or the token AGGREGATE — at 100 TB the
+    shuffled data is sketch-sized / vocab-sized, never the raw exploded
+    token stream (which would appear as an exchange with no preceding
+    partial HashAggregate)."""
+    plan = plan_of(spark, sf_dir, "agg_cms_heavy_hitters")
+    # every hashpartitioning exchange keys on the sketch/(token) agg keys
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert ("j#" in keys and "bucket#" in keys) or "token#" in keys, keys
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_anomaly_mad_single_raw_shuffle(spark, sf_dir):
+    """events_anomaly_mad: the raw events shuffle exactly once (the
+    (type, hour) rollup); the per-type median/MAD tables join back as
+    broadcasts — no second full-data exchange, no window over raw rows."""
+    plan = plan_of(spark, sf_dir, "events_anomaly_mad")
+    assert "Window" not in plan, plan
+    # hash exchanges: the rollup's (event_type, bucket_us) partial agg and
+    # the O(types x buckets) median aggs — all keyed on event_type[, bucket]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type#" in m.group(1), m.group(1)
+    assert plan.count("BroadcastExchange") >= 2, plan
