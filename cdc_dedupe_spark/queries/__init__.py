@@ -48,20 +48,19 @@ from . import sketch  # noqa: F401,E402
 # local parity evidence meanwhile) and 10 r6-verified entries (agg_cube,
 # agg_distinct, the window_* family, and the two rows-only approx aggs
 # that never hash-match by design).
-# r9 (offset 349; registry grew 114 -> 119, ≡ 111 mod 119): computed
-# maximal coverage again (scripted argmax over all 119 rotations). The
-# window wraps vec_pq_encode (111) through events_gap_fill (41): 8 of
-# the 9 never-driver-verified entries — the four r8 leftovers
-# cdc_upsert_latest / dedup_span_ngram / events_gap_fill (+ the r9
-# additions agg_cms_heavy_hitters, agg_hll_registers,
-# dedup_minhash_cluster, events_anomaly_mad, vec_pq_encode) — plus ALL
-# 10 r6-stale entries (agg_cube, agg_distinct, the six window_*
-# queries, both rows-only approx aggs). No 50-entry window can also
-# reach graph_pagerank (index 51, just past events_gap_fill at 41 with
-# the window anchored at 111): it keeps its committed-sweep exact-hash
-# + independent pure-Python PageRank cross-check
-# (tests/test_round8_ops.py) and rotates into the r10 window.
-DRIVER_ROTATION_OFFSET = 349
+# r9 (offset 365; registry grew 114 -> 121, ≡ 2 mod 121): the window
+# spans sorted indices 2..51 — ALL FOUR r8 never-verified leftovers
+# (cdc_upsert_latest, dedup_span_ngram, events_gap_fill,
+# graph_pagerank: VERDICT r8 "Next round" #1, the oldest debt) plus
+# four of the seven r9 additions (agg_cms_heavy_hitters,
+# agg_hll_registers, dedup_minhash_cluster, events_anomaly_mad).
+# Computed by scripted argmax over all 121 rotations with old-debt
+# priority: no 50-entry window reaches past graph_pagerank (51) AND
+# back to the v/w-region r9 additions, so join_bloom_prefilter (54),
+# vec_pq_encode and window_cume_dist — all added THIS round, each with
+# committed-sweep exact-hash + unit evidence — wait for the r10 window
+# along with the r6-stale window_* family.
+DRIVER_ROTATION_OFFSET = 365
 
 
 def driver_order() -> list[str]:

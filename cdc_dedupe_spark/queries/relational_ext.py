@@ -897,3 +897,103 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# --- bloom-prefiltered join (explicit runtime-filter pattern) ---------------
+
+_BLOOM_M = 1024  # bits
+_BLOOM_P = 2147483647
+_BLOOM_A = [1103515245, 69069, 1664525]  # k = 3 hash rows
+_BLOOM_B = [12345, 362437, 1013904223]
+
+
+def _bloom_pos(key, j: int):
+    return ((key % _BLOOM_P * _BLOOM_A[j] + _BLOOM_B[j]) % _BLOOM_P) % _BLOOM_M
+
+
+@register(
+    "join_bloom_prefilter",
+    group="relational-ext",
+    oracle="""
+    SELECT l.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey = 9
+    GROUP BY l.l_suppkey
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered dimension join: build a 1024-bit, 3-hash bloom
+    over the selected suppliers' keys (one broadcast row holding the
+    sorted set-bit positions — bounded at m entries no matter how many
+    keys set them), drop fact rows MAP-SIDE when any probe bit is
+    missing, then run the exact broadcast join on the survivors. The
+    bloom admits false positives but never false negatives (same integer
+    hash family on both sides), so the final result is EXACTLY the plain
+    join — which is precisely what the oracle checks, while a unit test
+    pins that the prefilter really discards non-matching rows before the
+    join (tests/test_round9_ops.py).
+
+    This is the explicit, oracle-checkable form of the engine's own
+    runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.*): at
+    100 TB the win is that rows failing the bloom never reach the join's
+    hash probe or, in the shuffled-join case, the wire — the filter is a
+    few KB broadcast regardless of dimension size."""
+    sup = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 9).select(
+        "s_suppkey"
+    )
+    bloom = F.broadcast(
+        sup.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s_suppkey"), j) for j in range(len(_BLOOM_A))])
+            ).alias("p")
+        ).agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    probe_ok = None
+    for j in range(len(_BLOOM_A)):
+        hit = F.array_contains(F.col("bits"), _bloom_pos(F.col("l_suppkey"), j))
+        probe_ok = hit if probe_ok is None else (probe_ok & hit)
+    cand = li.crossJoin(bloom).filter(probe_ok)
+    return (
+        cand.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "window_cume_dist",
+    group="relational-ext",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           (round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY round(o_totalprice * 100)), 6) + 0.0)
+             AS cd
+    FROM orders
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per order priority over integer-cents order totals —
+    the value-based cumulative-distribution window (ties share a value
+    so no tie-break is needed; the cents cast keeps the ORDER key and
+    the tie classes identical in both engines). One shuffle on the
+    partition key, cumulative frame, no re-scan per row — the
+    window-function discipline the rest of the window family pins."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        round_pos(F.cume_dist().over(w), 6).alias("cd"),
+    )

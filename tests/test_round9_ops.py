@@ -263,3 +263,33 @@ def test_anomaly_mad_matches_independent_pandas(spark, sf_dir):
         expect = ((mad > 0) & ((g.n_events - med).abs() > 3 * mad)).astype(int)
         assert (g.med == med).all() and (g.mad == mad).all(), et
         assert (g.is_anomaly == expect).all(), et
+
+
+def test_bloom_prefilter_actually_filters(spark, sf_dir):
+    """The oracle proves result == plain join (no false negatives); this
+    pins the other half — the map-side bloom really DISCARDS fact rows
+    before the join (otherwise the operator is a plain join wearing a
+    costume). With 10 of ~100 suppliers selected, the candidate set must
+    sit strictly between the true-match count and the full fact table."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.queries.relational_ext import _BLOOM_A, _bloom_pos
+    from cdc_dedupe_spark.tables import table
+
+    sup = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 9).select("s_suppkey")
+    bloom = F.broadcast(
+        sup.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s_suppkey"), j) for j in range(len(_BLOOM_A))])
+            ).alias("p")
+        ).agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey")
+    probe_ok = None
+    for j in range(len(_BLOOM_A)):
+        hit = F.array_contains(F.col("bits"), _bloom_pos(F.col("l_suppkey"), j))
+        probe_ok = hit if probe_ok is None else (probe_ok & hit)
+    n_fact = li.count()
+    n_cand = li.crossJoin(bloom).filter(probe_ok).count()
+    n_true = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")).count()
+    assert n_true <= n_cand < n_fact, (n_true, n_cand, n_fact)
