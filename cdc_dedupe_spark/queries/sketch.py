@@ -87,13 +87,19 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counting (text_tokens_topk) shuffles |vocab| rows."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(char_shingles(F.col("text"), n=5, prefix_len=200)).alias("token"))
-    hp = token_hash_wide(F.col("token")) % _CMS_P
+    # hp lands in its OWN projected column before the 4-row explode —
+    # referencing the hash expression inside each struct would re-inline
+    # (and re-evaluate) it once per depth row (the HOF/when re-inlining
+    # pitfall; measured ~2s of the build at sf0.1).
+    hashed = toks.select((token_hash_wide(F.col("token")) % _CMS_P).alias("hp"))
     cms = (
-        toks.select(
+        hashed.select(
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(j).alias("j"), _cms_bucket(hp, j).alias("bucket"))
+                        F.struct(
+                            F.lit(j).alias("j"), _cms_bucket(F.col("hp"), j).alias("bucket")
+                        )
                         for j in range(_CMS_D)
                     ]
                 )
@@ -102,6 +108,10 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # No localCheckpoint here: measured SLOWER at sf0.1 and sf1 —
+    # Spark's exchange reuse already shares the token-count scan between
+    # the top-20 cut and the probe, and checkpointing the 20-row frame
+    # forced an extra materialization pass instead of saving one.
     top = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_true"))
@@ -216,12 +226,18 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(char_shingles(F.col("text"), n=5, prefix_len=200)).alias("token"))
-    hv = F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10).cast("long")
-    v = F.shiftright(hv, 8)
-    rho = toks.select(
-        (hv % _HLL_M).alias("reg"),
-        F.when(v == 0, F.lit(_HLL_VBITS + 1))
-        .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(v)))
+    # hv/v materialize in their own projections: reg and both branches of
+    # the rho CASE reference them, and inline Column exprs re-evaluate
+    # the md5+conv chain at every reference (the re-inlining pitfall).
+    hashed = toks.select(
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    ).select("hv", F.shiftright(F.col("hv"), 8).alias("v"))
+    rho = hashed.select(
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(F.col("v") == 0, F.lit(_HLL_VBITS + 1))
+        .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(F.col("v"))))
         .alias("r"),
     )
     regs = (
