@@ -313,7 +313,16 @@ def _lsh_projection(e, with_norm: bool = True):
     )
     if with_norm:
         bk = bk.withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
-    return bk
+    # Lazy localCheckpoint: every consumer references this projection
+    # TWICE (bucket self-join aliases, or probe + candidate side), and
+    # exchange reuse does not cover a join's two inputs — without the
+    # checkpoint the scaled/signed/normed pipeline runs twice per query
+    # (measured: dedup_embed_lsh 2.7 -> 1.5 s, dedup_embed_cluster
+    # 6.2 -> 4.0 s at sf0.1; no regression at sf1). Values are
+    # unchanged — checkpointing is execution-only — so the oracles are
+    # untouched. On a real cluster swap for reliable checkpoint()
+    # (operators/graph.py note).
+    return bk.localCheckpoint(eager=False)
 
 
 @register("dedup_embed_lsh", group="llm-ext", oracle=_DEDUP_LSH_ORACLE)
@@ -1431,6 +1440,15 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "sig", F.col("b.j").alias("j"), F.col("b.key").alias("key"))
+    # Lazy localCheckpoint before the self-join: the two aliases would
+    # otherwise each re-run the whole shingle->hash->signature pipeline
+    # (exchange reuse does NOT kick in across the join's build/stream
+    # sides here) — and that pipeline IS the dominant cost (measured:
+    # 6.4 -> 3.6 s at sf0.1, 64 -> 33 s on the local sf1 corpus, same
+    # pairs). The materialized table is 2 rows x (id, 8-long sig, j,
+    # key) per doc; on a real cluster swap for reliable checkpoint()
+    # (operators/graph.py note).
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     n_eq = F.aggregate(
         F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)),
