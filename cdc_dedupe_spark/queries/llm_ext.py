@@ -2097,4 +2097,20 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.aggregate(
         F.col("subs"), F.lit(0).cast("long"), lambda acc, x: acc + x["d"]
     )
-    return enc.select("vec_id", code.alias("pq_code"), err.alias("recon_err"))
+    # Loud dim tripwire (the _KM_DIM discipline): a vector shorter than
+    # subspaces x sub_dim would slice past its end, zip against NULLs and
+    # silently corrupt codes/err; non-nullable coalesce-add keeps the
+    # guard out of join predicates (the lsh_bucket lesson).
+    dim_guard = F.coalesce(
+        F.assert_true(
+            F.size("se") == _PQ_SUBS * _PQ_SUB_DIM,
+            F.lit(
+                f"vec_pq_encode expects embedding dim {_PQ_SUBS * _PQ_SUB_DIM}; "
+                "update _PQ_SUBS/_PQ_SUB_DIM for the new generator encoding"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return enc.select(
+        "vec_id", (code + dim_guard).alias("pq_code"), err.alias("recon_err")
+    )

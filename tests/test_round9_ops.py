@@ -293,3 +293,12 @@ def test_bloom_prefilter_actually_filters(spark, sf_dir):
     n_cand = li.crossJoin(bloom).filter(probe_ok).count()
     n_true = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")).count()
     assert n_true <= n_cand < n_fact, (n_true, n_cand, n_fact)
+
+
+def test_pq_encode_wrong_dim_fails_loudly(spark, tmp_path):
+    """A non-64-dim corpus must raise (subvector slices would silently
+    zip against NULLs and corrupt codes otherwise)."""
+    sf = _write_embeddings(tmp_path, dim=12)
+    df = REGISTRY["vec_pq_encode"].spark(spark, sf)
+    with pytest.raises(Exception, match="expects embedding dim"):
+        df.collect()
