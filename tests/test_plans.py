@@ -408,3 +408,23 @@ def test_anomaly_mad_single_raw_shuffle(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "event_type#" in m.group(1), m.group(1)
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_no_global_sorts_or_stray_python_udfs_anywhere(spark, sf_dir):
+    """Registry-wide scale-smell sweep (the round-9 plan audit, made
+    permanent): no batch query may compile to a global range-partitioned
+    sort (top-k must be TakeOrderedAndProject; windows partition on a
+    key), and row-at-a-time Python evaluation may appear ONLY in the one
+    query that deliberately declares the Python-UDF surface."""
+    allowed_python = {"udf_python"}
+    for name, q in REGISTRY.items():
+        if q.group == "streaming" or name == "cdc_dedupe_stream":
+            continue
+        df = q.spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "Exchange rangepartitioning" not in p, name
+        if name not in allowed_python:
+            assert "BatchEvalPython" not in p, name
