@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 from ..functions.text import SQL_PADDED_ORDER_KEY, padded_order_key
 from ..sources.replay import events_stream
@@ -378,3 +378,70 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cents", "ok").alias("last_cents"),
     )
     return run_to_memory(agg, "stream_upsert_latest", output_mode="complete")
+
+
+_BLOOM_STATE = StructType([StructField("bits", BinaryType())])
+_BLOOM_OUT = StructType(
+    [StructField("user_id", LongType()), StructField("key_hash", LongType())]
+)
+_BLOOM_M = 8192  # bits per shard (1 KiB state row)
+_BLOOM_P = 2147483647
+_BLOOM_HASHES = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
+
+
+def _bloom_positions(h: int) -> list[int]:
+    hp = h % _BLOOM_P
+    return [((hp * a + b) % _BLOOM_P) % _BLOOM_M for a, b in _BLOOM_HASHES]
+
+
+def _bloom_dedupe(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    bits = bytearray(state.get[0]) if state.exists else bytearray(_BLOOM_M // 8)
+    out_u: list[int] = []
+    out_h: list[int] = []
+    for pdf in pdfs:
+        for u, h in zip(pdf["user_id"], pdf["kh"]):
+            pos = _bloom_positions(int(h))
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                continue  # (probably) seen before: drop
+            for p in pos:
+                bits[p >> 3] |= 1 << (p & 7)
+            out_u.append(int(u))
+            out_h.append(int(h))
+    state.update((bytes(bits),))
+    yield pd.DataFrame({"user_id": out_u, "key_hash": out_h})
+
+
+@register("stream_bloom_dedupe", group="streaming", oracle=None)
+def stream_bloom_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedupe: first-occurrence filtering of
+    (user_id, event_type) keys where the cross-batch memory is a bloom
+    filter held in the state store — 1 KiB per shard, FOREVER, versus
+    dropDuplicates' O(distinct keys) exact state (or the watermark TTL
+    compromise of stream_watermark_dedupe). The price is a bounded
+    false-positive rate: a colliding NEW key is wrongly dropped, never
+    duplicated — the at-most-once-per-key side of the trade, which is
+    the side a pretraining ingest pipeline wants. The reference's
+    dedupe ledger (S9, WatchStream.java:272-274) is the exact-window
+    special case of this shape.
+
+    Scale: keys shard across 8 state rows (shard = user_id % 8 here;
+    at 100 TB shard by hash to O(parallelism) rows and size m per the
+    target fp rate m ≈ -1.44·n·log2(fp)); each micro-batch touches only
+    its shards' blooms, Arrow-batched. Output depends on arrival order
+    and admits fp drops => rows-only; the recall floor and the
+    no-duplicates guarantee are pinned by unit test."""
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.xxhash64("user_id", "event_type").alias("kh"),
+        (F.col("user_id") % 8).alias("shard"),
+    )
+    deduped = stream.groupBy("shard").applyInPandasWithState(
+        _bloom_dedupe,
+        outputStructType=_BLOOM_OUT,
+        stateStructType=_BLOOM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(deduped, "stream_bloom_dedupe", output_mode="update")

@@ -302,3 +302,27 @@ def test_pq_encode_wrong_dim_fails_loudly(spark, tmp_path):
     df = REGISTRY["vec_pq_encode"].spark(spark, sf)
     with pytest.raises(Exception, match="expects embedding dim"):
         df.collect()
+
+
+def test_stream_bloom_dedupe_guarantees(spark, sf_dir):
+    """Bloom-state streaming dedupe: (a) a kept key never appears twice
+    (the at-most-once-per-key guarantee — false positives only DROP);
+    (b) recall stays near 1 at this density (1 KiB bloom per shard, ~10
+    keys/shard at sf0.001: expected fp ~0); (c) output keys are a subset
+    of the true key set."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.tables import table
+
+    out = REGISTRY["stream_bloom_dedupe"].spark(spark, sf_dir).toPandas()
+    assert not out.duplicated(["key_hash"]).any()
+    truth = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.xxhash64("user_id", "event_type").alias("kh"))
+        .distinct()
+        .toPandas()
+    )
+    true_keys = set(truth.kh)
+    kept = set(out.key_hash)
+    assert kept <= true_keys
+    assert len(kept) >= 0.97 * len(true_keys), (len(kept), len(true_keys))
