@@ -23,6 +23,7 @@ verifying a new or edited query before the full sweep.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -32,7 +33,9 @@ _REPO = Path(__file__).resolve().parents[1]
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override for off-scale sweeps (e.g. sf0.1 stress parity); the committed
+# PARITY_LOCAL.json artifact is only written at the default driver scale.
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> int:
@@ -101,7 +104,8 @@ def main() -> int:
         "wall_sec": round(time.time() - t0, 1),
         "queries": results,
     }
-    if not only:  # targeted runs never overwrite the full-surface artifact
+    if not only and SF_DIR == "/root/testdata/sf0.01":
+        # targeted or off-scale runs never overwrite the full-surface artifact
         (_REPO / "PARITY_LOCAL.json").write_text(json.dumps(summary, indent=1) + "\n")
     print(
         f"total={summary['total']} match={summary['match']} "
