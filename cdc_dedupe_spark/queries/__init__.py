@@ -48,20 +48,21 @@ from . import sketch  # noqa: F401,E402
 # local parity evidence meanwhile) and 10 r6-verified entries (agg_cube,
 # agg_distinct, the window_* family, and the two rows-only approx aggs
 # that never hash-match by design).
-# r9 (offset 368; registry grew 114 -> 122, ≡ 2 mod 122): the window
+# r9 (offset 374; registry grew 114 -> 124, ≡ 2 mod 124): the window
 # spans sorted indices 2..51 — ALL FOUR r8 never-verified leftovers
 # (cdc_upsert_latest, dedup_span_ngram, events_gap_fill,
 # graph_pagerank: VERDICT r8 "Next round" #1, the oldest debt) plus
 # four of the seven r9 additions (agg_cms_heavy_hitters,
 # agg_hll_registers, dedup_minhash_cluster, events_anomaly_mad).
-# Computed by scripted argmax over all 121 rotations with old-debt
+# Computed by scripted argmax over all rotations with old-debt
 # priority: no 50-entry window reaches past graph_pagerank (51) AND
 # back to the v/w-region r9 additions, so join_bloom_prefilter (54),
 # vec_pq_encode and window_cume_dist (committed-sweep exact-hash + unit
-# evidence) plus the by-design rows-only stream_bloom_dedupe (guarantee
-# units) — all added THIS round — wait for the r10 window along with
-# the r6-stale window_* family.
-DRIVER_ROTATION_OFFSET = 368
+# evidence), ts_ewma_hourly and stats_two_sample (sweep + independent-
+# implementation units) plus the by-design rows-only stream_bloom_dedupe
+# (guarantee units) — all added THIS round — wait for the r10 window
+# along with the r6-stale window_* family.
+DRIVER_ROTATION_OFFSET = 374
 
 
 def driver_order() -> list[str]:

@@ -997,3 +997,149 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
         round_pos(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "ts_ewma_hourly",
+    group="relational-ext",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             list_transform(list(n_events ORDER BY bucket_us), x -> x::DOUBLE) AS xs
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_buckets,
+           (round(list_reduce(xs, (a, b) -> (b + a) / 2), 6) + 0.0) AS ewma
+    FROM s
+    """,
+)
+def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of the hourly
+    event rate per type — the classic IIR smoother, an inherently
+    ORDER-DEPENDENT fold that plain SQL aggregates cannot express. Run
+    scalably: the raw stream pays only the (type, hour) rollup shuffle;
+    the sequential fold happens per TYPE over the O(buckets) rollup via
+    one sorted-collect + aggregate() — never over raw rows. alpha = 1/2
+    keeps every intermediate a dyadic rational, and both engines fold in
+    the same bucket order with IEEE doubles, so the result is
+    bit-identical (the fold seeds with the first element, matching
+    DuckDB's list_reduce).
+
+    At 100 TB: group count (types) bounds parallelism of the fold stage,
+    but its input is the tiny rollup; for high-cardinality keys this is
+    the state shape stream_stateful_agg maintains incrementally."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_us", "n_events"))),
+        lambda s: s["n_events"].cast("double"),
+    )
+    s = c.groupBy("event_type").agg(xs.alias("xs"))
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda a, b: (b + a) / 2,
+    )
+    return s.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_buckets"),
+        round_pos(ewma, 6).alias("ewma"),
+    )
+
+
+@register(
+    "stats_two_sample",
+    group="relational-ext",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+    ), v AS (
+      SELECT event_type, n, s1,
+             (n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * (n - 1)) AS var_c
+      FROM m
+    ), w AS (
+      SELECT a.n AS n1, b.n AS n2,
+             a.s1::DOUBLE / a.n AS m1, b.s1::DOUBLE / b.n AS m2,
+             a.var_c AS v1, b.var_c AS v2
+      FROM v a, v b WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    )
+    SELECT n1, n2,
+           (round(m1, 4) + 0.0) AS mean1_cents, (round(m2, 4) + 0.0) AS mean2_cents,
+           (round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) + 0.0) AS t_welch,
+           (round(pow(v1 / n1 + v2 / n2, 2)
+                  / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2) + 0.0)
+             AS df_welch
+    FROM w
+    """,
+)
+def stats_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic comparing click vs purchase event
+    values — the A/B-test primitive. Moments are EXACT integers (n, Σx,
+    Σx² over cents: Σx² tops out ~5·10¹³, far under 2⁶³), so sample
+    variance ((nΣx² − (Σx)²)/(n(n−1))) is one exact-integer expression
+    per group and the t/df doubles are single deterministic IEEE
+    pipelines — bit-identical cross-engine, the agg_groupby discipline
+    extended to second moments.
+
+    Shape at scale: one partial-agg shuffle carrying 2 groups × 3
+    scalars; the statistic is a 2-row broadcast join. This is the whole
+    point of moment sketches — an A/B readout over 100 TB moves six
+    numbers."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .withColumn(
+            "var_c",
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+        )
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("s1").alias("s1a"), F.col("var_c").alias("v1")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), F.col("s1").alias("s1b"), F.col("var_c").alias("v2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    m1 = F.col("s1a").cast("double") / F.col("n1")
+    m2 = F.col("s1b").cast("double") / F.col("n2")
+    se2_1 = F.col("v1") / F.col("n1")
+    se2_2 = F.col("v2") / F.col("n2")
+    return w.select(
+        "n1",
+        "n2",
+        round_pos(m1, 4).alias("mean1_cents"),
+        round_pos(m2, 4).alias("mean2_cents"),
+        round_pos((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_welch"),
+        round_pos(
+            F.pow(se2_1 + se2_2, 2)
+            / (F.pow(se2_1, 2) / (F.col("n1") - 1) + F.pow(se2_2, 2) / (F.col("n2") - 1)),
+            2,
+        ).alias("df_welch"),
+    )

@@ -326,3 +326,63 @@ def test_stream_bloom_dedupe_guarantees(spark, sf_dir):
     kept = set(out.key_hash)
     assert kept <= true_keys
     assert len(kept) >= 0.97 * len(true_keys), (len(kept), len(true_keys))
+
+
+def test_ewma_matches_independent_fold(spark, sf_dir):
+    """Recompute the alpha=1/2 EWMA with a plain python loop over the
+    hourly rollup (independent implementation) and compare every type."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.tables import table
+
+    got = {r.event_type: r for r in REGISTRY["ts_ewma_hourly"].spark(spark, sf_dir).collect()}
+    roll = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts) div 3600000000").alias("b"))
+        .groupBy("event_type", "b")
+        .count()
+        .orderBy("event_type", "b")
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in roll:
+        series.setdefault(r.event_type, []).append(r["count"])
+    for et, xs in series.items():
+        y = float(xs[0])
+        for x in xs[1:]:
+            y = (float(x) + y) / 2
+        assert got[et].n_buckets == len(xs)
+        assert abs(got[et].ewma - round(y, 6)) < 1e-9, et
+
+
+def test_welch_t_matches_independent_formula(spark, sf_dir):
+    """Recompute Welch's t / df from raw cents in python and compare."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.tables import table
+
+    (row,) = REGISTRY["stats_two_sample"].spark(spark, sf_dir).collect()
+    vals = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    groups: dict[str, list[int]] = {"click": [], "purchase": []}
+    for r in vals:
+        groups[r.event_type].append(r.c)
+    stats = {}
+    for k, xs in groups.items():
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        stats[k] = (n, m, v)
+    (n1, m1, v1), (n2, m2, v2) = stats["click"], stats["purchase"]
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.t_welch - t) < 1e-4
+    assert abs(row.df_welch - df) < 0.5
