@@ -1143,3 +1143,55 @@ def stats_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "join_fuzzy_band",
+    group="relational-ext",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, length(c_name) - 2) AS band
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.band = b.band AND b.c_custkey > a.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded fuzzy self-join (entity resolution): customer-name pairs
+    within edit distance 1, candidates generated by a prefix band (all
+    but the last 2 characters) so the expensive Levenshtein kernel runs
+    on O(band²) pairs per band — never all-pairs. The gate (dist <= 1)
+    is strictly tighter than what the band admits (band-mates differ in
+    <= 2 trailing characters), so the filter genuinely discriminates —
+    the dedup_minhash_cluster gate lesson. Levenshtein with unit costs
+    is definition-identical in both engines, so the oracle is exact.
+
+    The production shape for user-record dedupe / catalog matching:
+    band by a blocking key (prefix, phonetic code, length bucket), pay
+    the quadratic kernel only inside blocks, and at 100 TB the band key
+    is exactly the LSH-bucket role — the equi-join shuffles on it and
+    block size bounds the kernel invocations. Recall is banding-bounded
+    (a typo inside the blocking prefix escapes the block) — the same
+    recall/cost dial every banded near-dup query here documents."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("band"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("b.c_custkey") > F.col("a.c_custkey")))
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )

@@ -386,3 +386,26 @@ def test_welch_t_matches_independent_formula(spark, sf_dir):
     assert (row.n1, row.n2) == (n1, n2)
     assert abs(row.t_welch - t) < 1e-4
     assert abs(row.df_welch - df) < 0.5
+
+
+def test_fuzzy_band_hand_case(spark, tmp_path):
+    """Hand-computed fuzzy-join semantics on a four-name corpus: only
+    same-band pairs within edit distance 1 match."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    tbl = _pa.table(
+        {
+            "c_custkey": _pa.array([1, 2, 3, 4], _pa.int64()),
+            "c_name": _pa.array(["Cust#0011", "Cust#0012", "Cust#0022", "Zust#0013"]),
+            "c_nationkey": _pa.array([0, 0, 0, 0], _pa.int32()),
+            "c_acctbal": _pa.array([0.0, 0.0, 0.0, 0.0]),
+            "c_mktsegment": _pa.array(["A", "A", "A", "A"]),
+        }
+    )
+    _pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+    rows = {(r.key_a, r.key_b): r.dist for r in REGISTRY["join_fuzzy_band"].spark(spark, str(tmp_path)).collect()}
+    # band "Cust#00" holds keys 1,2,3; "Zust#00" holds 4 alone.
+    # (1,2): 0011/0012 dist 1 -> match; (2,3): 0012/0022 dist 1 -> match;
+    # (1,3): 0011/0022 dist 2 -> gated out; (x,4): different band
+    assert rows == {(1, 2): 1, (2, 3): 1}
