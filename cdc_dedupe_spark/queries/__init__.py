@@ -48,7 +48,7 @@ from . import sketch  # noqa: F401,E402
 # local parity evidence meanwhile) and 10 r6-verified entries (agg_cube,
 # agg_distinct, the window_* family, and the two rows-only approx aggs
 # that never hash-match by design).
-# r9 (offset 252; registry grew 114 -> 125, ≡ 2 mod 125): the window
+# r9 (offset 254; registry grew 114 -> 126, ≡ 2 mod 126): the window
 # spans sorted indices 2..51 — ALL FOUR r8 never-verified leftovers
 # (cdc_upsert_latest, dedup_span_ngram, events_gap_fill,
 # graph_pagerank: VERDICT r8 "Next round" #1, the oldest debt) plus
@@ -58,12 +58,13 @@ from . import sketch  # noqa: F401,E402
 # priority: no 50-entry window reaches past graph_pagerank (51) AND
 # back to the v/w-region r9 additions, so join_bloom_prefilter (54),
 # vec_pq_encode and window_cume_dist (committed-sweep exact-hash + unit
-# evidence), join_fuzzy_band, ts_ewma_hourly and stats_two_sample
+# evidence), join_fuzzy_band, pipeline_quality_gate, ts_ewma_hourly
+# and stats_two_sample
 # (sweep + independent-
 # implementation units) plus the by-design rows-only stream_bloom_dedupe
 # (guarantee units) — all added THIS round — wait for the r10 window
 # along with the r6-stale window_* family.
-DRIVER_ROTATION_OFFSET = 252
+DRIVER_ROTATION_OFFSET = 254
 
 
 def driver_order() -> list[str]:

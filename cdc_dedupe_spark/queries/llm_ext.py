@@ -2114,3 +2114,65 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id", (code + dim_guard).alias("pq_code"), err.alias("recon_err")
     )
+
+
+@register(
+    "pipeline_quality_gate",
+    group="llm-ext",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_types
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > 2000 THEN 2 ELSE 0 END)
+              + (CASE WHEN n_stop * 20 < n_tokens THEN 4 ELSE 0 END)
+              + (CASE WHEN n_types * 2 < n_tokens THEN 8 ELSE 0 END)
+             AS BIGINT) AS reasons,
+           CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 2000
+                      AND n_stop * 20 >= n_tokens AND n_types * 2 >= n_tokens
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM t
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality gate with per-rule ATTRIBUTION (the
+    classifier-style filter a curation pipeline runs before dedupe, with
+    the audit trail reviewers need): four Gopher-flavored rules — too
+    short (<20 tokens), too long (>2000), low stopword density
+    (<5%, via the integer cross-multiply n_stop*20 < n_tokens — no
+    float thresholds anywhere), low type-token ratio (<0.5, repetition
+    proxy) — folded into a reasons BITMASK plus the final keep flag, so
+    a dropped document says exactly why and rule firing rates are one
+    groupBy away.
+
+    Pure map-side single pass (token split computed once per row via the
+    shared subtree; zero Exchange, pinned with the text_quality family)
+    — at 100 TB this is scan-rate filtering, and the gate composes in
+    front of the dedupe/mix stages exactly as pipeline_curation_mix's
+    span gate does."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    r1 = (F.col("n_tokens") < 20).cast("long")
+    r2 = (F.col("n_tokens") > 2000).cast("long") * 2
+    r3 = (F.col("n_stop") * 20 < F.col("n_tokens")).cast("long") * 4
+    r4 = (F.col("n_types") * 2 < F.col("n_tokens")).cast("long") * 8
+    reasons = r1 + r2 + r3 + r4
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        reasons.alias("reasons"),
+        (reasons == 0).cast("int").alias("keep"),
+    )

@@ -113,7 +113,7 @@ def test_cosine_topk_broadcasts_probe(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
-@pytest.mark.parametrize("name", ["text_quality", "text_token_count", "dedup_simhash", "text_langid"])
+@pytest.mark.parametrize("name", ["text_quality", "text_token_count", "dedup_simhash", "text_langid", "pipeline_quality_gate"])
 def test_map_only_ops_have_no_shuffle(spark, sf_dir, name):
     """Per-document scoring ops are pure map-side HOFs — zero Exchange
     nodes, linear scaling with input splits (SCALING.md LLM family)."""

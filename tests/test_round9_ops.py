@@ -409,3 +409,25 @@ def test_fuzzy_band_hand_case(spark, tmp_path):
     # (1,2): 0011/0012 dist 1 -> match; (2,3): 0012/0022 dist 1 -> match;
     # (1,3): 0011/0022 dist 2 -> gated out; (x,4): different band
     assert rows == {(1, 2): 1, (2, 3): 1}
+
+
+def test_quality_gate_hand_cases(spark, tmp_path):
+    """Each rule exercised by a crafted document: short, stopword-free,
+    repetitive, and a clean keeper; the reasons bitmask attributes every
+    firing rule."""
+    from tests.test_round8_ops import _write_documents
+
+    short = "one two three"  # 3 tokens -> R1 (1)
+    no_stop = " ".join(f"w{i}" for i in range(40))  # 0 stopwords -> R3 (4)
+    repetitive = " ".join(["the dup"] * 30)  # 2 types / 60 tokens -> R4 (8)
+    clean = " ".join((["the", "a", "of", "and"] * 2) + [f"u{i}" for i in range(22)])
+    _write_documents(
+        tmp_path,
+        [(0, short, "en", "s"), (1, no_stop, "en", "s"), (2, repetitive, "en", "s"), (3, clean, "en", "s")],
+    )
+    rows = {r.doc_id: r for r in REGISTRY["pipeline_quality_gate"].spark(spark, str(tmp_path)).collect()}
+    assert rows[0].reasons & 1 and rows[0].keep == 0
+    assert rows[1].reasons == 4 and rows[1].keep == 0
+    # 60 tokens of 2 types: repetition fires; stopword density is 50% so R3 off
+    assert rows[2].reasons == 8 and rows[2].keep == 0
+    assert rows[3].reasons == 0 and rows[3].keep == 1
