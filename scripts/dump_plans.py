@@ -50,6 +50,10 @@ HEADLINE = [
     "agg_cms_heavy_hitters",
     "agg_hll_registers",
     "vec_pq_encode",
+    "join_bloom_prefilter",
+    "join_fuzzy_band",
+    "pipeline_quality_gate",
+    "ts_ewma_hourly",
 ]
 
 
