@@ -431,3 +431,48 @@ def test_quality_gate_hand_cases(spark, tmp_path):
     # 60 tokens of 2 types: repetition fires; stopword density is 50% so R3 off
     assert rows[2].reasons == 8 and rows[2].keep == 0
     assert rows[3].reasons == 0 and rows[3].keep == 1
+
+
+def test_lsh_bucket_nesting_across_p_boundary(spark, tmp_path):
+    """Growing a corpus across a sizing-rule boundary (n=500 -> P=6,
+    n=600 -> P=7) REFINES the buckets: for the vectors present in both,
+    the coarse bucket is exactly the fine bucket >> 1 (the signature-
+    prefix property that makes incremental re-bucketing a split, never
+    a reshuffle of unrelated vectors)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.queries.llm_ext import _lsh_projection
+    from cdc_dedupe_spark.tables import table
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(600, 16)).astype("float32")
+
+    def write(n, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([list(v) for v in vecs[:n]], pa.list_(pa.float32())),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        return str(d)
+
+    small = write(500, "small")
+    big = write(600, "big")
+    bk_s = _lsh_projection(
+        table(spark, small, "embeddings").select("vec_id", "embedding"), with_norm=False
+    ).select("vec_id", F.col("bucket").alias("b6"))
+    bk_b = _lsh_projection(
+        table(spark, big, "embeddings").select("vec_id", "embedding"), with_norm=False
+    ).select("vec_id", F.col("bucket").alias("b7"))
+    joined = bk_s.join(bk_b, "vec_id")
+    assert joined.count() == 500
+    assert joined.filter(F.shiftright("b7", 1) != F.col("b6")).count() == 0
+    # and the fine side really uses one more bit
+    assert bk_b.agg(F.max("b7")).first()[0] >= 64
