@@ -48,23 +48,27 @@ from . import sketch  # noqa: F401,E402
 # local parity evidence meanwhile) and 10 r6-verified entries (agg_cube,
 # agg_distinct, the window_* family, and the two rows-only approx aggs
 # that never hash-match by design).
-# r9 (offset 254; registry grew 114 -> 126, ≡ 2 mod 126): the window
-# spans sorted indices 2..51 — ALL FOUR r8 never-verified leftovers
+# r9 (offset 257; registry grew 114 -> 127, ≡ 3 mod 127): the window
+# spans sorted indices 3..52 — ALL FOUR r8 never-verified leftovers
+# (graph_label_prop's insertion at index 51 pushed graph_pagerank to 52,
+# so the anchor moved one right; agg_cms_heavy_hitters (2) rotates to
+# r10 with sweep + one-sidedness-unit evidence)
 # (cdc_upsert_latest, dedup_span_ngram, events_gap_fill,
 # graph_pagerank: VERDICT r8 "Next round" #1, the oldest debt) plus
-# four of the seven r9 additions (agg_cms_heavy_hitters,
-# agg_hll_registers, dedup_minhash_cluster, events_anomaly_mad).
+# the r9 additions agg_hll_registers, dedup_minhash_cluster,
+# events_anomaly_mad and graph_label_prop.
 # Computed by scripted argmax over all rotations with old-debt
-# priority: no 50-entry window reaches past graph_pagerank (51) AND
+# priority: no 50-entry window reaches past graph_pagerank (52) AND
 # back to the v/w-region r9 additions, so join_bloom_prefilter (54),
 # vec_pq_encode and window_cume_dist (committed-sweep exact-hash + unit
-# evidence), join_fuzzy_band, pipeline_quality_gate, ts_ewma_hourly
+# evidence), graph_label_prop, join_fuzzy_band, pipeline_quality_gate,
+# ts_ewma_hourly
 # and stats_two_sample
 # (sweep + independent-
 # implementation units) plus the by-design rows-only stream_bloom_dedupe
 # (guarantee units) — all added THIS round — wait for the r10 window
 # along with the r6-stale window_* family.
-DRIVER_ROTATION_OFFSET = 254
+DRIVER_ROTATION_OFFSET = 257
 
 
 def driver_order() -> list[str]:

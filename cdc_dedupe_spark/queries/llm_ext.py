@@ -2176,3 +2176,74 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"),
         (reasons == 0).cast("int").alias("keep"),
     )
+
+
+_LP_ORACLE = f"""
+    WITH knn AS (
+      SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})
+    ), und AS (
+      SELECT DISTINCT vec_id AS v, nbr_id AS u FROM knn
+      UNION SELECT DISTINCT nbr_id, vec_id FROM knn
+    ), l0 AS (
+      SELECT vec_id, vec_id AS lbl FROM embeddings
+    ), c1 AS (
+      SELECT e.v, l.lbl, COUNT(*) AS cnt
+      FROM und e JOIN l0 l ON l.vec_id = e.u GROUP BY e.v, l.lbl
+    ), p1 AS (
+      SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+      FROM c1
+    ), l1 AS (
+      SELECT n.vec_id, COALESCE(p.lbl, n.vec_id) AS lbl
+      FROM l0 n LEFT JOIN (SELECT v, lbl FROM p1 WHERE rn = 1) p ON p.v = n.vec_id
+    ), c2 AS (
+      SELECT e.v, l.lbl, COUNT(*) AS cnt
+      FROM und e JOIN l1 l ON l.vec_id = e.u GROUP BY e.v, l.lbl
+    ), p2 AS (
+      SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+      FROM c2
+    )
+    SELECT n.vec_id, CAST(COALESCE(p.lbl, n.vec_id) AS BIGINT) AS community
+    FROM l1 n LEFT JOIN (SELECT v, lbl FROM p2 WHERE rn = 1) p ON p.v = n.vec_id
+    """
+
+
+@register("graph_label_prop", group="llm-ext", oracle=_LP_ORACLE)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation iterations over the k-NN
+    similarity graph — COMMUNITY detection, completing the graph family
+    next to connected components (reachability) and PageRank
+    (centrality): each node adopts its neighbors' most frequent label
+    (ties to the smallest label — deterministic, unlike classic
+    random-order LPA), isolated nodes keep their own.
+
+    Shape at scale (the graph_pagerank discipline): the undirected edge
+    table is localCheckpoint'd ONCE; each iteration is a co-partitioned
+    edge⋈label join + a (node, label) partial-agg count + an argmax via
+    min(struct(-count, label)) — |edges| rows move per iteration, the
+    embedding table is read exactly once by the shared edge builder, and
+    a production loop repeats the body to stability with the CC-style
+    one-scalar convergence probe."""
+    edges = _knn_edges(spark, sf_dir).select("vec_id", "nbr_id")
+    und = (
+        edges.select(F.col("vec_id").alias("v"), F.col("nbr_id").alias("u"))
+        .union(edges.select(F.col("nbr_id").alias("v"), F.col("vec_id").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = nodes.select("vec_id", F.col("vec_id").alias("lbl"))
+    for _ in range(2):
+        cnt = (
+            und.join(labels.select(F.col("vec_id").alias("u"), "lbl"), "u")
+            .groupBy(F.col("v").alias("vec_id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = cnt.groupBy("vec_id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("lbl")))["lbl"].alias(
+                "new_lbl"
+            )
+        )
+        labels = nodes.join(labels, "vec_id").join(best, "vec_id", "left").select(
+            "vec_id", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    return labels.select("vec_id", F.col("lbl").cast("long").alias("community"))

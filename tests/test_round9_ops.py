@@ -476,3 +476,35 @@ def test_lsh_bucket_nesting_across_p_boundary(spark, tmp_path):
     assert joined.filter(F.shiftright("b7", 1) != F.col("b6")).count() == 0
     # and the fine side really uses one more bit
     assert bk_b.agg(F.max("b7")).first()[0] >= 64
+
+
+def test_label_prop_hand_case(spark, tmp_path):
+    """Independent pure-python LPA on the same edge set must agree with
+    the Spark result (the graph_pagerank cross-check discipline)."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.queries.llm_ext import _knn_edges
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.vec_id, r.nbr_id) for r in _knn_edges(spark, sf).select("vec_id", "nbr_id").collect()]
+    und = set()
+    nodes = set()
+    for a, b in edges:
+        und.add((a, b)); und.add((b, a)); nodes.add(a); nodes.add(b)
+    from cdc_dedupe_spark.tables import table
+
+    all_nodes = [r.vec_id for r in table(spark, sf, "embeddings").select("vec_id").collect()]
+    lbl = {v: v for v in all_nodes}
+    for _ in range(2):
+        cnt: dict[tuple[int, int], int] = {}
+        for v, u in und:
+            cnt[(v, lbl[u])] = cnt.get((v, lbl[u]), 0) + 1
+        new = dict(lbl)
+        byv: dict[int, list[tuple[int, int]]] = {}
+        for (v, l), c in cnt.items():
+            byv.setdefault(v, []).append((-c, l))
+        for v, cands in byv.items():
+            new[v] = min(cands)[1]
+        lbl = new
+    got = {r.vec_id: r.community for r in REGISTRY["graph_label_prop"].spark(spark, sf).collect()}
+    assert got == lbl
