@@ -68,13 +68,26 @@ from . import sketch  # noqa: F401,E402
 # implementation units) plus the by-design rows-only stream_bloom_dedupe
 # (guarantee units) — all added THIS round — wait for the r10 window
 # along with the r6-stale window_* family.
-DRIVER_ROTATION_OFFSET = 257
+#
+# r10: the offset arithmetic is RETIRED. The 15 entries VERDICT r9 wanted
+# in the r10 window span sorted indices 2..126 — no contiguous 50-window
+# covers them (best reachable was 12/15). driver_order() now sorts the
+# registry least-recently-driver-verified first (ties alphabetical),
+# using cdc_dedupe_spark/queries/driver_history.py, which is GENERATED
+# from the committed CORRECTNESS_r*.json artifacts by
+# scripts/update_rotation.py (run at round start, committed). Names with
+# no history (new queries) sort to the very front. The 50-entry window is
+# therefore always exactly the 50 stalest entries, so no entry can go
+# more than ceil(N/50) rounds without a fresh driver row — the staleness
+# bound the old offset scheme could not guarantee (window_* sat at r6 for
+# three rounds). tests/test_rotation.py pins both the order and the bound.
+from .driver_history import DRIVER_LAST_VERIFIED  # noqa: E402
 
 
 def driver_order() -> list[str]:
     """Registry names in the order the driver contract exposes them:
-    alphabetical, rotated 50 per round so the 50-entry driver window
-    sweeps the whole surface across consecutive rounds."""
-    names = sorted(REGISTRY)
-    k = DRIVER_ROTATION_OFFSET % len(names)
-    return names[k:] + names[:k]
+    least-recently-driver-verified first (never-verified and brand-new
+    queries sort to the front), alphabetical within a round cohort. The
+    driver checks the first 50, so the window always retires the oldest
+    verification debt first."""
+    return sorted(REGISTRY, key=lambda n: (DRIVER_LAST_VERIFIED.get(n, 0), n))
