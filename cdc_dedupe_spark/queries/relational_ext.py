@@ -901,14 +901,28 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- bloom-prefiltered join (explicit runtime-filter pattern) ---------------
 
-_BLOOM_M = 1024  # bits
+_BLOOM_M_MIN = 1024  # bits floor (r9's fixed size; now also the minimum)
+_BLOOM_M_MAX = 1 << 22  # 512 KiB of bits — broadcast stays a few MB worst case
 _BLOOM_P = 2147483647
 _BLOOM_A = [1103515245, 69069, 1664525]  # k = 3 hash rows
 _BLOOM_B = [12345, 362437, 1013904223]
 
 
-def _bloom_pos(key, j: int):
-    return ((key % _BLOOM_P * _BLOOM_A[j] + _BLOOM_B[j]) % _BLOOM_P) % _BLOOM_M
+def _bloom_m_for(n_keys: int) -> int:
+    """Bits for the bloom, sized from the BUILD-SIDE key count: next power
+    of two >= 16 bits/key (k=3 hashes -> fp rate ~(1-e^(-3/16))^3 ≈ 0.4%),
+    clamped to [2^10, 2^22]. A fixed m saturates: with n ≈ m/k keys the
+    filter is nearly all-ones and map-side pruning silently degrades to a
+    pass-through (ADVICE r9) — at sf1's ~400 suppliers/nation a 1024-bit
+    filter was already past that bound."""
+    m = _BLOOM_M_MIN
+    while m < min(16 * max(n_keys, 1), _BLOOM_M_MAX):
+        m <<= 1
+    return m
+
+
+def _bloom_pos(key, j: int, m: int = _BLOOM_M_MIN):
+    return ((key % _BLOOM_P * _BLOOM_A[j] + _BLOOM_B[j]) % _BLOOM_P) % m
 
 
 @register(
@@ -924,36 +938,45 @@ def _bloom_pos(key, j: int):
     """,
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-prefiltered dimension join: build a 1024-bit, 3-hash bloom
+    """Bloom-prefiltered dimension join: build an m-bit, 3-hash bloom
     over the selected suppliers' keys (one broadcast row holding the
-    sorted set-bit positions — bounded at m entries no matter how many
-    keys set them), drop fact rows MAP-SIDE when any probe bit is
-    missing, then run the exact broadcast join on the survivors. The
-    bloom admits false positives but never false negatives (same integer
-    hash family on both sides), so the final result is EXACTLY the plain
-    join — which is precisely what the oracle checks, while a unit test
-    pins that the prefilter really discards non-matching rows before the
-    join (tests/test_round9_ops.py).
+    sorted set-bit positions — at most 3·|keys| entries), drop fact rows
+    MAP-SIDE when any probe bit is missing, then run the exact broadcast
+    join on the survivors. m is SIZED FROM THE BUILD SIDE — a one-scalar
+    count on the (tiny, filtered) dimension picks the next power of two
+    >= 16 bits/key, the same one-row-scan discipline as the LSH
+    projection's corpus-adaptive plane count — because a fixed m
+    saturates to all-ones at ~m/k keys and the advertised pruning
+    silently becomes a pass-through (ADVICE r9; tests pin both the
+    sizing rule and the saturation bound). The bloom admits false
+    positives but never false negatives (same integer hash family on
+    both sides), so the final result is EXACTLY the plain join — which
+    is precisely what the oracle checks, while a unit test pins that the
+    prefilter really discards non-matching rows before the join
+    (tests/test_round9_ops.py).
 
     This is the explicit, oracle-checkable form of the engine's own
     runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.*): at
     100 TB the win is that rows failing the bloom never reach the join's
     hash probe or, in the shuffled-join case, the wire — the filter is a
-    few KB broadcast regardless of dimension size."""
+    few hundred KB broadcast at worst regardless of fact size."""
     sup = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 9).select(
         "s_suppkey"
     )
+    m = _bloom_m_for(sup.count())
     bloom = F.broadcast(
         sup.select(
             F.explode(
-                F.array(*[_bloom_pos(F.col("s_suppkey"), j) for j in range(len(_BLOOM_A))])
+                F.array(
+                    *[_bloom_pos(F.col("s_suppkey"), j, m) for j in range(len(_BLOOM_A))]
+                )
             ).alias("p")
         ).agg(F.array_sort(F.collect_set("p")).alias("bits"))
     )
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     probe_ok = None
     for j in range(len(_BLOOM_A)):
-        hit = F.array_contains(F.col("bits"), _bloom_pos(F.col("l_suppkey"), j))
+        hit = F.array_contains(F.col("bits"), _bloom_pos(F.col("l_suppkey"), j, m))
         probe_ok = hit if probe_ok is None else (probe_ok & hit)
     cand = li.crossJoin(bloom).filter(probe_ok)
     return (
@@ -1072,14 +1095,34 @@ def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
       FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type
     ), v AS (
+      -- NULL var_c for a single-row group (twin of the Spark when());
+      -- the chk tripwire is the loud failure for that corpus.
       SELECT event_type, n, s1,
-             (n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * (n - 1)) AS var_c
+             CASE WHEN n >= 2 THEN
+               (n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * (n - 1))
+             END AS var_c
+      FROM m
+    ), chk AS (
+      -- degenerate-corpus tripwire (twin of the Spark assert_true): a
+      -- single-row group makes var_c divide by zero and an absent group
+      -- silently yields an empty result; fail loudly instead. chk is
+      -- the one-row JOIN ROOT below — left-joining a/b onto it keeps a
+      -- surviving row even when a group is missing — and ok (0 on
+      -- success) is ADDED INTO the n1 output column: an unused ok would
+      -- be pruned by the optimizer and the CASE (with its error) never
+      -- evaluated, exactly the column-pruning hazard the Spark twin
+      -- dodges by gating n1 through assert_true.
+      SELECT CASE WHEN COUNT(*) = 2 AND MIN(n) >= 2 THEN 0
+                  ELSE CAST(error('stats_two_sample needs both click and purchase groups with n >= 2') AS INT)
+             END AS ok
       FROM m
     ), w AS (
-      SELECT a.n AS n1, b.n AS n2,
+      SELECT a.n + chk.ok AS n1, b.n AS n2,
              a.s1::DOUBLE / a.n AS m1, b.s1::DOUBLE / b.n AS m2,
              a.var_c AS v1, b.var_c AS v2
-      FROM v a, v b WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      FROM chk
+      LEFT JOIN (SELECT * FROM v WHERE event_type = 'click') a ON TRUE
+      LEFT JOIN (SELECT * FROM v WHERE event_type = 'purchase') b ON TRUE
     )
     SELECT n1, n2,
            (round(m1, 4) + 0.0) AS mean1_cents, (round(m2, 4) + 0.0) AS mean2_cents,
@@ -1115,9 +1158,15 @@ def stats_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("c")).alias("s2"),
         )
         .withColumn(
+            # NULL (not an ANSI DIVIDE_BY_ZERO) for a single-row group, so
+            # the tripwire below is the loud failure, with its actionable
+            # message, instead of a bare arithmetic error from inside var_c.
             "var_c",
-            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
-            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            F.when(
+                F.col("n") >= 2,
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+            ),
         )
     )
     a = m.filter(F.col("event_type") == "click").select(
@@ -1126,13 +1175,31 @@ def stats_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = m.filter(F.col("event_type") == "purchase").select(
         F.col("n").alias("n2"), F.col("s1").alias("s1b"), F.col("var_c").alias("v2")
     )
-    w = a.crossJoin(F.broadcast(b))
+    # Degenerate-corpus tripwire (the _KM_DIM discipline, ADVICE r9): a
+    # single-row group would divide by zero in var_c and an absent group
+    # would silently produce an EMPTY result instead of failing — assert
+    # both groups exist with n >= 2 on a one-row broadcast aggregate
+    # (zero extra jobs; the crossJoin row carries no output columns).
+    chk = m.agg(F.count(F.lit(1)).alias("ng"), F.min("n").alias("mn"))
+    # The ALWAYS-ONE-ROW chk aggregate is the join root and a/b hang off
+    # it via left joins: if either group were absent, an inner/cross join
+    # would produce zero rows and the guard would never evaluate — rooted
+    # here, the single surviving row forces the assert to fire instead.
+    # The assert gates the n1 OUTPUT column (not a dropped helper column,
+    # which column pruning would silently eliminate along with the check).
+    w = chk.join(F.broadcast(a), F.lit(True), "left").join(
+        F.broadcast(b), F.lit(True), "left"
+    )
+    guard = F.assert_true(
+        (F.col("ng") == 2) & (F.col("mn") >= 2),
+        F.lit("stats_two_sample needs both click and purchase groups with n >= 2"),
+    )
     m1 = F.col("s1a").cast("double") / F.col("n1")
     m2 = F.col("s1b").cast("double") / F.col("n2")
     se2_1 = F.col("v1") / F.col("n1")
     se2_2 = F.col("v2") / F.col("n2")
     return w.select(
-        "n1",
+        F.when(guard.isNull(), F.col("n1")).alias("n1"),
         "n2",
         round_pos(m1, 4).alias("mean1_cents"),
         round_pos(m2, 4).alias("mean2_cents"),
@@ -1150,7 +1217,10 @@ def stats_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="relational-ext",
     oracle="""
     WITH c AS (
-      SELECT c_custkey, c_name, substr(c_name, 1, length(c_name) - 2) AS band
+      -- band length clamped at 0: DuckDB's substr RAISES on a negative
+      -- length (sub-2-char names), where Spark's substring returns ''.
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, greatest(length(c_name) - 2, 0)) AS band
       FROM customer
     )
     SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
@@ -1180,7 +1250,9 @@ def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
-        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("band"),
+        # greatest(..., 0) keeps both engines total on sub-2-char names:
+        # Spark would return '' for a negative length but DuckDB raises.
+        F.expr("substr(c_name, 1, greatest(length(c_name) - 2, 0))").alias("band"),
     )
     a, b = c.alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))

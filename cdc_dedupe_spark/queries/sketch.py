@@ -181,7 +181,9 @@ _HLL_ORACLE = f"""
       SELECT CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS hv FROM toks
     ), rho AS (
       SELECT hv % {_HLL_M} AS reg,
-             CASE WHEN (hv >> 8) = 0 THEN {_HLL_VBITS + 1}
+             -- rho clamped at {_HLL_VBITS} (see the Spark twin): the scaled-
+             -- integer sum cannot represent rho = {_HLL_VBITS + 1}'s 2^-53 term.
+             CASE WHEN (hv >> 8) = 0 THEN {_HLL_VBITS}
                   ELSE {_HLL_VBITS + 1} - length(bin(hv >> 8)) END AS r
       FROM h
     ), regs AS (
@@ -202,13 +204,27 @@ _HLL_ORACLE = f"""
     """
 
 
+def _hll_rho(v):
+    """rho(v) = leading-zero count + 1 over the 52 value bits, CLAMPED at
+    _HLL_VBITS: the true rho for v == 0 is 53, but the 2^52-scaled integer
+    sum cannot represent 2^-53 — and Spark's shiftleft masks a -1 shift
+    count mod 64 into 1<<63, silently corrupting the sum, while DuckDB
+    treats out-of-range shifts differently, so cross-engine parity would
+    break (ADVICE r9). The ~2^-52 per-token event costs at most one rho
+    step of estimate error."""
+    return F.when(v == 0, F.lit(_HLL_VBITS)).otherwise(
+        F.lit(_HLL_VBITS + 1) - F.length(F.bin(v))
+    )
+
+
 @register("agg_hll_registers", group="sketch", oracle=_HLL_ORACLE)
 def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count, hand-built and bit-reproducible: the
     60-bit md5-prefix hash (identical in both engines; the linear
     token_hash_wide has no avalanche and skewed rho — see the module
     constant note) splits into 8 register bits + 52 value bits; each
-    register keeps max(rho) where rho = leading-zero count + 1 (via
+    register keeps max(rho) where rho = leading-zero count + 1, clamped
+    at 52 so the scaled-integer sum below stays representable (via
     binary-string length — no float log2); the raw HLL estimate is
     alpha*m^2 / SUM(2^-M_j), computed as one double division of exact
     integers (2^-M terms pre-scaled by 2^52 so the SUM is an exact
@@ -236,9 +252,7 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hv", F.shiftright(F.col("hv"), 8).alias("v"))
     rho = hashed.select(
         (F.col("hv") % _HLL_M).alias("reg"),
-        F.when(F.col("v") == 0, F.lit(_HLL_VBITS + 1))
-        .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(F.col("v"))))
-        .alias("r"),
+        _hll_rho(F.col("v")).alias("r"),
     )
     regs = (
         spark.range(_HLL_M)

@@ -1,0 +1,179 @@
+"""Round-10 hardening units: the four ADVICE r9 fixes.
+
+Each fix changed BOTH engine twins (or a shared helper); parity is pinned
+by the sweep — these tests pin the degenerate/boundary behavior the sweep
+corpus never exercises.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_dedupe_spark.queries import REGISTRY
+
+
+# --- ADVICE #1: HLL rho clamp ----------------------------------------------
+
+
+def test_hll_rho_clamped_at_vbits(spark):
+    """rho(v=0) must be 52 (clamped), not 53: the 2^52-scaled sum term for
+    rho is shiftleft(1, 52 - rho), and rho = 53 would shift by -1, which
+    Spark masks mod 64 into 1<<63 (sum corruption) while DuckDB errors —
+    the scheme cannot represent its own maximum."""
+    from cdc_dedupe_spark.queries.sketch import _HLL_VBITS, _hll_rho
+
+    df = spark.createDataFrame(
+        [Row(v=0), Row(v=1), Row(v=2), Row(v=(1 << 51))]
+    ).select("v", _hll_rho(F.col("v")).alias("r"))
+    got = {r["v"]: r["r"] for r in df.collect()}
+    assert got[0] == _HLL_VBITS  # clamped (true rho is 53)
+    assert got[1] == _HLL_VBITS  # 51 leading zeros + 1
+    assert got[2] == _HLL_VBITS - 1
+    assert got[1 << 51] == 1
+    # Every rho the expression can produce keeps the scaled term a
+    # representable positive BIGINT.
+    terms = df.select(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_VBITS} - r AS INT))").alias("t")
+    ).collect()
+    assert all(0 < row["t"] <= (1 << _HLL_VBITS) for row in terms)
+
+
+# --- ADVICE #2: bloom sized from the build side -----------------------------
+
+
+def test_bloom_m_scales_with_build_keys():
+    from cdc_dedupe_spark.queries.relational_ext import (
+        _BLOOM_M_MAX,
+        _BLOOM_M_MIN,
+        _bloom_m_for,
+    )
+
+    assert _bloom_m_for(0) == _BLOOM_M_MIN
+    assert _bloom_m_for(10) == _BLOOM_M_MIN  # 160 bits wanted, floor wins
+    assert _bloom_m_for(100) == 2048  # 1600 -> next pow2
+    assert _bloom_m_for(400) == 8192  # sf1's ~400 suppliers/nation (ADVICE r9)
+    assert _bloom_m_for(10**9) == _BLOOM_M_MAX  # clamped
+    # monotone, powers of two
+    prev = 0
+    for n in [1, 50, 100, 400, 5000, 100000]:
+        m = _bloom_m_for(n)
+        assert m >= prev and (m & (m - 1)) == 0
+        prev = m
+
+
+def test_bloom_not_saturated_at_sized_m():
+    """The r9 bug shape: n ~ m/k keys set nearly every bit, so the filter
+    passed everything. At the sized m the set-bit fraction must stay well
+    under saturation (theory: 1 - e^(-k*n/m) ~ 17% at 16 bits/key)."""
+    from cdc_dedupe_spark.queries.relational_ext import (
+        _BLOOM_A,
+        _BLOOM_B,
+        _BLOOM_P,
+        _bloom_m_for,
+    )
+
+    n = 1200  # the sf1 scale the ADVICE called out against fixed m=1024
+    m = _bloom_m_for(n)
+    bits = set()
+    for key in range(1, n + 1):
+        for a, b in zip(_BLOOM_A, _BLOOM_B):
+            bits.add(((key % _BLOOM_P * a + b) % _BLOOM_P) % m)
+    frac = len(bits) / m
+    assert frac < 0.30, f"bloom saturated: {frac:.2f} of {m} bits set"
+    # and the old fixed floor really WAS saturated at this n — the bug
+    # existed, the fix is load-bearing
+    bits_old = set()
+    for key in range(1, n + 1):
+        for a, b in zip(_BLOOM_A, _BLOOM_B):
+            bits_old.add(((key % _BLOOM_P * a + b) % _BLOOM_P) % 1024)
+    assert len(bits_old) / 1024 > 0.90
+
+
+# --- ADVICE #3: fuzzy band clamp on short names -----------------------------
+
+
+def test_fuzzy_band_survives_short_names(spark, tmp_path):
+    """Sub-2-char names pass a negative length to substr: Spark returns ''
+    but DuckDB substr RAISES — both engines must stay total and agree."""
+    rows = [
+        Row(c_custkey=1, c_name="A"),
+        Row(c_custkey=2, c_name="AB"),
+        Row(c_custkey=3, c_name="AC"),
+        Row(c_custkey=4, c_name="Customer#1"),
+        Row(c_custkey=5, c_name="Customer#2"),
+    ]
+    pq = str(tmp_path / "customer.parquet")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(pq)
+
+    sdf = REGISTRY["join_fuzzy_band"].spark(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{pq}/*.parquet'")
+    odf = con.execute(REGISTRY["join_fuzzy_band"].oracle).df()
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert s.values.tolist() == o.values.tolist()
+    # 1-char name bands to '' alongside the 2-char names; dist<=1 pairs
+    # among {A, AB, AC} are exactly (A,AB), (A,AC) — (AB,AC) has dist 1
+    # too, so all three must surface; the clamp didn't just avoid the
+    # error, it kept the short names IN the candidate space.
+    pairs = {(r.key_a, r.key_b) for r in sdf.itertuples()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+
+
+# --- ADVICE #4: stats_two_sample degenerate tripwire ------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    pq = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(pq)
+    return pq
+
+
+_T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+_EV = [  # healthy corpus: both groups, n >= 2 (ts present: table() normalizes it)
+    Row(event_id=1, user_id=1, event_type="click", value=1.0, ts=_T0),
+    Row(event_id=2, user_id=1, event_type="click", value=2.0, ts=_T0),
+    Row(event_id=3, user_id=2, event_type="purchase", value=3.0, ts=_T0),
+    Row(event_id=4, user_id=2, event_type="purchase", value=5.0, ts=_T0),
+]
+
+
+@pytest.mark.parametrize(
+    "drop",
+    [
+        "purchase_group",  # absent group -> would be silently empty
+        "purchase_tail",  # single-row group -> var_c division by zero
+    ],
+)
+def test_stats_two_sample_degenerate_raises(spark, tmp_path, drop):
+    if drop == "purchase_group":
+        rows = [r for r in _EV if r.event_type == "click"]
+    else:
+        rows = _EV[:3]
+    pq = _write_events(spark, tmp_path, rows)
+
+    with pytest.raises(Exception, match="stats_two_sample needs both"):
+        REGISTRY["stats_two_sample"].spark(spark, str(tmp_path)).collect()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}/*.parquet'")
+    with pytest.raises(Exception, match="stats_two_sample needs both"):
+        con.execute(REGISTRY["stats_two_sample"].oracle).df()
+
+
+def test_stats_two_sample_healthy_passes_guard(spark, tmp_path):
+    pq = _write_events(spark, tmp_path, _EV)
+    sdf = REGISTRY["stats_two_sample"].spark(spark, str(tmp_path)).toPandas()
+    assert len(sdf) == 1
+    assert sdf.loc[0, "n1"] == 2 and sdf.loc[0, "n2"] == 2
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}/*.parquet'")
+    odf = con.execute(REGISTRY["stats_two_sample"].oracle).df()
+    cols = sorted(sdf.columns)
+    assert sdf[cols].values.tolist() == odf[cols].values.tolist()
