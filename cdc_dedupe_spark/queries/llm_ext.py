@@ -2011,78 +2011,160 @@ _PQ_SUB_DIM = 8
 
 # correlated references must come from ONE plain outer table (DuckDB's
 # binder rejects correlation through a comma-joined unnest), so the
-# (vector x subspace) cross product flattens into its own CTE first
-# generate_series bound is spelled len(vv.se)//8 (== _PQ_SUB_DIM), not the
+# (vector x subspace) cross product flattens into its own CTE first.
+# generate_series bound is spelled len(vv.sub) (== _PQ_SUB_DIM), not the
 # literal: DuckDB 1.0's binder resolves a correlated column INSIDE a
 # lambda only when the same table is also referenced in the HOF's input
 # expression (verified by minimal repro; the kmeans oracle relies on the
 # same quirk via len(s.se)).
 _PQ_SQL_SUBDIST = (
-    "list_sum(list_transform(generate_series(1, len(vv.se) // {subs}), "
-    "i -> (vv.se[vv.si * {sd} + i] - c.ce[vv.si * {sd} + i]) "
-    "* (vv.se[vv.si * {sd} + i] - c.ce[vv.si * {sd} + i])))"
-).format(sd=_PQ_SUB_DIM, subs=_PQ_SUBS)
+    "list_sum(list_transform(generate_series(1, len(vv.sub)), "
+    "i -> (vv.sub[i] - c.ce[i]) * (vv.sub[i] - c.ce[i])))"
+)
 
 _PQ_ORACLE = f"""
     WITH sc AS (
       SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
-    ), cb AS (
-      SELECT vec_id AS cid, se AS ce FROM sc WHERE vec_id < {_PQ_K}
+    ), cb0 AS (
+      -- seed codebook (round 0) = the first {_PQ_K} vectors' subvectors,
+      -- pre-sliced per subspace so every distance below is 8-dim vs 8-dim
+      SELECT g.si, c.vec_id AS cid, c.se[g.si * {_PQ_SUB_DIM} + 1 : (g.si + 1) * {_PQ_SUB_DIM}] AS ce
+      FROM sc c, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
+      WHERE c.vec_id < {_PQ_K}
     ), sv AS MATERIALIZED (
-      SELECT v.vec_id, g.si, v.se
+      SELECT v.vec_id, g.si,
+             v.se[g.si * {_PQ_SUB_DIM} + 1 : (g.si + 1) * {_PQ_SUB_DIM}] AS sub
       FROM sc v, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
-    ), sub AS (
+    ), a0 AS (
+      -- Lloyd assignment vs the seed codebook
+      SELECT vv.vec_id, vv.si, vv.sub,
+             (SELECT c.cid FROM cb0 c WHERE c.si = vv.si
+              ORDER BY {_PQ_SQL_SUBDIST} ASC, c.cid ASC LIMIT 1) AS cid
+      FROM sv vv
+    ), sums AS (
+      SELECT a.si, a.cid, g.i, SUM(a.sub[g.i]) AS sm
+      FROM a0 a, (SELECT unnest(generate_series(1, {_PQ_SUB_DIM})) AS i) g
+      GROUP BY a.si, a.cid, g.i
+    ), cnts AS (
+      SELECT si, cid, COUNT(*) AS cnt FROM a0 GROUP BY si, cid
+    ), cb1 AS (
+      -- Lloyd update: truncating integer mean (DuckDB // == Spark div)
+      SELECT s.si, s.cid, list(CAST(s.sm AS BIGINT) // n.cnt ORDER BY s.i) AS ce
+      FROM sums s JOIN cnts n ON s.si = n.si AND s.cid = n.cid
+      GROUP BY s.si, s.cid
+    ), enc AS (
+      -- final encode vs the TRAINED codebook
       SELECT vv.vec_id, vv.si,
-             (SELECT c.cid FROM cb c
+             (SELECT c.cid FROM cb1 c WHERE c.si = vv.si
               ORDER BY {_PQ_SQL_SUBDIST} ASC, c.cid ASC LIMIT 1) AS cid,
-             (SELECT MIN({_PQ_SQL_SUBDIST}) FROM cb c) AS d
+             (SELECT MIN({_PQ_SQL_SUBDIST}) FROM cb1 c WHERE c.si = vv.si) AS d
       FROM sv vv
     )
     SELECT vec_id,
            CAST(SUM(cid * (CAST(1 AS BIGINT) << (4 * si))) AS BIGINT) AS pq_code,
            CAST(SUM(d) AS BIGINT) AS recon_err
-    FROM sub GROUP BY vec_id
+    FROM enc GROUP BY vec_id
     """
 
 
 @register("vec_pq_encode", group="llm-ext", oracle=_PQ_ORACLE)
 def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encode: split each dim-64 vector into 8
-    subvectors of 8 dims, assign each to the nearest of 16 per-subspace
-    codebook entries (exact integer L2², ties to lowest cid — the
-    ml_kmeans_train argmin discipline), pack the 8 nibble codes into ONE
-    BIGINT pq_code and report the integer reconstruction error. PQ is
-    how an ANN index shrinks 64 floats to 4 bytes per vector; codebook =
-    the first {_PQ_K} vectors' subvectors (the deterministic seed rule
-    every trained-structure query here uses, so the oracle is exact —
-    swap in per-subspace k-means at scale, plan shape unchanged).
+    """Product-quantization encode with a TRAINED codebook: split each
+    dim-64 vector into 8 subvectors of 8 dims, run one deterministic
+    per-subspace Lloyd update — seed = the first {_PQ_K} vectors'
+    subvectors (r9's whole codebook, now iteration 0), assignment =
+    exact integer L2² argmin with cid tie-break, update = truncating
+    integer mean (Spark `div` == DuckDB `//`, the ml_kmeans_train
+    machinery) — then assign each subvector to the nearest of the 16
+    trained entries, pack the 8 nibble codes into ONE BIGINT pq_code and
+    report the integer reconstruction error. tests/test_round10_ops.py
+    pins that training strictly reduces total recon_err vs the r9 seed
+    rule. PQ is how an ANN index shrinks 64 floats to 4 bytes/vector.
 
-    Shape at scale: codebook collapses to ONE broadcast row; encode is a
-    per-row HOF argmin over 8 x 16 subvector distances — the embedding
-    table is never shuffled or row-expanded (the ann_ivf_topk pin)."""
+    Shape at scale (per Lloyd round, the ml_kmeans_train shape applied
+    per subspace): assignment is a map-side HOF argmin against ONE
+    broadcast codebook row; the update is a posexplode into 8n rows of
+    8-long subvectors (volume-neutral: same bytes as n rows of 64)
+    partially aggregated map-side into <= 8 x 16 groups, so the shuffle
+    moves ~128 rows per task regardless of corpus size. The final encode
+    is map-only — the embedding table is never shuffled (the
+    ann_ivf_topk pin); more Lloyd rounds repeat the middle stage with
+    the plan shape unchanged."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sc_df = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
-    cb = sc_df.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("se").alias("ce")
+    # Seed codebook, pre-sliced per subspace: one broadcast row of
+    # array<struct<si, cid, ce8>> (8 x 16 entries).
+    cb0 = (
+        sc_df.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("se", s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM)
+                        for s in range(_PQ_SUBS)
+                    ]
+                )
+            ).alias("si", "ce"),
+        )
     )
-    cb_row = cb.agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+    cb0_row = cb0.agg(
+        F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
+    )
 
-    def sub_best(s: int) -> Column:
-        lo = s * _PQ_SUB_DIM + 1
+    def sub_argmin(sub: Column, s: int) -> Column:
+        """struct(d, cid) of the nearest subspace-s codebook entry."""
         return F.array_min(
             F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    il2(
-                        F.slice(F.col("se"), lo, _PQ_SUB_DIM),
-                        F.slice(c["ce"], lo, _PQ_SUB_DIM),
-                    ).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
+                F.filter(F.col("cents"), lambda c: c["si"] == s),
+                lambda c: F.struct(il2(sub, c["ce"]).alias("d"), c["cid"].alias("cid")),
             )
         )
 
-    enc = sc_df.crossJoin(F.broadcast(cb_row)).withColumn(
+    # Lloyd round: assign every (vector, subspace) subvector to its seed
+    # centroid, then integer-mean per (si, cid). posexplode keeps the
+    # aggregate one scan + one partial-agg shuffle into <= 128 groups.
+    sv = sc_df.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("se", s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM)
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("si", "sub"),
+    )
+    a0 = sv.crossJoin(F.broadcast(cb0_row)).select(
+        "si",
+        "sub",
+        F.array_min(
+            F.transform(
+                F.filter(F.col("cents"), lambda c: c["si"] == F.col("si")),
+                lambda c: F.struct(
+                    il2(F.col("sub"), c["ce"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        )["cid"].alias("cid"),
+    )
+    sums = a0.groupBy("si", "cid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.element_at("sub", i + 1)).alias(f"s{i}") for i in range(_PQ_SUB_DIM)],
+    )
+    cb1 = sums.select(
+        "si",
+        "cid",
+        F.array(*[F.expr(f"s{i} div cnt") for i in range(_PQ_SUB_DIM)]).alias("ce"),
+    )
+    cb1_row = cb1.agg(
+        F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
+    )
+
+    def sub_best(s: int) -> Column:
+        lo = s * _PQ_SUB_DIM + 1
+        return sub_argmin(F.slice(F.col("se"), lo, _PQ_SUB_DIM), s)
+
+    enc = sc_df.crossJoin(F.broadcast(cb1_row)).withColumn(
         "subs", F.array(*[sub_best(s) for s in range(_PQ_SUBS)])
     )
     code = F.aggregate(

@@ -373,14 +373,20 @@ def test_gap_fill_grid_is_hash_join(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 2, plan
 
 
-def test_pq_encode_is_map_side(spark, sf_dir):
-    """vec_pq_encode: codebook collapses to one broadcast row and encode
-    is a per-row HOF argmin — the embedding table must never be
-    hash-shuffled or windowed (the ann_ivf_topk discipline)."""
+def test_pq_encode_shuffles_codebook_not_vectors(spark, sf_dir):
+    """vec_pq_encode: the trained codebook's Lloyd update may shuffle —
+    but ONLY on the (si, cid) codebook coordinates (<= 8 x 16 groups after
+    map-side partial agg, the agg_cms_heavy_hitters discipline). The
+    embedding table itself must never be hash-shuffled on vec_id or
+    windowed: assignment and the final encode are HOF argmins against one
+    broadcast codebook row."""
     plan = plan_of(spark, sf_dir, "vec_pq_encode")
     assert "Window" not in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "vec_id" not in keys, plan
+        assert "si" in keys and "cid" in keys, plan
 
 
 def test_cms_sketch_shuffles_sketch_not_tokens(spark, sf_dir):
