@@ -71,6 +71,95 @@ def test_stateful_agg_final_state_matches_batch(spark, sf_dir):
     assert final == expected
 
 
+def _tws_available() -> tuple[bool, str]:
+    """transformWithState[InPandas] availability probe (VERDICT r9 item 7).
+
+    The API surface exists in PySpark 4.1.2, but its separate streaming
+    Python driver worker imports google.protobuf at init — this container
+    ships a broken/absent protobuf, so the worker exits -2 with
+    `ImportError: cannot import name 'descriptor' from 'google.protobuf'`
+    (probed in round 10; commit f4cfa59 first noted the API as unusable
+    here). Detect exactly that precondition instead of hardcoding a skip,
+    so an environment update flips this test to the real run."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False, "pyspark.sql.streaming.stateful_processor not importable"
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False, (
+            "google.protobuf unimportable — transformWithState's streaming "
+            "Python runner crashes at init without it"
+        )
+    return True, ""
+
+
+def test_stateful_agg_through_transform_with_state(spark, sf_dir):
+    """stream_stateful_agg through the newer transformWithStateInPandas
+    API when the environment supports it: running counts per user must
+    match the batch groupBy, exactly like the applyInPandasWithState
+    implementation. Skips (with the precise environment cause) where the
+    streaming Python runner cannot initialize."""
+    import pytest
+
+    ok, why = _tws_available()
+    if not ok:
+        pytest.skip(f"transformWithState unavailable in this environment: {why}")
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cdc_dedupe_spark.sources.replay import events_stream
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle):
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    counted = (
+        events_stream(spark, sf_dir)
+        .select("user_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningCount(),
+            outputStructType=StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("n_events", LongType()),
+                ]
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    out = run_to_memory(counted, "tws_stateful_agg", output_mode="update")
+    final = {
+        r.user_id: r.n_events
+        for r in out.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    expected = {
+        r.user_id: r["count"]
+        for r in table(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    }
+    assert final == expected
+
+
 def test_dedupe_stream_matches_batch_distinct(spark, sf_dir):
     out = REGISTRY["cdc_dedupe_stream"].spark(spark, sf_dir)
     got = sorted(r.user_id for r in out.collect())
