@@ -87,7 +87,25 @@ def main() -> int:
         ),
         str(out / "embeddings.parquet"),
     )
-    print(f"wrote {out}/documents.parquet ({n_docs}) and embeddings.parquet ({n_vecs})")
+    # --- customer (round 10: join_fuzzy_band's input) --------------------
+    # Driver-corpus shape: sequential keys, fixed-width 'Customer#%09d'
+    # names (sf0.1 has 15k rows -> sf1 is 150k). The fixed format means
+    # band blocks (all but the last 2 chars) are runs of <= 100
+    # consecutive keys — the banding structure the fuzzy join exploits.
+    n_cust = n_docs * 3
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            }
+        ),
+        str(out / "customer.parquet"),
+    )
+    print(
+        f"wrote {out}/documents.parquet ({n_docs}), embeddings.parquet "
+        f"({n_vecs}) and customer.parquet ({n_cust})"
+    )
     return 0
 
 
