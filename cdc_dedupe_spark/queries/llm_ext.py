@@ -2003,6 +2003,96 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_minhash_cluster.__doc__ = dedup_minhash_cluster.__doc__.format(gate=_MHC_MIN_SIM)
 
 
+_MHI_ORACLE = f"""
+    WITH RECURSIVE allp AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) p WHERE minhash_sim >= {_MHC_MIN_SIM}
+    ), exp AS (
+      SELECT doc_a, doc_b FROM allp WHERE doc_a % 10 < 8 AND doc_b % 10 < 8
+    ), und AS (
+      SELECT doc_a AS u, doc_b AS v FROM exp UNION SELECT doc_b, doc_a FROM exp
+    ), reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 < 8
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN und e ON e.u = r.v
+    ), labels AS (
+      SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v
+    ), cross_m AS (
+      SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS doc_id,
+             CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS ex_id
+      FROM allp WHERE (doc_a % 10 >= 8) <> (doc_b % 10 >= 8)
+    ), asg AS (
+      SELECT c.doc_id, MIN(l.cluster_id) AS mc
+      FROM cross_m c JOIN labels l ON l.doc_id = c.ex_id GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.mc, d.doc_id) AS cluster_id,
+           CAST(CASE WHEN a.mc IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_new_cluster
+    FROM documents d LEFT JOIN asg a ON a.doc_id = d.doc_id
+    WHERE d.doc_id % 10 >= 8
+    """
+
+
+@register("dedup_minhash_incremental", group="llm-ext", oracle=_MHI_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental near-dup clustering (VERDICT r9 item 8: the
+    dedup_incremental x dedup_minhash_cluster composition): the corpus is
+    split snapshot/batch by the dedup_incremental 80/20 rule, the
+    SNAPSHOT's gated minhash pairs are transitively closed as usual
+    (operators/graph.py CC), and each INCOMING doc is then assigned in
+    one pass — to the lowest existing cluster id among its gated matches
+    into the snapshot, or to itself as a new singleton cluster. This is
+    the streaming-ingest approximation every incremental dedupe service
+    runs: new->new chains are NOT closed transitively within the batch
+    (two new near-dups of each other but of nothing existing stay
+    separate singletons); the periodic full dedup_minhash_cluster run is
+    the compaction that reconciles them, and the oracle pins exactly
+    this contract.
+
+    Shape at scale: the gated pair list is computed ONCE (the shared
+    banded minhash pipeline; lazily checkpointed here because both the
+    snapshot-edge filter and the cross-match filter consume it), the CC
+    loop runs over snapshot edges only, and the incremental step is one
+    broadcast-sized groupBy + left join per batch — the whole point:
+    ingesting a batch costs O(batch candidates), not a corpus re-cluster."""
+    pairs = (
+        dedup_minhash_exact(spark, sf_dir)
+        .filter(F.col("minhash_sim") >= _MHC_MIN_SIM)
+        .localCheckpoint(eager=False)
+    )
+    is_new_a = F.col("doc_a") % 10 >= 8
+    is_new_b = F.col("doc_b") % 10 >= 8
+    ex_edges = pairs.filter(~is_new_a & ~is_new_b).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    from ..operators.graph import connected_components
+
+    labels = connected_components(nodes, ex_edges)
+    cross = pairs.filter(is_new_a != is_new_b).select(
+        F.when(is_new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"),
+        F.when(is_new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("ex_id"),
+    )
+    asg = (
+        cross.join(labels, cross["ex_id"] == labels["vec_id"])
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("mc"))
+    )
+    incoming = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id")
+    )
+    return incoming.join(asg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("mc"), F.col("doc_id")).alias("cluster_id"),
+        F.col("mc").isNull().cast("int").alias("is_new_cluster"),
+    )
+
+
 # --- product quantization encode (the ANN memory-compression step) ---------
 
 _PQ_SUBS = 8  # subspaces of dim 64/8 = 8
@@ -2022,12 +2112,72 @@ _PQ_SQL_SUBDIST = (
     "i -> (vv.sub[i] - c.ce[i]) * (vv.sub[i] - c.ce[i])))"
 )
 
-_PQ_ORACLE = f"""
-    WITH sc AS (
-      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
-    ), cb0 AS (
-      -- seed codebook (round 0) = the first {_PQ_K} vectors' subvectors,
-      -- pre-sliced per subspace so every distance below is 8-dim vs 8-dim
+
+def _pq_subslices(col: str):
+    """array of the _PQ_SUBS 8-dim subvector slices of column `col`."""
+    return F.array(
+        *[
+            F.slice(col, s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM)
+            for s in range(_PQ_SUBS)
+        ]
+    )
+
+
+def _pq_sub_argmin(sub: Column, s) -> Column:
+    """struct(d, cid) of the nearest subspace-s entry in the broadcast
+    `cents` codebook column (array<struct<si, cid, ce>>) — exact integer
+    L2², ties to lowest cid via struct ordering. `s` may be a Python int
+    or a Column (the per-row si from a posexplode)."""
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("cents"), lambda c: c["si"] == s),
+            lambda c: F.struct(il2(sub, c["ce"]).alias("d"), c["cid"].alias("cid")),
+        )
+    )
+
+
+def _pq_trained_cb_row(sc_df: DataFrame) -> DataFrame:
+    """One-row frame holding the TRAINED per-subspace PQ codebook as a
+    sorted array<struct<si, cid, ce>> (<= 8 x 16 entries): seed = the
+    first _PQ_K vectors' subvectors, one Lloyd update (integer L2² argmin
+    assignment, truncating integer means — the ml_kmeans_train machinery
+    per subspace). Shared by vec_pq_encode and ann_ivfpq_topk; the SQL
+    twin is _PQ_SQL_CB1_CTES."""
+    cb0 = sc_df.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode(_pq_subslices("se")).alias("si", "ce"),
+    )
+    cb0_row = cb0.agg(
+        F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
+    )
+    # Lloyd round: assign every (vector, subspace) subvector to its seed
+    # centroid, then integer-mean per (si, cid). posexplode keeps the
+    # aggregate one scan + one partial-agg shuffle into <= 128 groups.
+    sv = sc_df.select(
+        "vec_id", F.posexplode(_pq_subslices("se")).alias("si", "sub")
+    )
+    a0 = sv.crossJoin(F.broadcast(cb0_row)).select(
+        "si",
+        "sub",
+        _pq_sub_argmin(F.col("sub"), F.col("si"))["cid"].alias("cid"),
+    )
+    sums = a0.groupBy("si", "cid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.element_at("sub", i + 1)).alias(f"s{i}") for i in range(_PQ_SUB_DIM)],
+    )
+    cb1 = sums.select(
+        "si",
+        "cid",
+        F.array(*[F.expr(f"s{i} div cnt") for i in range(_PQ_SUB_DIM)]).alias("ce"),
+    )
+    return cb1.agg(
+        F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
+    )
+
+
+# SQL twin of _pq_trained_cb_row: CTE chain ending in cb1(si, cid, ce).
+# Expects an `sc(vec_id, se)` CTE upstream.
+_PQ_SQL_CB1_CTES = f"""cb0 AS (
       SELECT g.si, c.vec_id AS cid, c.se[g.si * {_PQ_SUB_DIM} + 1 : (g.si + 1) * {_PQ_SUB_DIM}] AS ce
       FROM sc c, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
       WHERE c.vec_id < {_PQ_K}
@@ -2036,7 +2186,6 @@ _PQ_ORACLE = f"""
              v.se[g.si * {_PQ_SUB_DIM} + 1 : (g.si + 1) * {_PQ_SUB_DIM}] AS sub
       FROM sc v, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
     ), a0 AS (
-      -- Lloyd assignment vs the seed codebook
       SELECT vv.vec_id, vv.si, vv.sub,
              (SELECT c.cid FROM cb0 c WHERE c.si = vv.si
               ORDER BY {_PQ_SQL_SUBDIST} ASC, c.cid ASC LIMIT 1) AS cid
@@ -2048,11 +2197,15 @@ _PQ_ORACLE = f"""
     ), cnts AS (
       SELECT si, cid, COUNT(*) AS cnt FROM a0 GROUP BY si, cid
     ), cb1 AS (
-      -- Lloyd update: truncating integer mean (DuckDB // == Spark div)
       SELECT s.si, s.cid, list(CAST(s.sm AS BIGINT) // n.cnt ORDER BY s.i) AS ce
       FROM sums s JOIN cnts n ON s.si = n.si AND s.cid = n.cid
       GROUP BY s.si, s.cid
-    ), enc AS (
+    )"""
+
+_PQ_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), {_PQ_SQL_CB1_CTES}, enc AS (
       -- final encode vs the TRAINED codebook
       SELECT vv.vec_id, vv.si,
              (SELECT c.cid FROM cb1 c WHERE c.si = vv.si
@@ -2092,77 +2245,11 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan shape unchanged."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sc_df = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
-    # Seed codebook, pre-sliced per subspace: one broadcast row of
-    # array<struct<si, cid, ce8>> (8 x 16 entries).
-    cb0 = (
-        sc_df.filter(F.col("vec_id") < _PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("se", s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM)
-                        for s in range(_PQ_SUBS)
-                    ]
-                )
-            ).alias("si", "ce"),
-        )
-    )
-    cb0_row = cb0.agg(
-        F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
-    )
-
-    def sub_argmin(sub: Column, s: int) -> Column:
-        """struct(d, cid) of the nearest subspace-s codebook entry."""
-        return F.array_min(
-            F.transform(
-                F.filter(F.col("cents"), lambda c: c["si"] == s),
-                lambda c: F.struct(il2(sub, c["ce"]).alias("d"), c["cid"].alias("cid")),
-            )
-        )
-
-    # Lloyd round: assign every (vector, subspace) subvector to its seed
-    # centroid, then integer-mean per (si, cid). posexplode keeps the
-    # aggregate one scan + one partial-agg shuffle into <= 128 groups.
-    sv = sc_df.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("se", s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM)
-                    for s in range(_PQ_SUBS)
-                ]
-            )
-        ).alias("si", "sub"),
-    )
-    a0 = sv.crossJoin(F.broadcast(cb0_row)).select(
-        "si",
-        "sub",
-        F.array_min(
-            F.transform(
-                F.filter(F.col("cents"), lambda c: c["si"] == F.col("si")),
-                lambda c: F.struct(
-                    il2(F.col("sub"), c["ce"]).alias("d"), c["cid"].alias("cid")
-                ),
-            )
-        )["cid"].alias("cid"),
-    )
-    sums = a0.groupBy("si", "cid").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[F.sum(F.element_at("sub", i + 1)).alias(f"s{i}") for i in range(_PQ_SUB_DIM)],
-    )
-    cb1 = sums.select(
-        "si",
-        "cid",
-        F.array(*[F.expr(f"s{i} div cnt") for i in range(_PQ_SUB_DIM)]).alias("ce"),
-    )
-    cb1_row = cb1.agg(
-        F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
-    )
+    cb1_row = _pq_trained_cb_row(sc_df)
 
     def sub_best(s: int) -> Column:
         lo = s * _PQ_SUB_DIM + 1
-        return sub_argmin(F.slice(F.col("se"), lo, _PQ_SUB_DIM), s)
+        return _pq_sub_argmin(F.slice(F.col("se"), lo, _PQ_SUB_DIM), s)
 
     enc = sc_df.crossJoin(F.broadcast(cb1_row)).withColumn(
         "subs", F.array(*[sub_best(s) for s in range(_PQ_SUBS)])
@@ -2196,6 +2283,142 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id", (code + dim_guard).alias("pq_code"), err.alias("recon_err")
     )
+
+
+_IVFPQ_CELLS = 8
+_IVFPQ_TOPK = 5
+
+_IVFPQ_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), {_PQ_SQL_CB1_CTES}, ivf AS (
+      SELECT vec_id AS cid, se AS sce FROM sc WHERE vec_id < {_IVFPQ_CELLS}
+    ), assign AS (
+      SELECT s.vec_id,
+             (SELECT c.cid FROM ivf c
+              ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
+                        i -> (s.se[i] - c.sce[i]) * (s.se[i] - c.sce[i]))) ASC,
+                       c.cid ASC LIMIT 1) AS cell
+      FROM sc s
+    ), probe AS (
+      SELECT a.cell AS pcell, s.se AS pse
+      FROM assign a JOIN sc s USING (vec_id) WHERE a.vec_id = 0
+    ), psub AS (
+      SELECT g.si, p.pse[g.si * {_PQ_SUB_DIM} + 1 : (g.si + 1) * {_PQ_SUB_DIM}] AS sub
+      FROM probe p, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
+    ), lut AS (
+      SELECT c.si, c.cid,
+             list_sum(list_transform(generate_series(1, len(c.ce)),
+               i -> (ps.sub[i] - c.ce[i]) * (ps.sub[i] - c.ce[i]))) AS d
+      FROM cb1 c JOIN psub ps ON ps.si = c.si
+    ), enc AS (
+      SELECT vv.vec_id, vv.si,
+             (SELECT c.cid FROM cb1 c WHERE c.si = vv.si
+              ORDER BY {_PQ_SQL_SUBDIST} ASC, c.cid ASC LIMIT 1) AS cid
+      FROM sv vv JOIN assign a ON a.vec_id = vv.vec_id
+      JOIN probe p ON a.cell = p.pcell
+      WHERE vv.vec_id <> 0
+    ), adc AS (
+      SELECT e.vec_id, SUM(l.d) AS adc_d
+      FROM enc e JOIN lut l ON l.si = e.si AND l.cid = e.cid
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, CAST(adc_d AS BIGINT) AS adc_d
+    FROM adc ORDER BY adc_d ASC, vec_id LIMIT {_IVFPQ_TOPK}
+    """
+
+
+@register("ann_ivfpq_topk", group="llm-ext", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search — the read path of a real product-quantized ANN
+    index (VERDICT r9 item 8, composing ann_ivf_topk's coarse quantizer
+    with vec_pq_encode's TRAINED codebook): assign every vector to its
+    nearest of {cells} coarse cells (broadcast integer-L2² argmin), build
+    the probe's ADC lookup table — L2² from each of the probe's 8
+    subvectors to every trained codebook entry, <= 8 x 16 values in ONE
+    broadcast row — then score candidates in the probe's cell by
+    asymmetric distance: PQ-encode each candidate (nearest trained entry
+    per subspace) and SUM the 8 table lookups. Top-{k} by ADC distance,
+    ties to the lower vec_id.
+
+    Scale shape: coarse assign and ADC scoring are both map-side HOF
+    passes against one-row broadcasts (IVF centroids; codebook + LUT) —
+    the embedding table is never shuffled; the only exchanges are the
+    codebook training's (si, cid) partial agg (<= 128 groups, the
+    vec_pq_encode pin) and the final TakeOrderedAndProject. This is
+    exactly how a 100 TB ANN serving index evaluates: cells prune the
+    corpus, codes shrink it 64x, and the query pays 8 integer lookups
+    per candidate instead of a 64-dim distance."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc_df = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+    # IVF coarse cells: the ann_ivf_topk broadcast-argmin machinery.
+    ivf_row = sc_df.filter(F.col("vec_id") < _IVFPQ_CELLS).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("se").alias("sce")))
+        ).alias("ivf")
+    )
+    cell_best = F.array_min(
+        F.transform(
+            "ivf",
+            lambda c: F.struct(il2(F.col("se"), c["sce"]).alias("d"), c["cid"].alias("cid")),
+        )
+    )
+    assigned = sc_df.crossJoin(F.broadcast(ivf_row)).select(
+        "vec_id", "se", cell_best["cid"].alias("cell")
+    )
+    probe = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("pcell"), F.col("se").alias("pse")
+    )
+    # Trained codebook + the probe's ADC lookup table, together in ONE
+    # broadcast row: lut[si, cid] = L2²(probe subvector si, entry ce).
+    cb1_row = _pq_trained_cb_row(sc_df)
+    lut_row = cb1_row.crossJoin(probe).select(
+        "cents",
+        "pcell",
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                c["si"].alias("si"),
+                c["cid"].alias("cid"),
+                il2(
+                    F.slice(F.col("pse"), c["si"] * _PQ_SUB_DIM + 1, _PQ_SUB_DIM),
+                    c["ce"],
+                ).alias("d"),
+            ),
+        ).alias("lut"),
+    )
+    cand = assigned.filter(F.col("vec_id") != 0).join(
+        F.broadcast(lut_row), F.col("cell") == F.col("pcell")
+    )
+    # PQ-encode each candidate against the trained codebook, then ADC-sum
+    # the 8 lookups. codes materialize once; lut lookups are linear scans
+    # of a <=128-entry broadcast array.
+    codes = F.array(
+        *[
+            _pq_sub_argmin(F.slice("se", s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM), s)["cid"]
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    cand = cand.withColumn("codes", codes)
+
+    def adc_term(s: int) -> Column:
+        return F.element_at(
+            F.filter(
+                F.col("lut"),
+                lambda l: (l["si"] == s) & (l["cid"] == F.element_at("codes", s + 1)),
+            ),
+            1,
+        )["d"]
+
+    adc = sum((adc_term(s) for s in range(1, _PQ_SUBS)), adc_term(0))
+    return (
+        cand.select("vec_id", adc.cast("long").alias("adc_d"))
+        .orderBy(F.col("adc_d").asc(), "vec_id")
+        .limit(_IVFPQ_TOPK)
+    )
+
+
+ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.format(cells=_IVFPQ_CELLS, k=_IVFPQ_TOPK)
 
 
 @register(

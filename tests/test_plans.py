@@ -389,6 +389,33 @@ def test_pq_encode_shuffles_codebook_not_vectors(spark, sf_dir):
         assert "si" in keys and "cid" in keys, plan
 
 
+def test_ivfpq_shuffles_codebook_not_vectors(spark, sf_dir):
+    """ann_ivfpq_topk (round 10): coarse assign, LUT build and ADC scoring
+    are all map-side against one-row broadcasts; the only permitted hash
+    exchanges are the codebook training's (si, cid) partial agg, and the
+    top-k must compile to TakeOrderedAndProject — never a global sort or
+    a vec_id shuffle of the embedding table."""
+    plan = plan_of(spark, sf_dir, "ann_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "vec_id" not in keys, plan
+        assert "si" in keys and "cid" in keys, plan
+
+
+def test_minhash_incremental_shuffles_hashes_not_documents(spark, sf_dir):
+    """dedup_minhash_incremental (round 10): every hash exchange must key
+    on band/signature/label/id columns — document text never shuffles
+    (the dedup_minhash_exact discipline carried through the incremental
+    assignment), and there is no cartesian product."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert "text#" not in "".join(
+        re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    ), plan
+
+
 def test_cms_sketch_shuffles_sketch_not_tokens(spark, sf_dir):
     """agg_cms_heavy_hitters: every hash-partition exchange must key on
     sketch coordinates (j, bucket) or the token AGGREGATE — at 100 TB the

@@ -146,6 +146,117 @@ def test_pq_training_strictly_reduces_recon_err(spark, sf_dir):
     assert trained > 0
 
 
+# --- ann_ivfpq_topk: independent numpy reimplementation ---------------------
+
+
+def test_ivfpq_matches_independent_numpy_impl(spark, sf_dir):
+    """Full independent twin of the IVF-PQ read path in numpy (scaled ints
+    fetched via the shared DuckDB ISCALE expression so rounding semantics
+    are not re-derived here): coarse cells, one Lloyd update per subspace
+    (trunc-toward-zero integer means), candidate codes, ADC lookup sums,
+    top-5 by (adc, vec_id). Catches any drift in either engine twin that
+    they might share."""
+    import numpy as np
+
+    from cdc_dedupe_spark.functions.vector import SQL_ISCALE
+    from cdc_dedupe_spark.queries.llm_ext import (
+        _IVFPQ_CELLS,
+        _IVFPQ_TOPK,
+        _PQ_K,
+        _PQ_SUB_DIM,
+        _PQ_SUBS,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se "
+        f"FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    se = np.array([r[1] for r in rows], dtype=np.int64)
+    assert (ids == np.arange(len(ids))).all()
+
+    def l2(a, b):
+        d = a - b
+        return int((d * d).sum())
+
+    # coarse cells: nearest of the first 8 full vectors, ties to lowest cid
+    cents = se[:_IVFPQ_CELLS]
+    cells = np.array(
+        [min(range(_IVFPQ_CELLS), key=lambda c: (l2(v, cents[c]), c)) for v in se]
+    )
+    # trained codebook: seed = first-16 subvectors, one Lloyd update
+    subs = se.reshape(len(se), _PQ_SUBS, _PQ_SUB_DIM)
+    cb = {}
+    for s in range(_PQ_SUBS):
+        seed = subs[:_PQ_K, s, :]
+        assign = np.array(
+            [min(range(_PQ_K), key=lambda c: (l2(v, seed[c]), c)) for v in subs[:, s, :]]
+        )
+        for cid in sorted(set(assign.tolist())):
+            members = subs[assign == cid, s, :]
+            mean = np.trunc(members.sum(axis=0) / len(members)).astype(np.int64)
+            cb[(s, cid)] = mean
+    # probe LUT + candidate ADC
+    probe = subs[0]
+    lut = {k: l2(probe[k[0]], ce) for k, ce in cb.items()}
+    cand_ids = [int(i) for i in ids if cells[i] == cells[0] and i != 0]
+    scored = []
+    for i in cand_ids:
+        adc = 0
+        for s in range(_PQ_SUBS):
+            entries = sorted(c for (si, c) in cb if si == s)
+            code = min(entries, key=lambda c: (l2(subs[i, s, :], cb[(s, c)]), c))
+            adc += lut[(s, code)]
+        scored.append((adc, i))
+    expected = sorted(scored)[:_IVFPQ_TOPK]
+
+    got = [
+        (r.adc_d, r.vec_id)
+        for r in REGISTRY["ann_ivfpq_topk"].spark(spark, sf_dir).collect()
+    ]
+    assert got == expected, (got, expected)
+
+
+# --- dedup_minhash_incremental: contract units ------------------------------
+
+
+def test_minhash_incremental_contract(spark, sf_dir):
+    """(a) one output row per incoming doc; (b) is_new_cluster == 1 exactly
+    when cluster_id == doc_id (assigned docs always point at a SNAPSHOT
+    label, and snapshot ids are disjoint from incoming ids by the 80/20
+    rule); (c) refinement: docs the incremental pass assigns to an
+    existing cluster must land in the same component as that cluster in
+    the FULL dedup_minhash_cluster run (the full closure only merges
+    more, never less)."""
+    from cdc_dedupe_spark.tables import table
+
+    out = REGISTRY["dedup_minhash_incremental"].spark(spark, sf_dir).toPandas()
+    n_incoming = (
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 >= 8).count()
+    )
+    assert len(out) == n_incoming
+    for r in out.itertuples():
+        if r.is_new_cluster:
+            assert r.cluster_id == r.doc_id
+        else:
+            assert r.cluster_id % 10 < 8  # a snapshot label
+
+    full = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_minhash_cluster"].spark(spark, sf_dir).collect()
+    }
+    assigned = out[out.is_new_cluster == 0]
+    assert len(assigned) > 0, "corpus has no cross-split near-dups; test is vacuous"
+    for r in assigned.itertuples():
+        assert full[r.doc_id] == full[r.cluster_id], (
+            r.doc_id,
+            r.cluster_id,
+            full[r.doc_id],
+            full[r.cluster_id],
+        )
+
+
 # --- ADVICE #3: fuzzy band clamp on short names -----------------------------
 
 
