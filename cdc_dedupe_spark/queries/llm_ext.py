@@ -2150,6 +2150,26 @@ def _pq_trained_cb_row(sc_df: DataFrame) -> DataFrame:
     cb0_row = cb0.agg(
         F.array_sort(F.collect_list(F.struct("si", "cid", "ce"))).alias("cents")
     )
+    # Loud dim tripwire on the one-row seed broadcast (the _KM_DIM
+    # discipline): a non-64-dim corpus yields short/empty subvector
+    # slices, which would otherwise surface as a raw ANSI element_at
+    # error from inside the Lloyd sums (or silently corrupt codes in
+    # non-ANSI sessions) instead of an actionable message. Evaluated once
+    # when the broadcast materializes — before any training aggregate.
+    dim_ok = F.forall("cents", lambda c: F.size(c["ce"]) == _PQ_SUB_DIM)
+    cb0_row = cb0_row.select(
+        F.when(
+            F.assert_true(
+                dim_ok,
+                F.lit(
+                    f"PQ codebook expects embedding dim {_PQ_SUBS * _PQ_SUB_DIM} "
+                    f"({_PQ_SUBS} subspaces x {_PQ_SUB_DIM}); update "
+                    "_PQ_SUBS/_PQ_SUB_DIM for the new generator encoding"
+                ),
+            ).isNull(),
+            F.col("cents"),
+        ).alias("cents")
+    )
     # Lloyd round: assign every (vector, subspace) subvector to its seed
     # centroid, then integer-mean per (si, cid). posexplode keeps the
     # aggregate one scan + one partial-agg shuffle into <= 128 groups.

@@ -54,6 +54,8 @@ HEADLINE = [
     "join_fuzzy_band",
     "pipeline_quality_gate",
     "ts_ewma_hourly",
+    "ann_ivfpq_topk",
+    "dedup_minhash_incremental",
 ]
 
 

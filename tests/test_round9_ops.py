@@ -240,16 +240,18 @@ def test_minhash_cluster_hand_case(spark, tmp_path):
     assert rows[2].cluster_id == 2 and rows[2].is_keeper == 1
 
 
-def test_pq_encode_codebook_vectors_reconstruct_exactly(spark, sf_dir):
-    """Vectors 0..15 ARE the codebook, so each of their subvectors is at
-    distance 0 from itself — recon_err must be exactly 0 for them and
-    the packed code must fit in 8 nibbles."""
+def test_pq_encode_code_range_and_err_nonnegative(spark, sf_dir):
+    """Round 10 trains the codebook (one Lloyd update), so the r9
+    invariant "seed vectors 0..15 reconstruct with zero error" no longer
+    holds — a seed vector's subvector is generally NOT its cluster's
+    integer mean. The surviving structural invariants: packed codes fit
+    in 8 nibbles, reconstruction error is non-negative everywhere, and
+    the TRAINED codebook's total error strictly beats the seed rule
+    (tests/test_round10_ops.py pins the improvement)."""
     rows = REGISTRY["vec_pq_encode"].spark(spark, sf_dir).collect()
-    by_id = {r.vec_id: r for r in rows}
-    for vid in range(16):
-        assert by_id[vid].recon_err == 0, f"vec {vid}"
     assert all(0 <= r.pq_code < 16**8 for r in rows)
     assert all(r.recon_err >= 0 for r in rows)
+    assert len(rows) == len({r.vec_id for r in rows})
 
 
 def test_anomaly_mad_matches_independent_pandas(spark, sf_dir):
