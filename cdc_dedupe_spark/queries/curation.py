@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKEN_HASH, SQL_TOKEN_HASH_WIDE, token_hash, token_hash_wide
 from ..tables import table
+from ._determinism import round_pos
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -382,5 +383,105 @@ def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("hb100") < 95, F.lit("valid"))
             .otherwise(F.lit("test"))
             .alias("split"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_priority_weighted — Duffield-Lund-Thorup priority sampling
+
+
+_PRIO_K = 20  # sample size per source
+_PRIO_SALT = 64  # local-phase fan-out per source
+
+_PRIO_HASH = SQL_TOKEN_HASH_WIDE.format(t="md5(text)")
+
+_PRIO_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             CAST(({_PRIO_HASH}) AS DOUBLE) / n_chars AS inv_priority
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY inv_priority, doc_id) AS rk
+      FROM p
+    ), tau AS (
+      SELECT source,
+             MAX(CASE WHEN rk = {_PRIO_K + 1} THEN inv_priority END) AS tau_inv
+      FROM r WHERE rk <= {_PRIO_K + 1} GROUP BY source
+    )
+    SELECT r.source, r.doc_id, r.n_chars, r.rk,
+           (round(CASE WHEN tau.tau_inv IS NULL THEN r.n_chars * 1.0
+                       ELSE greatest(r.n_chars * 1.0, 1.0 / tau.tau_inv)
+                  END, 4) + 0.0) AS w_hat
+    FROM r JOIN tau USING (source)
+    WHERE r.rk <= {_PRIO_K}
+    """
+
+
+@register("sample_priority_weighted", group="curation", oracle=_PRIO_ORACLE)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement via priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each document gets
+    priority q = w / u with weight w = n_chars and u a content-derived
+    uniform (portable token_hash_wide of md5(text)); the k highest
+    priorities per source — equivalently the k smallest u/w — are the
+    sample. Like sample_stratified the decision is a pure function of
+    the row, so reruns and repartitionings pick the SAME sample, but
+    here inclusion probability scales with document weight and the
+    emitted Horvitz-Thompson-style estimate w_hat = max(w, tau) (tau =
+    the (k+1)-th priority) makes Σ w_hat an unbiased estimate of each
+    source's total weight — the estimator that lets a 100 TB pipeline
+    audit its own sampling.
+
+    Shape at scale: per-group top-k is computed in TWO phases — a local
+    row_number within (source, salt) buckets (salt = hash % {_PRIO_SALT},
+    so a popular source sorts in {_PRIO_SALT} parallel slices, never one
+    reducer) keeps k+1 candidates per slice, then the global window
+    ranks only the ≤ {_PRIO_SALT}·(k+1) survivors per source. The final
+    per-source tau table is an O(|sources|) broadcast. All arithmetic is
+    exact-integer hashes and single IEEE divisions — bit-identical in
+    the DuckDB twin, which computes the same sample with one flat
+    window."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = token_hash_wide(F.md5(F.col("text").cast("binary")))
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (h.cast("double") / F.col("n_chars")).alias("inv_priority"),
+        (h % _PRIO_SALT).alias("salt"),
+    )
+    w_loc = Window.partitionBy("source", "salt").orderBy("inv_priority", "doc_id")
+    survivors = (
+        base.withColumn("lrk", F.row_number().over(w_loc))
+        .filter(F.col("lrk") <= _PRIO_K + 1)
+        .drop("lrk", "salt")
+    )
+    w_glob = Window.partitionBy("source").orderBy("inv_priority", "doc_id")
+    ranked = survivors.withColumn("rk", F.row_number().over(w_glob)).filter(
+        F.col("rk") <= _PRIO_K + 1
+    )
+    tau = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == _PRIO_K + 1, F.col("inv_priority"))).alias("tau_inv")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRIO_K)
+        .join(F.broadcast(tau), "source")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "rk",
+            round_pos(
+                F.when(
+                    F.col("tau_inv").isNull(), F.col("n_chars").cast("double")
+                ).otherwise(
+                    F.greatest(
+                        F.col("n_chars").cast("double"), F.lit(1.0) / F.col("tau_inv")
+                    )
+                ),
+                4,
+            ).alias("w_hat"),
         )
     )

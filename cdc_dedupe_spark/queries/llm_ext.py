@@ -2572,3 +2572,87 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.coalesce("new_lbl", "lbl").alias("lbl")
         )
     return labels.select("vec_id", F.col("lbl").cast("long").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# text_lm_bigram — corpus bigram-LM fluency score (perplexity proxy)
+
+
+_LMBG_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, string_split(bgs, ' ')[1] AS w1, string_split(bgs, ' ')[2] AS w2
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bgs
+        FROM t WHERE len(toks) >= 2
+      )
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1
+    ), scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(1000000.0 * c2.n2 / c1.n1) AS BIGINT) AS s
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(floor(SUM(s) / count(*)) AS BIGINT) AS lm_score_ppm
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("text_lm_bigram", group="llm-ext", oracle=_LMBG_ORACLE)
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram language-model fluency score (round
+    10): train P(w2|w1) = c(w1 w2)/c(w1 ·) on the whole corpus's
+    whitespace bigrams, then score each document by the mean conditional
+    probability of its own bigrams — the classic cheap perplexity proxy
+    that flags boilerplate (score near 1e6: every transition is the
+    corpus's favorite) and gibberish (score near 0: transitions the
+    corpus never makes) without any external model, the same shape as
+    CCNet's KenLM filter with the LM replaced by the corpus itself.
+
+    Determinism: probabilities are floor(1e6·n2/n1) per bigram instance
+    and floor(Σs/n) per document — exact-integer inputs, one IEEE
+    division each, bit-identical in DuckDB.
+
+    Shape at scale: bigram extraction is a map-side explode (O(tokens)
+    rows, the text_tfidf shape); the model tables c2/c1 are partial
+    aggregates bounded by the whitespace vocabulary (V and V² upper
+    bounds, Heaps-law-sublinear in practice) and are BROADCAST back onto
+    the instance stream — the scoring join never shuffles the corpus.
+    The contract is the standard n-gram-LM one: the model must fit a
+    node; web-scale deployments prune the vocabulary first (KenLM's
+    min-count pruning) before the broadcast, which caps both tables
+    regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").cast("long").alias("n1"))
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.floor(F.lit(1000000.0) * F.col("n2") / F.col("n1"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.sum("s") / F.count(F.lit(1))).cast("long").alias("lm_score_ppm"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import padded_order_key
 from ..tables import table
 from ._determinism import dsum, round_pos, sql_dsum
 from .registry import register
@@ -1266,4 +1267,74 @@ def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_name").alias("name_b"),
             dist.cast("long").alias("dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_path_transitions — first-order Markov transition table over sessions
+
+
+_PATH_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 19, '0')) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(floor(1000000.0 * n_trans
+                      / SUM(n_trans) OVER (PARTITION BY from_type)) AS BIGINT)
+             AS prob_ppm
+    FROM t
+    """
+
+
+@register("events_path_transitions", group="relational-ext", oracle=_PATH_ORACLE)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event paths
+    (round 10): for each user, order events by (ts, event_id) and pair
+    each with its successor; the output is the (from_type, to_type)
+    transition count plus the empirical transition probability in ppm —
+    the model behind funnel drop-off analysis, next-action prediction
+    features, and bot detection (uniform rows betray synthetic traffic).
+
+    Shape at scale: one shuffle by user_id for the lead() — per-user
+    state is one row, so skew is bounded by the hottest user's event
+    count (the same bound sessionize_events lives with) — then a partial
+    aggregate down to |event_types|² rows, over which the normalizing
+    window is O(types²) no matter the corpus. Probability is
+    floor(1e6·n/total): one IEEE division of exact integers, identical
+    cross-engine (the registry's integer-scaled-fraction rule).
+
+    Reference parity: beyond the reference surface (WatchStream.java has
+    no analytics operators); declared in SURVEY §2B."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        padded_order_key(F.unix_micros("ts"), F.col("event_id"))
+    )
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.floor(
+            F.lit(1000000.0) * F.col("n_trans") / F.sum("n_trans").over(w_tot)
+        )
+        .cast("long")
+        .alias("prob_ppm"),
     )

@@ -277,3 +277,140 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_distinct",
         )
     )
+
+
+# --- HLL set-intersection (inclusion-exclusion over mergeable sketches) ----
+
+# Audience-overlap question a 100 TB event log answers with three tiny
+# sketches instead of two count-distincts and a join: on how many
+# user-days did BOTH a click and a purchase happen?  Key = user_id|date,
+# so the cardinalities are user-activity-days, not users.
+_HLLI_KEY_SQL = "CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')"
+
+_HLLI_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type AS grp,
+             CAST(('0x' || substr(md5({_HLLI_KEY_SQL}), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), rho AS (
+      SELECT grp, hv % {_HLL_M} AS reg,
+             -- rho clamped at {_HLL_VBITS}, same rationale as agg_hll_registers
+             CASE WHEN (hv >> 8) = 0 THEN {_HLL_VBITS}
+                  ELSE {_HLL_VBITS + 1} - length(bin(hv >> 8)) END AS r
+      FROM h
+    ), regs AS (
+      SELECT grp, reg, MAX(r) AS m FROM rho GROUP BY 1, 2
+    ), sk AS (
+      -- absent registers contribute 2^52 each: SUM over present rows plus
+      -- (m - n_present) * 2^52 == the 256-register sum, no range join.
+      SELECT grp,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_VBITS} - m))
+                  + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_VBITS})
+                  AS BIGINT) AS s_scaled
+      FROM regs GROUP BY 1
+    ), un AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_VBITS} - m))
+                  + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_VBITS})
+                  AS BIGINT) AS s_scaled
+      FROM (SELECT reg, MAX(m) AS m FROM regs GROUP BY 1)
+    ), tru AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_intersect FROM (
+        SELECT {_HLLI_KEY_SQL} AS k FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT {_HLLI_KEY_SQL} AS k FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT a.s_scaled AS s_scaled_a, b.s_scaled AS s_scaled_b,
+           un.s_scaled AS s_scaled_union,
+           (round({_HLL_NUM} / a.s_scaled, 1) + 0.0) AS est_a,
+           (round({_HLL_NUM} / b.s_scaled, 1) + 0.0) AS est_b,
+           (round({_HLL_NUM} / a.s_scaled + {_HLL_NUM} / b.s_scaled
+                  - {_HLL_NUM} / un.s_scaled, 1) + 0.0) AS hll_intersect_estimate,
+           tru.true_intersect
+    FROM (SELECT s_scaled FROM sk WHERE grp = 'click') a,
+         (SELECT s_scaled FROM sk WHERE grp = 'purchase') b, un, tru
+    """
+
+
+def _hll_sketch_sum(regs: DataFrame) -> DataFrame:
+    """One-row scaled register sum over a (reg, m) frame: SUM 2^(52-m) over
+    present registers plus 2^52 per absent one — identical to folding all
+    256, without a range join."""
+    return regs.agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_VBITS} - m AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_VBITS).cast("long")
+        )
+        .cast("long")
+        .alias("s_scaled")
+    )
+
+
+@register("agg_hll_intersect", group="sketch", oracle=_HLLI_ORACLE)
+def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from three HLL sketches (round 10):
+    |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch is the
+    register-wise MAX of the two — the merge that makes HLL the right
+    structure for cross-slice overlap questions at 100 TB (sketch each
+    slice once, combine any pair later; the exact answer would cost two
+    count-distincts plus an equi-join of the distinct sets). Key =
+    user_id|date ("user-activity-day"), hashed with the same 60-bit md5
+    prefix as agg_hll_registers; registers for A, B and A∪B are one
+    partial aggregate each over the SAME (grp, reg, max-rho) frame, so
+    the shuffle moves ≤ 2·256 rows per task regardless of event count.
+    Estimates are one double division per sketch from exact scaled-integer
+    sums (see agg_hll_registers for the 2^52 scaling and the rho clamp);
+    the true intersection (accuracy column) pays the exact distinct-set
+    semi-join you would NOT run at 100 TB. Raw estimates only — the
+    small-range correction needs ln(), which is not cross-engine-exact.
+
+    Reference parity: the reference has no sketch surface (WatchStream.java
+    processes CDC entries); declared beyond-reference in SURVEY §2B."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit("|"), F.date_format("ts", "yyyy-MM-dd")
+    )
+    hashed = ev.select(
+        F.col("event_type").alias("grp"),
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long").alias("hv"),
+    ).select("grp", "hv", F.shiftright(F.col("hv"), 8).alias("v"))
+    regs = (
+        hashed.select(
+            "grp", (F.col("hv") % _HLL_M).alias("reg"), _hll_rho(F.col("v")).alias("r")
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("r").alias("m"))
+        .localCheckpoint(eager=False)  # shared by both per-set sums and the union merge
+    )
+    sk_a = _hll_sketch_sum(regs.filter(F.col("grp") == "click"))
+    sk_b = _hll_sketch_sum(regs.filter(F.col("grp") == "purchase"))
+    sk_u = _hll_sketch_sum(regs.groupBy("reg").agg(F.max("m").alias("m")))
+    keys = ev.select(F.col("event_type").alias("grp"), key.alias("k")).distinct()
+    tru = (
+        keys.filter(F.col("grp") == "click")
+        .select("k")
+        .join(keys.filter(F.col("grp") == "purchase").select("k"), "k", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_intersect"))
+    )
+    num = F.lit(float(_HLL_NUM))
+    est = lambda c: num / c  # noqa: E731
+    return (
+        sk_a.select(F.col("s_scaled").alias("s_scaled_a"))
+        .crossJoin(F.broadcast(sk_b.select(F.col("s_scaled").alias("s_scaled_b"))))
+        .crossJoin(F.broadcast(sk_u.select(F.col("s_scaled").alias("s_scaled_union"))))
+        .crossJoin(F.broadcast(tru))
+        .select(
+            "s_scaled_a",
+            "s_scaled_b",
+            "s_scaled_union",
+            round_pos(est(F.col("s_scaled_a")), 1).alias("est_a"),
+            round_pos(est(F.col("s_scaled_b")), 1).alias("est_b"),
+            round_pos(
+                est(F.col("s_scaled_a")) + est(F.col("s_scaled_b"))
+                - est(F.col("s_scaled_union")),
+                1,
+            ).alias("hll_intersect_estimate"),
+            "true_intersect",
+        )
+    )

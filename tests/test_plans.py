@@ -461,3 +461,32 @@ def test_no_global_sorts_or_stray_python_udfs_anywhere(spark, sf_dir):
         assert "Exchange rangepartitioning" not in p, name
         if name not in allowed_python:
             assert "BatchEvalPython" not in p, name
+
+
+def test_lm_bigram_model_broadcasts(spark, sf_dir):
+    """text_lm_bigram: both LM tables (bigram and left-unigram counts)
+    must broadcast onto the instance stream — the corpus-sized side never
+    shuffles for the scoring join."""
+    plan = plan_of(spark, sf_dir, "text_lm_bigram")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_priority_sample_two_phase_windows(spark, sf_dir):
+    """sample_priority_weighted: the per-source rank must be preceded by a
+    salted local rank (two Window nodes) so no source ever sorts in a
+    single reducer, and the tau table joins as a broadcast."""
+    plan = plan_of(spark, sf_dir, "sample_priority_weighted")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hll_intersect_shuffles_registers_not_events(spark, sf_dir):
+    """agg_hll_intersect: the sketch path aggregates partially map-side —
+    after the (grp, reg) aggregate every later join input is a one-row
+    aggregate or broadcast; no SortMergeJoin anywhere (the only equi-join
+    is the exact-truth semi-join, small enough to broadcast here and
+    explicitly NOT part of the sketch contract)."""
+    plan = plan_of(spark, sf_dir, "agg_hll_intersect")
+    assert re.search(r"partial_merge|HashAggregate", plan), plan
+    assert "CartesianProduct" not in plan

@@ -340,3 +340,145 @@ def test_stats_two_sample_healthy_passes_guard(spark, tmp_path):
     odf = con.execute(REGISTRY["stats_two_sample"].oracle).df()
     cols = sorted(sdf.columns)
     assert sdf[cols].values.tolist() == odf[cols].values.tolist()
+
+
+# --- round-10 surface additions: independent-implementation twins -----------
+
+
+def test_priority_sample_matches_flat_topk(spark, sf_dir):
+    """Independent twin of sample_priority_weighted: fetch the portable
+    hash per doc via the shared DuckDB expression (not re-derived), then
+    compute the FLAT per-source top-k and the DLT estimator in pure
+    Python — the Spark side computes the same thing through the salted
+    two-phase prune, so equality proves the prune loses nothing."""
+    from cdc_dedupe_spark.functions.text import SQL_TOKEN_HASH_WIDE
+    from cdc_dedupe_spark.queries.curation import _PRIO_K
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, doc_id, n_chars, "
+        f"{SQL_TOKEN_HASH_WIDE.format(t='md5(text)')} AS h "
+        f"FROM '{sf_dir}/documents.parquet' WHERE n_chars > 0"
+    ).fetchall()
+    by_source = {}
+    for source, doc_id, n_chars, h in rows:
+        by_source.setdefault(source, []).append((h / n_chars, doc_id, n_chars))
+    expected = {}
+    for source, docs in by_source.items():
+        docs.sort()
+        tau_inv = docs[_PRIO_K][0] if len(docs) > _PRIO_K else None
+        for rk, (inv, doc_id, w) in enumerate(docs[:_PRIO_K], start=1):
+            w_hat = float(w) if tau_inv is None else max(float(w), 1.0 / tau_inv)
+            expected[(source, doc_id)] = (rk, round(w_hat, 4) + 0.0)
+
+    got = REGISTRY["sample_priority_weighted"].spark(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[(r.source, r.doc_id)] == (r.rk, r.w_hat), r
+
+
+def test_path_transitions_independent_pandas(spark, sf_dir):
+    """Pandas/Counter twin of events_path_transitions, plus the row-level
+    invariant that floors make probabilities sum to just under 1e6."""
+    from collections import Counter
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    cnt = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        for a, b in zip(types, types[1:]):
+            cnt[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in cnt.items():
+        totals[a] += n
+
+    got = REGISTRY["events_path_transitions"].spark(spark, sf_dir).collect()
+    assert {(r.from_type, r.to_type): r.n_trans for r in got} == dict(cnt)
+    import math
+
+    for r in got:
+        assert r.prob_ppm == math.floor(1e6 * cnt[(r.from_type, r.to_type)] / totals[r.from_type])
+    by_from = Counter()
+    n_to = Counter()
+    for r in got:
+        by_from[r.from_type] += r.prob_ppm
+        n_to[r.from_type] += 1
+    for f, s in by_from.items():
+        assert 1_000_000 - n_to[f] <= s <= 1_000_000
+
+
+def test_hll_intersect_matches_pure_python_sketch(spark, sf_dir):
+    """Full independent twin of agg_hll_intersect from hashlib.md5 up:
+    registers, scaled sums, and the exact intersection — pinning the
+    sketch bits, not the (small-range-biased) estimate. Also pins the
+    merge laws: the union register sum is <= each side's (more distinct
+    keys can only raise register maxima)."""
+    import hashlib
+
+    import pandas as pd
+
+    from cdc_dedupe_spark.queries.sketch import _HLL_M, _HLL_VBITS
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    keys = {
+        g: {f"{u}|{t.strftime('%Y-%m-%d')}" for u, t in zip(d.user_id, d.ts)}
+        for g, d in ev.groupby("event_type")
+    }
+
+    def s_scaled(s: set) -> int:
+        regs = {}
+        for k in s:
+            hv = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+            reg, v = hv % _HLL_M, hv >> 8
+            r = _HLL_VBITS if v == 0 else _HLL_VBITS + 1 - v.bit_length()
+            regs[reg] = max(regs.get(reg, 0), r)
+        return sum(1 << (_HLL_VBITS - m) for m in regs.values()) + (
+            _HLL_M - len(regs)
+        ) * (1 << _HLL_VBITS)
+
+    a, b = keys["click"], keys["purchase"]
+    [row] = REGISTRY["agg_hll_intersect"].spark(spark, sf_dir).collect()
+    assert row.s_scaled_a == s_scaled(a)
+    assert row.s_scaled_b == s_scaled(b)
+    assert row.s_scaled_union == s_scaled(a | b)
+    assert row.true_intersect == len(a & b)
+    assert row.s_scaled_union <= min(row.s_scaled_a, row.s_scaled_b)
+    assert row.hll_intersect_estimate <= row.est_a + row.est_b
+
+
+def test_lm_bigram_independent_counter(spark, sf_dir):
+    """Counter twin of text_lm_bigram with the same floor arithmetic;
+    scores must be exactly equal for every document, and the boilerplate/
+    gibberish ordering property must hold: a doc made of the corpus's
+    single most common transition scores above every real doc."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    c2: Counter = Counter()
+    per_doc = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            per_doc[doc_id] = bgs
+            c2.update(bgs)
+    c1: Counter = Counter()
+    for (w1, _), n in c2.items():
+        c1[w1] += n
+    expected = {}
+    for doc_id, bgs in per_doc.items():
+        ss = [math.floor(1e6 * c2[b] / c1[b[0]]) for b in bgs]
+        expected[doc_id] = (len(ss), math.floor(sum(ss) / len(ss)))
+
+    got = REGISTRY["text_lm_bigram"].spark(spark, sf_dir).collect()
+    assert {r.doc_id: (r.n_bigrams, r.lm_score_ppm) for r in got} == expected
+    best = max(c2, key=lambda b: 1e6 * c2[b] / c1[b[0]])
+    best_score = math.floor(1e6 * c2[best] / c1[best[0]])
+    assert best_score > max(r.lm_score_ppm for r in got)
