@@ -56,6 +56,10 @@ HEADLINE = [
     "ts_ewma_hourly",
     "ann_ivfpq_topk",
     "dedup_minhash_incremental",
+    "sample_priority_weighted",
+    "text_lm_bigram",
+    "agg_hll_intersect",
+    "events_path_transitions",
 ]
 
 
