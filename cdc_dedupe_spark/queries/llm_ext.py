@@ -2656,3 +2656,111 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.floor(F.sum("s") / F.count(F.lit(1))).cast("long").alias("lm_score_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — exact triangles + clustering coefficient on the k-NN graph
+
+
+_TRI_ORACLE = f"""
+    WITH knn AS (SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+      FROM knn
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1 JOIN und e2 ON e2.u = e1.v
+           JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pern AS (
+      SELECT x AS vec_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT x AS vec_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS x FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY 1
+    )
+    SELECT e.vec_id, COALESCE(deg.degree, 0) AS degree,
+           COALESCE(pern.n_tri, 0) AS n_tri,
+           CAST(CASE WHEN COALESCE(deg.degree, 0) >= 2
+                THEN floor((2000000.0 * COALESCE(pern.n_tri, 0))
+                           / deg.degree / (deg.degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM embeddings e
+    LEFT JOIN deg USING (vec_id) LEFT JOIN pern USING (vec_id)
+    """
+
+
+@register("graph_triangle_count", group="llm-ext", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle count and local clustering coefficient over
+    the approximate k-NN graph (round 10) — the density diagnostic that
+    separates tight semantic clusters (coefficient near 1: this
+    neighborhood is a near-dup clique SemDeDup should collapse) from
+    hub-like noise (high degree, no closure), completing the graph family
+    next to CC, PageRank and label propagation on the same shared edges.
+
+    Algorithm: canonical edge orientation (u < v) makes each triangle
+    countable exactly once as a wedge a<b<c closed by membership — two
+    equi hash joins, the standard distributed triangle enumeration.
+    Clustering coefficient = floor(2e6·T / d(d−1)) ppm, exact-integer
+    inputs and a fixed IEEE op order shared with the oracle.
+
+    Shape at scale: the undirected edge list is O(n·k) rows; the wedge
+    join fan-out per middle node is bounded by its oriented degree
+    (≤ 2k from a k-NN build), so candidates are O(n·k²), never O(n²);
+    the closure check is a third equi-join on the (u, v) edge key. All
+    shuffles are on high-cardinality keys; the k-NN edges reuse the
+    shared LSH projection checkpoint."""
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    edges = _knn_edges(spark, sf_dir).select("vec_id", "nbr_id")
+    und = (
+        edges.select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # three self-join sides share the build
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    pern = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    joined = (
+        nodes.join(deg, "vec_id", "left")
+        .join(pern, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+        )
+    )
+    return joined.select(
+        "vec_id",
+        "degree",
+        "n_tri",
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.lit(2000000.0) * F.col("n_tri") / F.col("degree") / (F.col("degree") - 1)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clustering_ppm"),
+    )

@@ -1338,3 +1338,99 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prob_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market_basket_pairs — association-rule co-occurrence mining over orders
+
+
+_BASKET_K = 20
+
+_BASKET_ORACLE = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+    ), po AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ord FROM li GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT * FROM pairs ORDER BY n_both DESC, p1, p2 LIMIT {_BASKET_K}
+    )
+    SELECT t.p1, t.p2, t.n_both, pa.n_ord AS n_ord1, pb.n_ord AS n_ord2,
+           CAST(floor(((1000000.0 * t.n_both) / pa.n_ord) / pb.n_ord * n.n_orders)
+                AS BIGINT) AS lift_ppm
+    FROM topk t
+    JOIN po pa ON pa.l_partkey = t.p1
+    JOIN po pb ON pb.l_partkey = t.p2, n
+    """
+
+
+@register("market_basket_pairs", group="relational-ext", oracle=_BASKET_ORACLE)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining, pair stage (round 10): the top-{_BASKET_K}
+    part pairs most often bought in the same order, with their lift —
+    P(p1,p2) / (P(p1)·P(p2)) in ppm — the Apriori/FP-growth first
+    iteration every recommender pipeline starts from.
+
+    Shape at scale: the pair generator is a self-equi-join on l_orderkey
+    of the DISTINCT (order, part) projection, so fan-out per order is
+    bounded by its basket size squared (TPC-H baskets are ≤ 7 lines;
+    real carts are tens) — never an all-pairs part join. Pair counts
+    partially aggregate map-side; the top-k compiles to
+    TakeOrderedAndProject; the per-part support table then joins against
+    the {_BASKET_K}-row winners BROADCAST — at 100 TB the parts side is a
+    20-billion-row dimension you must not broadcast, the 20-row side you
+    do. Lift keeps the shared fixed IEEE op order over exact integers.
+
+    Reference parity: beyond the reference surface; declared in SURVEY
+    §2B."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # pair join sides + support + N share it
+    )
+    n_orders = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
+    po = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    topk = pairs.orderBy(F.col("n_both").desc(), "p1", "p2").limit(_BASKET_K)
+    with_n1 = (
+        po.join(F.broadcast(topk), po.l_partkey == F.col("p1"))
+        .select("p1", "p2", "n_both", F.col("n_ord").alias("n_ord1"))
+    )
+    po2 = po.withColumnRenamed("n_ord", "n_ord2").withColumnRenamed("l_partkey", "pk2")
+    return (
+        po2.join(F.broadcast(with_n1), F.col("pk2") == F.col("p2"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            "n_ord1",
+            "n_ord2",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_both") / F.col("n_ord1") / F.col("n_ord2")
+                * F.col("n_orders")
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+market_basket_pairs.__doc__ = market_basket_pairs.__doc__.format(_BASKET_K=_BASKET_K)

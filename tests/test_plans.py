@@ -490,3 +490,25 @@ def test_hll_intersect_shuffles_registers_not_events(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_hll_intersect")
     assert re.search(r"partial_merge|HashAggregate", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_market_basket_topk_and_broadcasts(spark, sf_dir):
+    """market_basket_pairs: the pair top-k must compile to
+    TakeOrderedAndProject (never a global sort) and the support joins
+    must broadcast the 20-row winners side — the parts dimension at
+    100 TB is not broadcastable, the winners always are."""
+    plan = plan_of(spark, sf_dir, "market_basket_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+
+
+def test_triangle_joins_are_equi_hash(spark, sf_dir):
+    """graph_triangle_count: wedge build and closure check must both be
+    equi joins (hash or sort-merge) — a nested-loop or cartesian plan
+    here is the O(n²) shape the canonical orientation exists to avoid.
+    The only BroadcastNestedLoopJoin allowed is the one-row corpus-count
+    scalar inside the shared LSH projection."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1, plan

@@ -482,3 +482,78 @@ def test_lm_bigram_independent_counter(spark, sf_dir):
     best = max(c2, key=lambda b: 1e6 * c2[b] / c1[b[0]])
     best_score = math.floor(1e6 * c2[best] / c1[best[0]])
     assert best_score > max(r.lm_score_ppm for r in got)
+
+
+def test_triangle_count_independent_python(spark, sf_dir):
+    """Pure-python twin of graph_triangle_count: take the declared k-NN
+    edges (already independently verified by
+    test_ivfpq/ann oracles), undirect them, count triangles by adjacency
+    intersection, and recompute the coefficient with the same floor
+    arithmetic. Also pins the global identity Σ n_tri = 3·|triangles|."""
+    import math
+    from collections import defaultdict
+
+    knn = REGISTRY["ann_knn_graph"].spark(spark, sf_dir).collect()
+    und = {tuple(sorted((r.vec_id, r.nbr_id))) for r in knn}
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    # each triangle closes exactly 3 edges, so this per-edge sum is 3T
+    three_t = sum(len(adj[u] & adj[v]) for u, v in und)
+    # per-node: triangles at node x = pairs of neighbors that are edges
+    import itertools
+
+    pern = {}
+    for x, ns in adj.items():
+        t = sum(
+            1 for a, b in itertools.combinations(sorted(ns), 2) if (a, b) in und
+        )
+        pern[x] = t
+
+    got = REGISTRY["graph_triangle_count"].spark(spark, sf_dir).collect()
+    assert three_t % 3 == 0
+    assert sum(r.n_tri for r in got) == three_t
+    for r in got:
+        assert r.degree == len(adj.get(r.vec_id, ())), r
+        assert r.n_tri == pern.get(r.vec_id, 0), r
+        if r.degree >= 2:
+            want = math.floor(2000000.0 * r.n_tri / r.degree / (r.degree - 1))
+            assert r.clustering_ppm == want, r
+            assert 0 <= r.clustering_ppm <= 1_000_000
+        else:
+            assert r.clustering_ppm == 0
+
+
+def test_market_basket_independent_counter(spark, sf_dir):
+    """Counter twin of market_basket_pairs: distinct baskets, pair counts
+    via combinations, the same (-n_both, p1, p2) top-k, the same lift
+    floor arithmetic."""
+    import itertools
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from cdc_dedupe_spark.queries.relational_ext import _BASKET_K
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    baskets = defaultdict(set)
+    for o, p in zip(li.l_orderkey, li.l_partkey):
+        baskets[o].add(p)
+    n_orders = len(baskets)
+    support = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        support.update(parts)
+        pair.update(itertools.combinations(sorted(parts), 2))
+    top = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:_BASKET_K]
+    expected = {}
+    for (p1, p2), n_both in top:
+        lift = math.floor(1000000.0 * n_both / support[p1] / support[p2] * n_orders)
+        expected[(p1, p2)] = (n_both, support[p1], support[p2], lift)
+
+    got = REGISTRY["market_basket_pairs"].spark(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[(r.p1, r.p2)] == (r.n_both, r.n_ord1, r.n_ord2, r.lift_ppm), r
