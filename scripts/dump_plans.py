@@ -60,6 +60,8 @@ HEADLINE = [
     "text_lm_bigram",
     "agg_hll_intersect",
     "events_path_transitions",
+    "graph_triangle_count",
+    "market_basket_pairs",
 ]
 
 
