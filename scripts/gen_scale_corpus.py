@@ -102,9 +102,69 @@ def main() -> int:
         ),
         str(out / "customer.parquet"),
     )
+    # --- events (round 10: the events-family off-scale point) -------------
+    # Driver-corpus shape at 10x sf0.1: 1M rows, user pool ~10x, same 5
+    # event types, 30-day span, micro-second timestamps (the plain-us
+    # TIMESTAMP branch of tables.normalize_event_ts).
+    n_events = n_docs * 20
+    n_users = 1500
+    ev_user = rng.integers(0, n_users, n_events)
+    ev_type = rng.choice(
+        np.array(["view", "click", "signup", "purchase", "error"]), n_events
+    )
+    span_us = 30 * 24 * 3600 * 1_000_000
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    ev_ts = base_us + rng.integers(0, span_us, n_events)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_events), pa.int64()),
+                "ts": pa.array(ev_ts, pa.timestamp("us")),
+                "user_id": pa.array(ev_user, pa.int64()),
+                "event_type": pa.array(ev_type),
+                "value": pa.array(rng.random(n_events) * 100.0, pa.float64()),
+                "props": pa.array([f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)]),
+            }
+        ),
+        str(out / "events.parquet"),
+    )
+
+    # --- lineitem (round 10: market_basket_pairs' off-scale point) --------
+    # 10x sf0.1: 6M lines over 1.5M orders (1 + Poisson(3) lines each,
+    # truncated to the generated total), part pool 10x.
+    n_lines = n_docs * 120
+    n_parts = n_docs * 4 // 10
+    lines_per_order = 1 + rng.poisson(3, n_lines // 3)
+    okeys = np.repeat(np.arange(len(lines_per_order)), lines_per_order)[:n_lines]
+    n_lines = len(okeys)
+    lnum = np.concatenate([np.arange(1, c + 1) for c in lines_per_order])[:n_lines]
+    qty = rng.integers(1, 51, n_lines).astype("float64")
+    price = np.round(rng.random(n_lines) * 90000 + 900, 2)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_partkey": pa.array(rng.integers(0, n_parts, n_lines), pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_parts // 20, n_lines), pa.int64()),
+                "l_linenumber": pa.array(lnum, pa.int32()),
+                "l_quantity": pa.array(qty, pa.float64()),
+                "l_extendedprice": pa.array(price, pa.float64()),
+                "l_discount": pa.array(np.round(rng.random(n_lines) * 0.1, 2), pa.float64()),
+                "l_tax": pa.array(np.round(rng.random(n_lines) * 0.08, 2), pa.float64()),
+                "l_returnflag": pa.array(rng.choice(np.array(["A", "N", "R"]), n_lines)),
+                "l_linestatus": pa.array(rng.choice(np.array(["O", "F"]), n_lines)),
+                "l_shipdate": pa.array(
+                    base_us + rng.integers(0, span_us * 12, n_lines), pa.timestamp("us")
+                ),
+            }
+        ),
+        str(out / "lineitem.parquet"),
+    )
+
     print(
         f"wrote {out}/documents.parquet ({n_docs}), embeddings.parquet "
-        f"({n_vecs}) and customer.parquet ({n_cust})"
+        f"({n_vecs}), customer.parquet ({n_cust}), events.parquet "
+        f"({n_events}) and lineitem.parquet ({n_lines})"
     )
     return 0
 
