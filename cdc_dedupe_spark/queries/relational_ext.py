@@ -943,10 +943,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the selected suppliers' keys (one broadcast row holding the
     sorted set-bit positions — at most 3·|keys| entries), drop fact rows
     MAP-SIDE when any probe bit is missing, then run the exact broadcast
-    join on the survivors. m is SIZED FROM THE BUILD SIDE — a one-scalar
-    count on the (tiny, filtered) dimension picks the next power of two
-    >= 16 bits/key, the same one-row-scan discipline as the LSH
-    projection's corpus-adaptive plane count — because a fixed m
+    join on the survivors. m is SIZED FROM THE BUILD SIDE — a one-row
+    count AGGREGATE inside the plan (construction stays lazy; no driver
+    action) picks the next power of two >= 16 bits/key, the same
+    corpus-adaptive discipline as the LSH plane count — because a fixed m
     saturates to all-ones at ~m/k keys and the advertised pruning
     silently becomes a pass-through (ADVICE r9; tests pin both the
     sizing rule and the saturation bound). The bloom admits false
@@ -964,20 +964,47 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 9).select(
         "s_suppkey"
     )
-    m = _bloom_m_for(sup.count())
+    # m is computed INSIDE the plan as a one-row broadcast column (ADVICE
+    # r10: the former driver-side sup.count() made query CONSTRUCTION run a
+    # job, unlike every other registry entry). Same rule as _bloom_m_for —
+    # next power of two >= 16 bits/key, clamped to [2^10, 2^22] — expressed
+    # with the integer bit-smear next-pow2 (no float log2, so no boundary
+    # slip at exact powers); tests pin SQL-vs-Python agreement.
+    target = (
+        F.least(
+            F.greatest(F.lit(16) * F.greatest(F.col("n"), F.lit(1)), F.lit(_BLOOM_M_MIN)),
+            F.lit(_BLOOM_M_MAX),
+        ).cast("long")
+        - F.lit(1)
+    )
+    v = target
+    for s in (1, 2, 4, 8, 16):
+        v = v.bitwiseOR(F.shiftright(v, s))
+    m_row = F.broadcast(
+        sup.agg(F.count(F.lit(1)).alias("n")).select((v + F.lit(1)).alias("m"))
+    )
     bloom = F.broadcast(
-        sup.select(
+        sup.crossJoin(m_row)
+        .select(
+            "m",
             F.explode(
                 F.array(
-                    *[_bloom_pos(F.col("s_suppkey"), j, m) for j in range(len(_BLOOM_A))]
+                    *[
+                        _bloom_pos(F.col("s_suppkey"), j, F.col("m"))
+                        for j in range(len(_BLOOM_A))
+                    ]
                 )
-            ).alias("p")
-        ).agg(F.array_sort(F.collect_set("p")).alias("bits"))
+            ).alias("p"),
+        )
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
     )
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     probe_ok = None
     for j in range(len(_BLOOM_A)):
-        hit = F.array_contains(F.col("bits"), _bloom_pos(F.col("l_suppkey"), j, m))
+        hit = F.array_contains(
+            F.col("bits"), _bloom_pos(F.col("l_suppkey"), j, F.col("m"))
+        )
         probe_ok = hit if probe_ok is None else (probe_ok & hit)
     cand = li.crossJoin(bloom).filter(probe_ok)
     return (

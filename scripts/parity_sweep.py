@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -58,9 +59,14 @@ def main() -> int:
     # `-dirty` and the judge had to hand-audit the diff). Targeted and
     # off-scale runs are working-loop tools and stay usable mid-edit.
     writes_artifact = not only and SF_DIR == "/root/testdata/sf0.01"
-    dirty = subprocess.run(
+    status = subprocess.run(
         ["git", "status", "--porcelain"], cwd=_REPO, capture_output=True, text=True
-    ).stdout.strip()
+    ).stdout.splitlines()
+    # Driver-written round outputs (untracked until the end-of-round commit)
+    # are artifacts of the round, not unverified code — don't let them block
+    # the sweep (ADVICE r10). Anything ELSE untracked or modified still does.
+    _artifact = re.compile(r"^\?\? (CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|VERDICT\.md|ADVICE\.md)$")
+    dirty = "\n".join(l for l in status if l.strip() and not _artifact.match(l))
     if writes_artifact and dirty:
         print(
             "refusing full-surface sweep from a dirty tree — commit first so "

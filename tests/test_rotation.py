@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
 from pathlib import Path
 
 from cdc_dedupe_spark.queries import REGISTRY, driver_order
@@ -70,8 +71,12 @@ def test_history_module_matches_committed_artifacts():
     """driver_history.py is generated — verify it agrees with the
     CORRECTNESS_r*.json files actually in the repo, so a forgotten
     regeneration fails loudly instead of skewing the window."""
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
     latest: dict[str, int] = {}
-    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for p in sorted(REPO / f for f in tracked):
         rnd = int(re.search(r"r(\d+)", p.name).group(1))
         for name, row in json.loads(p.read_text()).items():
             if not isinstance(row, dict):
@@ -86,9 +91,11 @@ def test_history_module_matches_committed_artifacts():
     )
 
 
-def test_r10_window_covers_verdict_targets():
-    """VERDICT r9 item 1: the 9 never-driver-verified r9 additions plus the
-    6 r6-stale window_* entries must all be inside the r10 window."""
+def test_r9_verification_debt_stayed_retired():
+    """VERDICT r9 item 1 is DONE: the 9 never-driver-verified r9 additions
+    plus the 6 r6-stale window_* entries all earned green rows in the r10
+    window. Pin that the history reflects it — if any of them ever reads as
+    pre-r10 again, the generated module (or an artifact) regressed."""
     targets = [
         "agg_cms_heavy_hitters", "join_bloom_prefilter", "join_fuzzy_band",
         "pipeline_quality_gate", "stats_two_sample", "stream_bloom_dedupe",
@@ -96,6 +103,9 @@ def test_r10_window_covers_verdict_targets():
         "window_lag_lead", "window_ntile", "window_percent_rank",
         "window_range_frame", "window_rank", "window_running_sum",
     ]
-    window = driver_order()[:WINDOW]
-    missing = [t for t in targets if t not in window]
-    assert not missing, f"verdict targets outside the r10 window: {missing}"
+    regressed = {
+        t: DRIVER_LAST_VERIFIED.get(t, 0)
+        for t in targets
+        if DRIVER_LAST_VERIFIED.get(t, 0) < 10
+    }
+    assert not regressed, f"r9 debt entries lost their r10+ driver rows: {regressed}"

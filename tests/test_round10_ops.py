@@ -557,3 +557,58 @@ def test_market_basket_independent_counter(spark, sf_dir):
     assert len(got) == len(expected)
     for r in got:
         assert expected[(r.p1, r.p2)] == (r.n_both, r.n_ord1, r.n_ord2, r.lift_ppm), r
+
+
+def test_bloom_m_sql_matches_python_and_construction_is_lazy(spark, sf_dir):
+    """ADVICE r10: join_bloom_prefilter used to run sup.count() while
+    BUILDING the DataFrame. Construction must now be a pure plan (no jobs),
+    and the in-plan bit-smear next-pow2 must agree with _bloom_m_for."""
+    import pyspark.sql.functions as F
+
+    from cdc_dedupe_spark.queries.relational_ext import (
+        _BLOOM_M_MAX,
+        _BLOOM_M_MIN,
+        _bloom_m_for,
+        join_bloom_prefilter,
+    )
+
+    # Reading parquet schemas launches a couple of tiny driver jobs for ANY
+    # query construction; the eager-count bug added an extra full count job
+    # on top. Baseline against a plain two-table join's construction cost.
+    from cdc_dedupe_spark.queries.relational import join_inner
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    a = njobs()
+    join_inner(spark, sf_dir)
+    baseline = njobs() - a
+    a = njobs()
+    df = join_bloom_prefilter(spark, sf_dir)
+    cost = njobs() - a
+    assert cost <= baseline, (
+        f"bloom construction launched {cost} jobs vs {baseline} for a plain "
+        "join — an eager action is back in the build path"
+    )
+    assert df.columns == ["l_suppkey", "n_items", "revenue_cents"]
+
+    # SQL next-pow2 == the Python sizing rule, including floor/clamp edges.
+    rows = []
+    for n in [0, 1, 10, 64, 100, 400, 1200, 5000, 10**6, 10**9]:
+        rows.append((n,))
+    ndf = spark.createDataFrame(rows, "n long")
+    target = (
+        F.least(
+            F.greatest(F.lit(16) * F.greatest(F.col("n"), F.lit(1)), F.lit(_BLOOM_M_MIN)),
+            F.lit(_BLOOM_M_MAX),
+        ).cast("long")
+        - F.lit(1)
+    )
+    v = target
+    for s in (1, 2, 4, 8, 16):
+        v = v.bitwiseOR(F.shiftright(v, s))
+    got = {r["n"]: r["m"] for r in ndf.select("n", (v + F.lit(1)).alias("m")).collect()}
+    for n, m in got.items():
+        assert m == _bloom_m_for(n), f"n={n}: sql m={m} != python {_bloom_m_for(n)}"
