@@ -512,3 +512,44 @@ def test_triangle_joins_are_equi_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), plan
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+# --- round 11: pipeline_ops plan shapes -------------------------------------
+
+
+def test_pmi_scoring_joins_broadcast_topk_is_heap(spark, sf_dir):
+    """text_pmi_bigrams: the two unigram scoring joins and the totals row
+    must broadcast (vocab is Heaps-bounded), and the top-50 must compile
+    to TakeOrderedAndProject — never a global sort of all bigrams."""
+    plan = plan_of(spark, sf_dir, "text_pmi_bigrams")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+
+
+def test_interval_overlap_is_equi_join_not_theta(spark, sf_dir):
+    """join_interval_overlap: the bin trick must make the overlap join a
+    hash equi-join on (user_id, bin) — a BroadcastNestedLoopJoin (what
+    Spark plans for a raw inequality join) or a cartesian product in the
+    plan means the binning regressed to all-pairs."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_single"),
+    [("doc_global_shuffle_shard", 1), ("events_rfm_segments", 0)],
+)
+def test_prefix_sum_single_partition_only_on_bucket_tables(
+    spark, sf_dir, name, max_single
+):
+    """The two-phase prefix-sum queries may move data to a single
+    partition ONLY for the tiny bucket-table cumsum (1 for the shard
+    planner's 256-row hash-bucket table; 0 for RFM, whose bucket cumsum
+    partitions by metric); the corpus-sized windows must stay
+    partitioned by bucket."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("SinglePartition") <= max_single, plan
+    assert re.search(r"hashpartitioning\([^)]*_?bkt", plan), plan
