@@ -1,0 +1,543 @@
+"""Distributed statistics / classical-ML training operators (round 11).
+
+The thinnest part of the declared surface so far was the model-fitting
+family (`ml_kmeans_train`, `stats_two_sample`). This module rounds it out
+with the sufficient-statistics pattern that makes classical estimation
+viable at 100 TB: every estimator here reduces the corpus to a tiny set
+of EXACT integer moments with one partial-agg shuffle, and the estimate
+itself is a constant-size driver-free epilogue (a broadcast or a one-row
+select). Like the curation/llm families these are beyond the reference's
+own surface (the reference is a CDC dedupe engine — WatchStream.java
+deals in stream entries, not estimators) but are declared first-class
+registry entries with exact DuckDB oracles.
+
+Determinism (SURVEY.md §2B rules): moments are exact BIGINT sums of
+integer-valued features (cents / dollars / percent discipline); the
+normal-equation numerators, which can exceed 2^63 at large SF, are
+formed in DECIMAL(38,0) on the Spark side and HUGEINT (int128) on the
+DuckDB side — both exact — and only the final scalar division /
+sqrt / ln happens in IEEE doubles through an identical op chain, then
+`round_pos`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from ._determinism import round_pos
+from .registry import register
+
+
+def _dec(c: Column) -> Column:
+    """Exact wide-integer arithmetic for normal-equation numerators:
+    DECIMAL(38,0) holds the n·Σxy-style products that overflow BIGINT
+    past ~sf1 (n·Σy² ≈ 10²² at sf1 for cents-scaled money columns).
+    The DuckDB twin uses HUGEINT (int128) — both exact, and the final
+    cast-to-double of the same exact integer is bit-identical."""
+    return c.cast("decimal(38,0)")
+
+
+# ---------------------------------------------------------------------------
+# ml_linreg_normal — OLS by normal equations over exact moments
+
+
+@register(
+    "ml_linreg_normal",
+    group="stats-ml",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ), e AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den,
+             CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE) AS numi,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           (round(num / den, 6) + 0.0) AS slope,
+           (round(numi / den, 6) + 0.0) AS intercept,
+           (round((num * num) / (den * deny), 6) + 0.0) AS r2
+    FROM e
+    """,
+)
+def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extended price (whole dollars) on
+    quantity by the normal equations — distributed linear regression as
+    a moments problem. The corpus collapses to six exact BIGINT sums
+    per group (n, Σx, Σy, Σx², Σxy, Σy²) in ONE partial-agg shuffle;
+    slope (nΣxy−ΣxΣy)/(nΣxx−Σx²), intercept (ΣyΣxx−ΣxΣxy)/(nΣxx−Σx²)
+    and R² = num²/(den·(nΣyy−Σy²)) are then single-row arithmetic. The
+    cross products are formed in DECIMAL(38,0) / HUGEINT (see `_dec`) —
+    exact past the BIGINT ceiling — and only the final divisions are
+    IEEE doubles, the identical op chain both engines.
+
+    Shape at scale: this is how regression is actually run on 100 TB —
+    the shuffle carries |groups| × 6 scalars, the fit is free. The same
+    moment matrix generalizes to k features as a k² Gram accumulation
+    (one row per partition, map-side combined)."""
+    x = F.round("l_quantity").cast("long")
+    y = F.round("l_extendedprice").cast("long")
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy")).cast("double")
+    den = (_dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")).cast("double")
+    numi = (_dec(F.col("sy")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sxy")).cast("double")
+    deny = (_dec(F.col("n")) * F.col("syy") - _dec(F.col("sy")) * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        round_pos(num / den, 6).alias("slope"),
+        round_pos(numi / den, 6).alias("intercept"),
+        round_pos((num * num) / (den * deny), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_corr_matrix — pairwise Pearson correlations in one pass
+
+
+_CORR_VARS = [
+    ("qty", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+]
+
+
+def _corr_oracle() -> str:
+    feats = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_VARS)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, (a, _) in enumerate(_CORR_VARS):
+        sums.append(f"CAST(SUM({a}) AS BIGINT) AS s_{a}")
+        for b, _ in _CORR_VARS[i:]:
+            sums.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS s_{a}_{b}")
+    rows = []
+    for i, (a, _) in enumerate(_CORR_VARS):
+        for b, _ in _CORR_VARS[i + 1 :]:
+            cov = f"CAST(CAST(n AS HUGEINT) * s_{a}_{b} - CAST(s_{a} AS HUGEINT) * s_{b} AS DOUBLE)"
+            va = f"CAST(CAST(n AS HUGEINT) * s_{a}_{a} - CAST(s_{a} AS HUGEINT) * s_{a} AS DOUBLE)"
+            vb = f"CAST(CAST(n AS HUGEINT) * s_{b}_{b} - CAST(s_{b} AS HUGEINT) * s_{b} AS DOUBLE)"
+            rows.append(
+                f"SELECT '{a}' AS var_x, '{b}' AS var_y, n, "
+                f"(round({cov} / sqrt({va} * {vb}), 6) + 0.0) AS corr FROM m"
+            )
+    sums_sql = ", ".join(sums)
+    body = " UNION ALL ".join(rows)
+    return f"WITH b AS (SELECT {feats} FROM lineitem), m AS (SELECT {sums_sql} FROM b) {body}"
+
+
+@register("stats_corr_matrix", group="stats-ml", oracle=_corr_oracle())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four numeric lineitem
+    measures (quantity, whole-dollar price, discount %, tax %) — the
+    EDA primitive — computed from ONE corpus pass: a single aggregate
+    emits the full upper-triangular moment set (n, Σxᵢ, Σxᵢxⱼ = 15
+    BIGINT scalars), and the 6 correlations melt out of that one row
+    map-side (explode over a literal struct array; no second scan, no
+    per-pair jobs — contrast with calling df.stat.corr() 6 times).
+    Numerators go through HUGEINT/DECIMAL(38,0) exactly as in
+    [[ml_linreg_normal]]; the divide-by-sqrt is one identical double
+    chain per pair.
+
+    Shape at scale: k features → k²/2 sums in the same single shuffle
+    of one row per partition; 100 TB costs exactly one map-side-combined
+    pass regardless of k."""
+    base = table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    names = [name for name, _ in _CORR_VARS]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(names):
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        for b in names[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}"))
+    m = base.agg(*aggs)
+
+    def corr_row(a: str, b: str) -> Column:
+        cov = (_dec(F.col("n")) * F.col(f"s_{a}_{b}") - _dec(F.col(f"s_{a}")) * F.col(f"s_{b}")).cast("double")
+        va = (_dec(F.col("n")) * F.col(f"s_{a}_{a}") - _dec(F.col(f"s_{a}")) * F.col(f"s_{a}")).cast("double")
+        vb = (_dec(F.col("n")) * F.col(f"s_{b}_{b}") - _dec(F.col(f"s_{b}")) * F.col(f"s_{b}")).cast("double")
+        return F.struct(
+            F.lit(a).alias("var_x"),
+            F.lit(b).alias("var_y"),
+            F.col("n").alias("n"),
+            round_pos(cov / F.sqrt(va * vb), 6).alias("corr"),
+        )
+
+    pairs = [corr_row(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    return m.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_topk — uniform k-sample as top-k over a hash permutation
+
+
+_RESERVOIR_K = 200
+
+
+@register(
+    "sample_reservoir_topk",
+    group="stats-ml",
+    oracle=f"""
+    SELECT md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) AS rk,
+           l_orderkey, l_linenumber,
+           CAST(round(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    ORDER BY rk, l_orderkey, l_linenumber
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k=200 sample without replacement, rerun-stable:
+    classic reservoir sampling is a SEQUENTIAL fold, but "keep the k
+    smallest values of a uniform hash of the primary key" draws the
+    identical distribution and is embarrassingly parallel — each
+    partition keeps its local top-k and the driver merges k-sized heaps
+    (Spark's TakeOrderedAndProject; no global sort, no sequential
+    state). The md5 permutation also makes the sample deterministic
+    across runs/engines — the seeded-RNG problem that keeps
+    `dedup_near_minhash` rows-only does not arise.
+
+    Shape at scale: O(parts · k) driver merge, zero shuffles. This is
+    the standard "uniform eval slice of a 100 TB corpus" primitive next
+    to the weighted variant [[sample_priority_weighted]]."""
+    li = table(spark, sf_dir, "lineitem")
+    rk = F.md5(F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")))
+    return (
+        li.select(
+            rk.alias("rk"),
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        .orderBy("rk", "l_orderkey", "l_linenumber")
+        .limit(_RESERVOIR_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merge_pairs — BPE tokenizer training, iteration zero
+
+
+_BPE_TOP = 32
+
+
+@register(
+    "text_bpe_merge_pairs",
+    group="stats-ml",
+    oracle=f"""
+    WITH w AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) >= 2 GROUP BY t
+    ), p AS (
+      SELECT substr(word, i, 2) AS pair, cnt
+      FROM w, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016): the most
+    frequent adjacent symbol pairs corpus-wide, weighted by word
+    frequency. The tokenizer-training trick that makes this scale is
+    the WORD-COUNT COMPRESSION: the corpus is first collapsed to its
+    vocabulary (Heaps'-law-bounded, one token shuffle), and the
+    quadratic-ish character-pair explosion runs over the tiny vocab
+    with counts as weights — never over raw text. Pair generation is a
+    map-side HOF (`transform(sequence(...))`), the pair rollup is an
+    O(|alphabet|²)-key aggregate, and top-32 is
+    TakeOrderedAndProject with a total (n DESC, pair) order.
+
+    Subsequent BPE iterations re-run the same shape over the re-split
+    vocab — each iteration costs one vocab-sized job, not a corpus
+    scan."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear — Holt's double exponential smoothing (level + trend)
+
+
+@register(
+    "ts_holt_linear",
+    group="stats-ml",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             list_transform(list(n_events ORDER BY bucket_us), x -> x::DOUBLE) AS xs
+      FROM c GROUP BY event_type
+    ), r AS (
+      SELECT event_type, xs, 2 AS i, xs[1] AS l, xs[2] - xs[1] AS t
+      FROM s WHERE len(xs) >= 2
+      UNION ALL
+      SELECT event_type, xs, i + 1,
+             (xs[i + 1] + l + t) / 2,
+             (((xs[i + 1] + l + t) / 2) - l + t) / 2
+      FROM r WHERE i < len(xs)
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_buckets,
+           (round(l, 6) + 0.0) AS level,
+           (round(t, 6) + 0.0) AS trend,
+           (round(l + t, 6) + 0.0) AS forecast
+    FROM r WHERE i = len(xs)
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double-exponential smoothing (level + linear trend,
+    alpha = beta = 1/2) of the hourly event rate per type, extending
+    [[ts_ewma_hourly]] from an IIR level to a (level, trend) state pair:
+      l' = (x + (l + t)) / 2,   t' = ((l' - l) + t) / 2
+    seeded l = x1, t = x2 - x1, plus the one-step forecast l + t. The
+    fold is inherently ORDER-DEPENDENT, so the scalable shape is the
+    same as the EWMA's: raw events pay only the (type, hour) rollup
+    shuffle, and the sequential recurrence runs over the tiny O(buckets)
+    rollup per key — Spark folds the sorted-collect with `aggregate()`
+    carrying a two-field struct, DuckDB recurses over the same list with
+    a recursive CTE. Both engines execute the IDENTICAL IEEE op chain in
+    the identical bucket order (the alpha = 1/2 halvings are the same
+    dyadic ops), so level/trend/forecast are bit-identical — even once
+    53-bit mantissas start rounding, they round the same way. Types with
+    a single bucket have no defined trend and are excluded by the
+    len >= 2 guard in both engines."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_us", "n_events"))),
+        lambda s: s["n_events"].cast("double"),
+    )
+    s = c.groupBy("event_type").agg(xs.alias("xs")).filter(F.size("xs") >= 2)
+    x1 = F.element_at(F.col("xs"), 1)
+    x2 = F.element_at(F.col("xs"), 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("t"))
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 3, F.greatest(F.size("xs") - 2, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            ((x + acc["l"] + acc["t"]) / 2).alias("l"),
+            ((((x + acc["l"] + acc["t"]) / 2) - acc["l"] + acc["t"]) / 2).alias("t"),
+        ),
+    )
+    return s.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_buckets"),
+        round_pos(fold["l"], 6).alias("level"),
+        round_pos(fold["t"], 6).alias("trend"),
+        round_pos(fold["l"] + fold["t"], 6).alias("forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_nb_classify — multinomial Naive Bayes: train + confusion matrix
+
+
+@register(
+    "ml_nb_classify",
+    group="stats-ml",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, t AS token
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) > 0
+    ), dt AS (
+      SELECT doc_id, lang AS lang_true, token, CAST(COUNT(*) AS BIGINT) AS k
+      FROM tok GROUP BY 1, 2, 3
+    ), ct AS (
+      SELECT lang AS lang_c, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab FROM tok
+    ), nd AS (
+      SELECT lang AS lang_c, CAST(COUNT(*) AS BIGINT) AS nd_c FROM documents GROUP BY 1
+    ), ndall AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+    ), cls AS (
+      SELECT nd.lang_c, tots.tot,
+             CAST(round(ln(1.0 / CAST(tots.tot + v.vocab AS DOUBLE)) * 1000000) AS BIGINT)
+               AS dflt_micro,
+             CAST(round(ln(CAST(nd.nd_c AS DOUBLE) / CAST(ndall.nd AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS prior_micro
+      FROM nd, ndall, v,
+           (SELECT lang_c, CAST(SUM(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1) tots
+      WHERE tots.lang_c = nd.lang_c
+    ), lp AS (
+      SELECT ct.lang_c, ct.token,
+             CAST(round(ln(CAST(ct.cnt + 1 AS DOUBLE) / CAST(cls.tot + v.vocab AS DOUBLE))
+                        * 1000000) AS BIGINT) AS logp_micro
+      FROM ct, cls, v WHERE ct.lang_c = cls.lang_c
+    ), sc AS (
+      SELECT dt.doc_id, dt.lang_true, cls.lang_c,
+             cls.prior_micro
+               + SUM(dt.k * COALESCE(lp.logp_micro, cls.dflt_micro)) AS score
+      FROM dt
+      CROSS JOIN cls
+      LEFT JOIN lp ON lp.token = dt.token AND lp.lang_c = cls.lang_c
+      GROUP BY dt.doc_id, dt.lang_true, cls.lang_c, cls.prior_micro
+    ), pred AS (
+      SELECT doc_id, lang_true, lang_c AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang_c) AS rn
+      FROM sc
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied in one plan: fit
+    per-language token log-probabilities (Laplace-smoothed) on the
+    corpus, classify every document by argmax posterior, and emit the
+    language confusion matrix — the distributed shape of every
+    "fastText-style quality/language classifier" gate in a pretraining
+    pipeline. The model is tiny by construction (|langs| × |vocab|
+    Heaps'-bounded rows) and BROADCASTS to the scoring join; documents
+    are scored from their (doc, token, count) rollup — |langs| rows per
+    doc-token, one (doc) aggregation, never a per-row UDF.
+
+    Determinism: log-probs are snapped to exact BIGINT micro-nats
+    (round(ln(p)·10⁶)) at the per-(class, token) grain — the same
+    accepted per-cell rounding as text_tfidf's — so the score SUM and
+    the argmax (min over (−score, lang) with the lang tie-break) are
+    exact integer ops, order-free across partitions and engines. Priors
+    and unseen-token defaults get the same micro-nat treatment."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    # Lazy localCheckpoint of the (doc, lang, token, count) rollup: the
+    # class-conditional counts, the vocab size AND the scoring join all
+    # derive from this one projection — without the checkpoint each
+    # branch re-scans and re-explodes the text column (the llm_ext
+    # shared-projection discipline; on a real cluster swap for reliable
+    # checkpoint()). Oracle SQL is unchanged — checkpointing is
+    # execution-only.
+    dt = (
+        tok.groupBy("doc_id", F.col("lang").alias("lang_true"), "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    ct = dt.groupBy(F.col("lang_true").alias("lang_c"), "token").agg(
+        F.sum("k").alias("cnt")
+    )
+    v = dt.agg(F.countDistinct("token").alias("vocab"))
+    nd = docs.groupBy(F.col("lang").alias("lang_c")).agg(F.count(F.lit(1)).alias("nd_c"))
+    ndall = docs.agg(F.count(F.lit(1)).alias("nd"))
+    tots = ct.groupBy("lang_c").agg(F.sum("cnt").alias("tot"))
+
+    def micro(x: Column) -> Column:
+        return F.round(F.log(x) * 1000000).cast("long")
+
+    cls = (
+        nd.join(tots, "lang_c")
+        .crossJoin(F.broadcast(ndall))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang_c",
+            "tot",
+            micro(F.lit(1.0) / (F.col("tot") + F.col("vocab")).cast("double")).alias(
+                "dflt_micro"
+            ),
+            micro(F.col("nd_c").cast("double") / F.col("nd").cast("double")).alias(
+                "prior_micro"
+            ),
+        )
+    )
+    lp = (
+        ct.join(F.broadcast(cls), "lang_c")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang_c",
+            "token",
+            micro(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("tot") + F.col("vocab")).cast("double")
+            ).alias("logp_micro"),
+        )
+    )
+    sc = (
+        dt.crossJoin(F.broadcast(cls.select("lang_c", "dflt_micro", "prior_micro")))
+        .join(F.broadcast(lp), ["token", "lang_c"], "left")
+        .groupBy("doc_id", "lang_true", "lang_c", "prior_micro")
+        .agg(
+            F.sum(
+                F.col("k") * F.coalesce(F.col("logp_micro"), F.col("dflt_micro"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_c",
+            (F.col("prior_micro") + F.col("s")).alias("score"),
+        )
+    )
+    pred = sc.groupBy("doc_id", "lang_true").agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("lang_c").alias("c"))).alias("m")
+    )
+    return (
+        pred.select("lang_true", F.col("m.c").alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -553,3 +553,66 @@ def test_prefix_sum_single_partition_only_on_bucket_tables(
     plan = plan_of(spark, sf_dir, name)
     assert plan.count("SinglePartition") <= max_single, plan
     assert re.search(r"hashpartitioning\([^)]*_?bkt", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# round 11: stats/ML sufficient-statistics family
+
+
+def test_linreg_moments_single_shuffle(spark, sf_dir):
+    """OLS by normal equations must cost exactly the one partial-agg
+    shuffle of |groups| x 6 scalars — no join, no sort, no second scan."""
+    plan = plan_of(spark, sf_dir, "ml_linreg_normal")
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+
+
+def test_corr_matrix_one_pass(spark, sf_dir):
+    """The full pairwise-correlation matrix comes from ONE corpus scan
+    and ONE one-row exchange; the 6 pair rows melt out map-side
+    (Generate above the final aggregate)."""
+    plan = plan_of(spark, sf_dir, "stats_corr_matrix")
+    assert n_exchanges(plan) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+    assert re.search(r"^\(\d+\) Generate", plan, re.MULTILINE)
+
+
+def test_reservoir_is_take_ordered_zero_shuffle(spark, sf_dir):
+    """Hash-permutation reservoir sampling = per-partition top-k +
+    driver k-merge: TakeOrderedAndProject, zero Exchanges."""
+    plan = plan_of(spark, sf_dir, "sample_reservoir_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) == 0
+
+
+def test_bpe_pairs_explode_vocab_not_corpus(spark, sf_dir):
+    """BPE pair mining must explode character pairs over the AGGREGATED
+    vocab, never the raw corpus: the pair Generate sits strictly above
+    the word-count aggregate in the plan, and the whole query is two
+    rollup shuffles + a top-k."""
+    plan = plan_of(spark, sf_dir, "text_bpe_merge_pairs")
+    assert n_exchanges(plan) == 2
+    assert "TakeOrderedAndProject" in plan
+    gens = [m.start() for m in re.finditer(r"^\(\d+\) Generate", plan, re.MULTILINE)]
+    first_agg = re.search(r"^\(\d+\) HashAggregate", plan, re.MULTILINE).start()
+    assert len(gens) == 2 and gens[1] > first_agg
+
+
+def test_holt_fold_runs_over_rollup(spark, sf_dir):
+    """Holt smoothing: the sequential fold must consume the O(buckets)
+    rollup — exactly the (type, hour) rollup exchange plus the per-type
+    collect exchange, no sort/join anywhere."""
+    plan = plan_of(spark, sf_dir, "ts_holt_linear")
+    assert n_exchanges(plan) == 2
+    assert "Join" not in plan
+
+
+def test_nb_model_broadcasts_never_smj(spark, sf_dir):
+    """Naive Bayes scoring: the |langs| x |vocab| model and the class
+    table must BROADCAST to the doc-token side — a SortMergeJoin against
+    the corpus-sized rollup would be the 100 TB bottleneck."""
+    plan = plan_of(spark, sf_dir, "ml_nb_classify")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,177 @@
+"""Round-11 stats/ML operator units: independent pure-Python reference
+implementations for the six stats_ml queries, run against the sf0.001
+corpus. The DuckDB oracle twins are pinned by the sweep /
+test_oracle_parity; these recompute the SAME answers from first
+principles (hashlib md5, collections.Counter folds, math.log) so a
+shared misconception between the two SQL twins cannot hide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from cdc_dedupe_spark.queries import REGISTRY
+
+
+def _lineitem(sf_dir):
+    return pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+
+
+def _docs(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+
+
+def _events(sf_dir):
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    return df
+
+
+def _pyround(x):
+    """Python's round() is banker's; the engines round half away from
+    zero. Only relevant for exact .5 doubles (quantity/price are .00/.5x
+    money values so it matters)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_ml_linreg_normal_matches_moment_fit(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    got = {r.l_returnflag: r for r in REGISTRY["ml_linreg_normal"].spark(spark, sf_dir).toPandas().itertuples()}
+    for flag, g in li.groupby("l_returnflag"):
+        x = [_pyround(v) for v in g["l_quantity"]]
+        y = [_pyround(v) for v in g["l_extendedprice"]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxx = sum(a * a for a in x)
+        sxy = sum(a * b for a, b in zip(x, y))
+        syy = sum(b * b for b in y)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        r = got[flag]
+        assert r.n == n
+        assert r.slope == pytest.approx(num / den, abs=2e-6)
+        assert r.intercept == pytest.approx((sy * sxx - sx * sxy) / den, abs=2e-6)
+        assert r.r2 == pytest.approx((num * num) / (den * deny), abs=2e-6)
+        # this corpus draws price independently of quantity, so the fit
+        # is honest-but-weak: r2 is tiny but must stay a valid ratio
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_stats_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    li = _lineitem(sf_dir)
+    feats = {
+        "qty": [_pyround(v) for v in li["l_quantity"]],
+        "price": [_pyround(v) for v in li["l_extendedprice"]],
+        "disc": [_pyround(v * 100) for v in li["l_discount"]],
+        "tax": [_pyround(v * 100) for v in li["l_tax"]],
+    }
+    got = REGISTRY["stats_corr_matrix"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 6  # upper triangle of a 4x4, diagonal excluded
+    for r in got.itertuples():
+        expect = np.corrcoef(feats[r.var_x], feats[r.var_y])[0, 1]
+        assert r.corr == pytest.approx(expect, abs=2e-6), (r.var_x, r.var_y)
+        assert r.n == len(li)
+    # all measures are drawn independently in this corpus: correlations
+    # are small but must be valid (and exactly the numpy values above)
+    assert all(-1.0 <= r.corr <= 1.0 for r in got.itertuples())
+
+
+def test_sample_reservoir_topk_is_min_hash_order(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    ranked = sorted(
+        (
+            hashlib.md5(f"{r.l_orderkey}#{r.l_linenumber}".encode()).hexdigest(),
+            r.l_orderkey,
+            r.l_linenumber,
+        )
+        for r in li.itertuples()
+    )
+    expect = ranked[:200]
+    got = REGISTRY["sample_reservoir_topk"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 200
+    assert [(r.rk, r.l_orderkey, r.l_linenumber) for r in got.itertuples()] == expect
+
+
+def test_text_bpe_merge_pairs_matches_counter(spark, sf_dir):
+    docs = _docs(sf_dir)
+    words = Counter()
+    for t in docs["text"]:
+        words.update(w for w in t.split(" ") if len(w) >= 2)
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    got = REGISTRY["text_bpe_merge_pairs"].spark(spark, sf_dir).toPandas()
+    assert [(r.pair, r.n) for r in got.itertuples()] == expect
+
+
+def test_ts_holt_linear_matches_sequential_fold(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["bucket"] = ev["ts_us"] // 3_600_000_000 * 3_600_000_000
+    got = {r.event_type: r for r in REGISTRY["ts_holt_linear"].spark(spark, sf_dir).toPandas().itertuples()}
+    for etype, g in ev.groupby("event_type"):
+        xs = [float(c) for _, c in sorted(Counter(g["bucket"]).items())]
+        if len(xs) < 2:
+            assert etype not in got
+            continue
+        l, t = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            l_new = (x + l + t) / 2
+            t_new = ((l_new - l) + t) / 2
+            l, t = l_new, t_new
+        r = got[etype]
+        assert r.n_buckets == len(xs)
+        assert r.level == pytest.approx(l, abs=2e-6)
+        assert r.trend == pytest.approx(t, abs=2e-6)
+        assert r.forecast == pytest.approx(l + t, abs=2e-6)
+
+
+def test_ml_nb_classify_matches_pure_python(spark, sf_dir):
+    docs = _docs(sf_dir)
+    tokens = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in docs.itertuples()
+    }
+    lang_of = dict(zip(docs["doc_id"], docs["lang"]))
+    ct: Counter = Counter()
+    for d, toks in tokens.items():
+        for w in toks:
+            ct[(lang_of[d], w)] += 1
+    vocab = len({w for _, w in ct})
+    tot = Counter()
+    for (c, _), k in ct.items():
+        tot[c] += k
+    nd = Counter(docs["lang"])
+    n_all = len(docs)
+    langs = sorted(nd)
+
+    def micro(x: float) -> int:
+        return _pyround(math.log(x) * 1_000_000)
+
+    prior = {c: micro(nd[c] / n_all) for c in langs}
+    dflt = {c: micro(1.0 / (tot[c] + vocab)) for c in langs}
+    lp = {(c, w): micro((k + 1) / (tot[c] + vocab)) for (c, w), k in ct.items()}
+    confusion: Counter = Counter()
+    for d, toks in tokens.items():
+        counts = Counter(toks)
+        best = min(
+            (
+                -(prior[c] + sum(k * lp.get((c, w), dflt[c]) for w, k in counts.items())),
+                c,
+            )
+            for c in langs
+        )
+        confusion[(lang_of[d], best[1])] += 1
+    got = REGISTRY["ml_nb_classify"].spark(spark, sf_dir).toPandas()
+    assert {(r.lang_true, r.lang_pred): r.n_docs for r in got.itertuples()} == dict(confusion)
+    # the word soup is language-agnostic at sf0.001 scale, but every doc
+    # must be classified exactly once
+    assert sum(confusion.values()) == n_all
