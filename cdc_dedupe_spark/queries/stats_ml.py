@@ -541,3 +541,185 @@ def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope — Zipf's-law fit of the token frequency spectrum
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "text_zipf_slope",
+    group="stats-ml",
+    oracle=f"""
+    WITH w AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) > 0 GROUP BY t
+    ), r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank FROM w
+      QUALIFY rank <= {_ZIPF_TOP}
+    ), f AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM r
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM f
+    ), e AS (
+      SELECT n,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den,
+             CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE) AS numi,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny
+      FROM m
+    )
+    SELECT n AS n_ranks,
+           (round(num / den, 6) + 0.0) AS slope,
+           (round(numi / den / 1000000, 6) + 0.0) AS intercept_ln,
+           (round((num * num) / (den * deny), 6) + 0.0) AS r2
+    FROM e
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token spectrum: OLS slope of
+    ln(freq) on ln(rank) over the top-1000 ranks — the corpus-health
+    statistic (natural text ≈ −1; a slope collapsing toward 0 flags
+    boilerplate/duplication). Composition of this round's machinery:
+    the corpus collapses to its Heaps'-bounded vocab; Catalyst pushes
+    the rank <= 1000 filter into a TakeOrderedAndProject over that
+    rollup (plan-pinned: ONE exchange in the whole query — raw tokens
+    are never globally sorted, and the 1000-row window + moment
+    aggregate ride its single-partition output), and
+    the fit is [[ml_linreg_normal]]'s normal equations over moments of
+    log micro-nats: each ln is snapped to an exact BIGINT ONCE per
+    vocab row (the accepted per-cell text_tfidf rounding), so the sums
+    and the slope arithmetic are exact/HUGEINT — no float-summation
+    order anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rank = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+    r = freq.withColumn("rank", rank).filter(F.col("rank") <= _ZIPF_TOP)
+    f = r.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000).cast("long").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1000000).cast("long").alias("y"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy")).cast("double")
+    den = (_dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")).cast("double")
+    numi = (_dec(F.col("sy")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sxy")).cast("double")
+    deny = (_dec(F.col("n")) * F.col("syy") - _dec(F.col("sy")) * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        round_pos(num / den, 6).alias("slope"),
+        round_pos(numi / den / 1000000, 6).alias("intercept_ln"),
+        round_pos((num * num) / (den * deny), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint — exact-integer CUSUM over the hourly rate
+
+
+@register(
+    "events_cusum_changepoint",
+    group="stats-ml",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             list(struct_pack(bu := bucket_us, ct := n_events) ORDER BY bucket_us) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(n_events) AS BIGINT) AS tot
+      FROM c GROUP BY event_type
+    ), r AS (
+      SELECT event_type, xs, nb, tot, 0 AS i,
+             CAST(0 AS BIGINT) AS s, CAST(-1 AS BIGINT) AS smax, CAST(0 AS BIGINT) AS at
+      FROM s
+      UNION ALL
+      SELECT event_type, xs, nb, tot, i + 1,
+             greatest(CAST(0 AS BIGINT), s + (nb * xs[i + 1].ct - tot)),
+             CASE WHEN greatest(CAST(0 AS BIGINT), s + (nb * xs[i + 1].ct - tot)) > smax
+                  THEN greatest(CAST(0 AS BIGINT), s + (nb * xs[i + 1].ct - tot))
+                  ELSE smax END,
+             CASE WHEN greatest(CAST(0 AS BIGINT), s + (nb * xs[i + 1].ct - tot)) > smax
+                  THEN xs[i + 1].bu ELSE at END
+      FROM r WHERE i < nb
+    )
+    SELECT event_type, nb AS n_buckets, smax AS cusum_peak, at AS peak_bucket_us,
+           (round(CAST(smax AS DOUBLE) / nb, 6) + 0.0) AS peak_norm
+    FROM r WHERE i = nb
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint scan of the hourly event rate per
+    type: S_i = max(0, S_{i-1} + (x_i − mean)), reporting the peak
+    excursion and the EARLIEST bucket achieving it — the classic
+    "when did the rate shift upward" detector next to the pointwise
+    [[events_anomaly_mad]]. The whole fold is EXACT integers: deviations
+    are pre-scaled by the bucket count (T_i = nb·x_i − Σx, integral by
+    construction), so peak and argmax carry no float at all — the
+    normalized peak divides once at the end. No rounding lottery
+    anywhere, unlike the ln-based scores.
+
+    Shape at scale: identical to [[ts_holt_linear]] — raw events pay the
+    (type, hour) rollup shuffle once; the order-dependent scan folds the
+    O(buckets) list per type with a 3-field struct accumulator (Spark
+    aggregate() / DuckDB recursive CTE), never touching raw rows."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("bucket_us").alias("bu"), F.col("n_events").alias("ct")))).alias("xs"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n_events").alias("tot"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("s"), F.lit(-1).cast("long").alias("smax"), zero.alias("at"))
+
+    def step(acc, x):
+        snew = F.greatest(zero, acc["s"] + (F.col("nb") * x["ct"] - F.col("tot")))
+        bump = snew > acc["smax"]
+        return F.struct(
+            snew.alias("s"),
+            F.when(bump, snew).otherwise(acc["smax"]).alias("smax"),
+            F.when(bump, x["bu"]).otherwise(acc["at"]).alias("at"),
+        )
+
+    fold = F.aggregate(F.col("xs"), init, step)
+    return s.select(
+        "event_type",
+        F.col("nb").alias("n_buckets"),
+        fold["smax"].alias("cusum_peak"),
+        fold["at"].alias("peak_bucket_us"),
+        round_pos(fold["smax"].cast("double") / F.col("nb"), 6).alias("peak_norm"),
+    )

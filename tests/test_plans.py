@@ -616,3 +616,23 @@ def test_nb_model_broadcasts_never_smj(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_rank_compiles_to_top_k(spark, sf_dir):
+    """Zipf ranking: Catalyst pushes the `row_number <= 1000` filter
+    into a TakeOrderedAndProject over the vocab rollup — the whole fit
+    costs ONE exchange (the word-count shuffle); the 1000-row window
+    and the moment aggregate run on its single-partition output with no
+    further exchange. Raw tokens are never globally sorted."""
+    plan = plan_of(spark, sf_dir, "text_zipf_slope")
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_cusum_fold_runs_over_rollup(spark, sf_dir):
+    """CUSUM scan: identical shape to the Holt fold — the (type, hour)
+    rollup exchange plus the per-type collect exchange, nothing else."""
+    plan = plan_of(spark, sf_dir, "events_cusum_changepoint")
+    assert n_exchanges(plan) == 2
+    assert "Join" not in plan

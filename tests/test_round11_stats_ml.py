@@ -175,3 +175,47 @@ def test_ml_nb_classify_matches_pure_python(spark, sf_dir):
     # the word soup is language-agnostic at sf0.001 scale, but every doc
     # must be classified exactly once
     assert sum(confusion.values()) == n_all
+
+
+def test_text_zipf_slope_matches_pure_python(spark, sf_dir):
+    docs = _docs(sf_dir)
+    words = Counter()
+    for t in docs["text"]:
+        words.update(w for w in t.split(" ") if w)
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    xs = [_pyround(math.log(i + 1) * 1_000_000) for i in range(len(ranked))]
+    ys = [_pyround(math.log(c) * 1_000_000) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(a * a for a in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    syy = sum(b * b for b in ys)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    got = REGISTRY["text_zipf_slope"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.n_ranks == n
+    assert r.slope == pytest.approx(num / den, abs=2e-6)
+    assert r.intercept_ln == pytest.approx((sy * sxx - sx * sxy) / den / 1e6, abs=2e-6)
+    assert r.r2 == pytest.approx(num * num / (den * (n * syy - sy * sy)), abs=2e-6)
+    assert r.slope < 0  # frequency decreases with rank, by construction
+
+
+def test_events_cusum_changepoint_matches_sequential_scan(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["bucket"] = ev["ts_us"] // 3_600_000_000 * 3_600_000_000
+    got = {r.event_type: r for r in REGISTRY["events_cusum_changepoint"].spark(spark, sf_dir).toPandas().itertuples()}
+    for etype, g in ev.groupby("event_type"):
+        buckets = sorted(Counter(g["bucket"]).items())
+        nb = len(buckets)
+        tot = sum(c for _, c in buckets)
+        s, smax, at = 0, -1, 0
+        for bu, c in buckets:
+            s = max(0, s + (nb * c - tot))
+            if s > smax:
+                smax, at = s, bu
+        r = got[etype]
+        assert r.n_buckets == nb
+        assert r.cusum_peak == smax
+        assert r.peak_bucket_us == at
+        assert r.peak_norm == pytest.approx(smax / nb, abs=2e-6)
