@@ -2764,3 +2764,44 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clustering_ppm"),
     )
+
+
+# --- connected-component census (round 11) ----------------------------------
+
+
+@register(
+    "graph_cc_sizes",
+    group="llm-ext",
+    oracle=f"""
+    WITH comp AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+      FROM ({_CLUSTER_ORACLE}) GROUP BY cluster_id
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(size * COUNT(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY size
+    """,
+)
+def graph_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size census over the semantic-dedup cluster
+    graph — the audit every production dedup run emits before dropping
+    data: how many singletons, how many pairs, does one giant component
+    swallow the corpus (the classic too-loose-threshold failure)? Rolls
+    [[dedup_embed_cluster]]'s label table up twice (cluster -> size,
+    size -> count); both rollups are partial-aggregated O(|nodes|) then
+    O(|distinct sizes|) rows, so the census costs two tiny exchanges on
+    top of the CC labels. A healthy near-dup graph shows a long
+    singleton bar and a short tail — a census row with size ~ |corpus|
+    is the alarm."""
+    labels = dedup_embed_cluster(spark, sf_dir)
+    comp = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        comp.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            "size",
+            "n_components",
+            (F.col("size") * F.col("n_components")).alias("n_nodes"),
+        )
+    )

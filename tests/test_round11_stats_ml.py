@@ -219,3 +219,17 @@ def test_events_cusum_changepoint_matches_sequential_scan(spark, sf_dir):
         assert r.cusum_peak == smax
         assert r.peak_bucket_us == at
         assert r.peak_norm == pytest.approx(smax / nb, abs=2e-6)
+
+
+def test_graph_cc_sizes_is_a_partition_of_the_nodes(spark, sf_dir):
+    """Census invariants vs the cluster labels it rolls up: sizes
+    partition the node set exactly, singleton keepers dominate, and the
+    census totals equal the label-table totals."""
+    labels = REGISTRY["dedup_embed_cluster"].spark(spark, sf_dir).toPandas()
+    census = REGISTRY["graph_cc_sizes"].spark(spark, sf_dir).toPandas()
+    by_size = labels.groupby("cluster_id").size().value_counts().sort_index()
+    assert {int(r.size): int(r.n_components) for r in census.itertuples()} == {
+        int(s): int(c) for s, c in by_size.items()
+    }
+    assert census["n_nodes"].sum() == len(labels)
+    assert (census["n_nodes"] == census["size"] * census["n_components"]).all()
