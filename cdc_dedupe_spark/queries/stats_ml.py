@@ -723,3 +723,89 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["at"].alias("peak_bucket_us"),
         round_pos(fold["smax"].cast("double") / F.col("nb"), 6).alias("peak_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_2pass — exact order statistics without a global sort
+
+
+_Q2P_W = 65536  # bucket width in cents -> ~160 buckets over the price range
+_Q2P_PCTS = (50, 90, 99)
+
+
+@register(
+    "agg_quantile_2pass",
+    group="stats-ml",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM c
+    ), k AS (
+      SELECT qpct, (qpct * nn + 99) // 100 AS rank_k
+      FROM n, (VALUES {", ".join(f"({p})" for p in _Q2P_PCTS)}) q(qpct)
+    ), ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c
+    )
+    SELECT k.qpct, k.rank_k, r.v AS value_cents
+    FROM k JOIN ranked r ON r.rn = k.rank_k
+    """,
+)
+def agg_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 order statistics of the price column with NO
+    global sort — the two-pass distributed selection that completes the
+    quantile spectrum next to `agg_percentile` (exact, pays a per-group
+    sort) and `agg_approx_percentile` (t-digest, approximate): pass 1
+    histograms the cents into ~160 fixed-width buckets (one partial-agg
+    shuffle of O(buckets) rows) and locates each target rank's bucket
+    from the tiny cumulative table; pass 2 re-scans ONLY the ~3 matched
+    buckets (≈ 2 % of rows at this width) and picks the residual-offset
+    row with a per-quantile window. Everything is BIGINT (ranks from
+    exact ceil division, values in cents) — bit-exact against the
+    oracle's brute-force global ROW_NUMBER.
+
+    At 100 TB this is how you take an exact median: two scans beat one
+    global sort by orders of magnitude, the histogram state is O(range/
+    width) regardless of row count, and the width knob trades pass-2
+    selectivity against histogram size. The oracle deliberately does the
+    O(n log n) sort — the point is both roads give the same integers."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"))
+    n = c.agg(F.count(F.lit(1)).alias("nn"))
+    ks = n.select(
+        F.explode(F.array(*[F.lit(p) for p in _Q2P_PCTS])).alias("qpct"), "nn"
+    ).select(
+        "qpct",
+        F.expr("(qpct * nn + 99) div 100").alias("rank_k"),
+    )
+    # pass 1: bucket histogram + cumulative ranks (O(buckets) rows)
+    bc = (
+        c.groupBy((F.col("v") / _Q2P_W).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bc.select("bucket", F.sum("cnt").over(w).alias("cum"), (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"))
+    # locate each rank's bucket: the FIRST bucket whose cum reaches k
+    t = (
+        ks.join(F.broadcast(cum), F.col("cum") >= F.col("rank_k"))
+        .groupBy("qpct", "rank_k")
+        .agg(F.min(F.struct("bucket", "cum_prev")).alias("m"))
+        .select(
+            "qpct",
+            "rank_k",
+            F.col("m.bucket").alias("bucket"),
+            (F.col("rank_k") - F.col("m.cum_prev")).alias("off"),
+        )
+    )
+    # pass 2: re-scan only the matched buckets, select the off-th smallest
+    hit = c.withColumn("bucket", (F.col("v") / _Q2P_W).cast("long")).join(
+        F.broadcast(t), "bucket"
+    )
+    rn = F.row_number().over(Window.partitionBy("qpct").orderBy("v"))
+    return (
+        hit.withColumn("rn", rn)
+        .filter(F.col("rn") == F.col("off"))
+        .select("qpct", "rank_k", F.col("v").alias("value_cents"))
+    )

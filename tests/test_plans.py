@@ -636,3 +636,14 @@ def test_cusum_fold_runs_over_rollup(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_cusum_changepoint")
     assert n_exchanges(plan) == 2
     assert "Join" not in plan
+
+
+def test_quantile_2pass_never_sorts_globally(spark, sf_dir):
+    """Exact selection must not pay a global Sort of the fact table:
+    the only full-width ordering is the per-quantile window over the
+    ~3 matched buckets; the histogram and rank tables broadcast."""
+    plan = plan_of(spark, sf_dir, "agg_quantile_2pass")
+    assert "TakeOrderedAndProject" not in plan  # and no top-k disguise
+    assert "BroadcastExchange" in plan
+    # no SortMergeJoin: every join side is tiny and broadcasts
+    assert "SortMergeJoin" not in plan

@@ -233,3 +233,16 @@ def test_graph_cc_sizes_is_a_partition_of_the_nodes(spark, sf_dir):
     }
     assert census["n_nodes"].sum() == len(labels)
     assert (census["n_nodes"] == census["size"] * census["n_components"]).all()
+
+
+def test_agg_quantile_2pass_matches_sorted_selection(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    vs = sorted(_pyround(v * 100) for v in li["l_extendedprice"])
+    n = len(vs)
+    got = {r.qpct: r for r in REGISTRY["agg_quantile_2pass"].spark(spark, sf_dir).toPandas().itertuples()}
+    assert set(got) == {50, 90, 99}
+    for qpct, r in got.items():
+        k = -((-qpct * n) // 100)  # ceil(q*n)
+        assert r.rank_k == k
+        assert r.value_cents == vs[k - 1]
+    assert got[50].value_cents <= got[90].value_cents <= got[99].value_cents
