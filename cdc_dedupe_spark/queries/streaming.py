@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
 from ..functions.text import SQL_PADDED_ORDER_KEY, padded_order_key
 from ..sources.replay import events_stream
@@ -445,3 +445,149 @@ def stream_bloom_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(deduped, "stream_bloom_dedupe", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# stream_cusum_alert — stateful CUSUM drift monitor (round 11)
+
+
+_CUSUM_TARGET = 4_800  # reference rate in cents (control-chart mu_0)
+_CUSUM_H = 100_000  # alert threshold in cumulative excess cents
+
+_CUSUM_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cusum_final", LongType()),
+        StructField("cusum_peak", LongType()),
+        StructField("alerts", LongType()),
+        StructField("first_alert_us", LongType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("smax", LongType()),
+        StructField("n", LongType()),
+        StructField("alerts", LongType()),
+        StructField("first_alert_us", LongType()),
+    ]
+)
+
+
+def _cusum_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Vectorized clamped-CUSUM fold: within the batch, S is computed by
+    the prefix identity S_i = P_i - min(s0, min_{j<=i} P_j) (with P the
+    s0-seeded prefix sum), so the per-row loop is three numpy
+    accumulates, not Python iteration."""
+    import numpy as np
+
+    (s, smax, n, alerts, first_us) = (
+        state.get if state.exists else (0, 0, 0, 0, 0)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        dev = pdf["cents"].to_numpy(dtype="int64") - _CUSUM_TARGET
+        p = s + np.cumsum(dev)
+        floor = np.minimum.accumulate(np.minimum(p, s))
+        cusum = p - np.minimum(floor, 0)
+        hits = cusum >= _CUSUM_H
+        if hits.any() and first_us == 0:
+            first_us = int(pdf["ts_us"].to_numpy()[hits.argmax()])
+        alerts += int(hits.sum())
+        n += len(pdf)
+        smax = max(smax, int(cusum.max())) if len(cusum) else smax
+        s = int(cusum[-1]) if len(cusum) else s
+    state.update((s, smax, n, alerts, first_us))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_events": n,
+                "cusum_final": s,
+                "cusum_peak": smax,
+                "alerts": alerts,
+                "first_alert_us": first_us,
+            }
+        ]
+    )
+
+
+@register(
+    "stream_cusum_alert",
+    group="streaming",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) - {_CUSUM_TARGET} AS dev
+      FROM events
+    ), p AS (
+      SELECT event_type, ts_us, event_id,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS psum
+      FROM d
+    ), q AS (
+      SELECT event_type, ts_us, event_id, psum,
+             MIN(psum) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS rmin
+      FROM p
+    ), s AS (
+      SELECT event_type, ts_us, event_id,
+             psum - LEAST(rmin, 0) AS cusum,
+             {SQL_PADDED_ORDER_KEY.format(ts='ts_us', id='event_id')} AS ok
+      FROM q
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX_BY(cusum, ok) AS cusum_final,
+           MAX(cusum) AS cusum_peak,
+           CAST(COUNT(*) FILTER (WHERE cusum >= {_CUSUM_H}) AS BIGINT) AS alerts,
+           COALESCE(MIN(ts_us) FILTER (WHERE cusum >= {_CUSUM_H}), 0) AS first_alert_us
+    FROM s GROUP BY event_type
+    """,
+)
+def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift monitor per event type — the control-chart
+    twin of the batch [[events_cusum_changepoint]], run as an ARBITRARY
+    STATEFUL operator (applyInPandasWithState): per-key state carries
+    (S, peak, n, alerts, first-alert time) across micro-batches, rows
+    fold in (ts, event_id) order, and S_i = max(0, S_{i-1} + (cents −
+    target)) alerts when the cumulative excess crosses H. The fold is
+    vectorized by the clamped-CUSUM prefix identity (S = P − min(0,
+    running-min P)) — three numpy accumulates per batch, no Python
+    row loop — and the SAME identity gives the EXACT batch oracle as
+    two plain window functions: a streaming query whose cross-engine
+    check is bit-exact integers, not rows-only. The replay corpus is
+    one ts-sorted file, so availableNow delivers one deterministic
+    batch; the last-row-per-key selection keeps the output well-defined
+    under any batch split (state, not emission, is the contract).
+
+    At 100 TB: state is five BIGINTs per key regardless of throughput;
+    the stream shuffles once on the monitored key. With real drift
+    monitoring the target/threshold arrive as a broadcast config table
+    keyed per metric — the constants here are the declared mu_0/H."""
+    stream = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _cusum_fold,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_cusum_alert", output_mode="update")
+    # Robust to hypothetical multi-batch replays: keep the final (max-n)
+    # emission per key; with the single-file corpus this is the identity.
+    last = F.max_by(
+        F.struct("n_events", "cusum_final", "cusum_peak", "alerts", "first_alert_us"),
+        F.col("n_events"),
+    ).alias("m")
+    return (
+        out.groupBy("event_type")
+        .agg(last)
+        .select("event_type", "m.n_events", "m.cusum_final", "m.cusum_peak", "m.alerts", "m.first_alert_us")
+    )

@@ -246,3 +246,26 @@ def test_agg_quantile_2pass_matches_sorted_selection(spark, sf_dir):
         assert r.rank_k == k
         assert r.value_cents == vs[k - 1]
     assert got[50].value_cents <= got[90].value_cents <= got[99].value_cents
+
+
+def test_stream_cusum_alert_matches_naive_sequential_fold(spark, sf_dir):
+    """The streaming stateful CUSUM (vectorized prefix identity +
+    cross-batch state) must equal the naive one-row-at-a-time fold."""
+    from cdc_dedupe_spark.queries.streaming import _CUSUM_H, _CUSUM_TARGET
+
+    ev = _events(sf_dir).sort_values(["ts_us", "event_id"])
+    got = {r.event_type: r for r in REGISTRY["stream_cusum_alert"].spark(spark, sf_dir).toPandas().itertuples()}
+    for etype, g in ev.groupby("event_type"):
+        s = smax = alerts = 0
+        first_us = 0
+        for r in g.itertuples():
+            s = max(0, s + (_pyround(r.value * 100) - _CUSUM_TARGET))
+            smax = max(smax, s)
+            if s >= _CUSUM_H:
+                alerts += 1
+                if first_us == 0:
+                    first_us = int(r.ts_us)
+        o = got[etype]
+        assert (o.n_events, o.cusum_final, o.cusum_peak, o.alerts, o.first_alert_us) == (
+            len(g), s, smax, alerts, first_us
+        ), etype
