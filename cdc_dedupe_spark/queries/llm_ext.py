@@ -402,6 +402,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("vec_id", cos_r.alias("cos_r")).orderBy(F.col("cos_r").desc(), "vec_id").limit(3)
 
 
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF coarse assignment: every vector labeled with its
+    nearest of the 8 seed centroids (exact integer L2², ties -> lowest
+    cid) — the 8 centroids collapse to ONE broadcast row holding a
+    sorted struct array and assignment is a per-row HOF argmin, so the
+    embedding table is never shuffled or row-expanded. Consumed by
+    ann_ivf_topk (the search read path) and vec_ivf_cell_stats (the
+    index-build balance audit)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    se = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+    cents = se.filter(F.col("vec_id") < 8).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("se").alias("sce")))
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(il2(F.col("se"), c["sce"]).alias("d"), c["cid"].alias("cid")),
+        )
+    )
+    return se.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "se", best["cid"].alias("cid"), best["d"].alias("d2")
+    )
+
+
 _ANN_IVF_ORACLE = f"""
     WITH sc AS (
       SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
@@ -443,24 +469,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to compute the same argmin — at 100 TB that shuffle is the whole job.
     All arithmetic integer-scaled => bit-identical to the DuckDB oracle."""
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    se = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
-    # 8 centroids -> one broadcastable row: sorted array<struct<cid, sce>>.
-    cents = se.filter(F.col("vec_id") < 8).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("se").alias("sce")))
-        ).alias("cents")
+    assigned = _ivf_assigned(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
     )
-    # Map-side argmin: min over (exact L2², cid) struct pairs.
-    best = F.array_min(
-        F.transform(
-            "cents",
-            lambda c: F.struct(il2(F.col("se"), c["sce"]).alias("d"), c["cid"].alias("cid")),
-        )
-    )
-    assigned = se.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "se", best["cid"].alias("cid")
-    ).withColumn("nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double")))
     probe = F.broadcast(
         assigned.filter(F.col("vec_id") == 0).select(
             F.col("cid").alias("pcid"), F.col("se").alias("pse"), F.col("nrm").alias("pnrm")
@@ -2804,4 +2815,63 @@ def graph_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_components",
             (F.col("size") * F.col("n_components")).alias("n_nodes"),
         )
+    )
+
+
+# --- IVF index-build balance audit (round 11) -------------------------------
+
+
+@register(
+    "vec_ivf_cell_stats",
+    group="llm-ext",
+    oracle=f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), centroids AS (
+      SELECT vec_id AS cid, se AS sce FROM sc WHERE vec_id < 8
+    ), assign AS (
+      SELECT s.vec_id,
+             (SELECT c.cid FROM centroids c
+              ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
+                        i -> (s.se[i] - c.sce[i]) * (s.se[i] - c.sce[i]))) ASC,
+                       c.cid ASC
+              LIMIT 1) AS cid,
+             (SELECT list_sum(list_transform(generate_series(1, len(s.se)),
+                        i -> (s.se[i] - c.sce[i]) * (s.se[i] - c.sce[i])))
+              FROM centroids c
+              ORDER BY 1 ASC, c.cid ASC LIMIT 1) AS d2
+      FROM sc s
+    ), cells AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(d2) AS BIGINT) AS sum_d2
+      FROM assign GROUP BY cid
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign)
+    SELECT cid, n_vecs,
+           (n_vecs * 10000) // tot.n AS share_bp,
+           sum_d2 // n_vecs AS mean_d2
+    FROM cells, tot
+    """,
+)
+def vec_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build balance audit — the diagnostic every ANN serving
+    stack reads before shipping an index: per coarse cell, the vector
+    count, its share in basis points, and the mean exact-integer L2²
+    quantization error. A cell with share far above 1/|cells| is the
+    hot probe target that skews tail latency; a cell with outsized
+    mean_d2 marks a centroid that stopped representing its region
+    (re-train signal). Reuses [[ann_ivf_topk]]'s shared broadcast-argmin
+    assignment (`_ivf_assigned`) — the corpus is scanned once, never
+    shuffled for assignment, and the audit itself is one |cells|-row
+    aggregate joined against a one-row total. Truncating integer
+    division both engines."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    cells = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("sum_d2")
+    )
+    tot = assigned.agg(F.count(F.lit(1)).alias("n"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.expr("n_vecs * 10000 div n").alias("share_bp"),
+        F.expr("sum_d2 div n_vecs").alias("mean_d2"),
     )

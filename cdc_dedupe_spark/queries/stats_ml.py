@@ -809,3 +809,185 @@ def agg_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("off"))
         .select("qpct", "rank_k", F.col("v").alias("value_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_chi2_independence — chi-square test of independence
+
+
+@register(
+    "stats_chi2_independence",
+    group="stats-ml",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ), r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT hod, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT hod) AS BIGINT) AS nc
+          FROM o),
+    terms AS (
+      SELECT t.n, t.nr, t.nc,
+             CAST(round(
+               (CAST(CAST(t.n AS HUGEINT) * o.obs - CAST(r.rt AS HUGEINT) * c.ct AS DOUBLE)
+                * CAST(CAST(t.n AS HUGEINT) * o.obs - CAST(r.rt AS HUGEINT) * c.ct AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))
+               * 1000000) AS BIGINT) AS term_micro
+      FROM o JOIN r USING (event_type) JOIN c USING (hod), t
+    )
+    SELECT MAX(n) AS n,
+           CAST(MAX((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+           (round(CAST(SUM(term_micro) AS DOUBLE) / 1000000, 6) + 0.0) AS chi2,
+           (round(sqrt(CAST(SUM(term_micro) AS DOUBLE) / 1000000
+                       / (CAST(MAX(n) AS DOUBLE) * (LEAST(MAX(nr), MAX(nc)) - 1))), 6) + 0.0)
+             AS cramers_v
+    FROM terms
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    hour-of-day — "does traffic mix shift across the day", the
+    categorical counterpart of [[stats_two_sample]]. The contingency
+    table (|types| × 24 cells) is ONE partial-agg shuffle; marginals
+    and the total are rollups of that tiny table, and each cell's
+    (O−E)²/E is computed as ((nO − rc)² / nrc) with the nO − rc
+    numerator formed in HUGEINT/DECIMAL(38,0). Per-cell terms are
+    snapped to exact micro units (the text_tfidf per-cell rounding) so
+    the chi² SUM is order-free integer arithmetic; Cramér's V
+    normalizes it to [0,1] for effect size. Hour comes from epoch
+    micros arithmetic — no timezone surface anywhere.
+
+    At 100 TB: the corpus pays one pass; everything after is
+    |cells|-row algebra."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+    )
+    # Lazy localCheckpoint: marginals, the total AND the term join all
+    # derive from the contingency table — without it each branch re-scans
+    # the events corpus (the llm_ext shared-projection discipline).
+    o = (
+        ev.groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("hod").agg(F.sum("obs").alias("ct"))
+    t = o.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("hod").alias("nc"),
+    )
+    num = (_dec(F.col("n")) * F.col("obs") - _dec(F.col("rt")) * F.col("ct")).cast("double")
+    term = (
+        (num * num)
+        / (F.col("n").cast("double") * F.col("rt").cast("double") * F.col("ct").cast("double"))
+        * 1000000
+    )
+    terms = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "hod")
+        .crossJoin(F.broadcast(t))
+        .select("n", "nr", "nc", F.round(term).cast("long").alias("term_micro"))
+    )
+    chi2 = F.sum("term_micro").cast("double") / 1000000
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.max((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        round_pos(chi2, 6).alias("chi2"),
+        round_pos(
+            F.sqrt(chi2 / (F.max("n").cast("double") * (F.least(F.max("nr"), F.max("nc")) - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ks_two_sample — Kolmogorov–Smirnov distance, exact integers
+
+
+@register(
+    "stats_ks_two_sample",
+    group="stats-ml",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS a, CAST(SUM(1 - is_a) AS BIGINT) AS b
+      FROM b GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(a) OVER (ORDER BY v) AS ca,
+             SUM(b) OVER (ORDER BY v) AS cb
+      FROM g
+    ), t AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM g
+    ), d AS (
+      SELECT t.n1, t.n2, abs(t.n2 * cum.ca - t.n1 * cum.cb) AS num, cum.v
+      FROM cum, t
+    )
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           MAX(num) AS d_num,
+           MIN(CASE WHEN num = (SELECT MAX(num) FROM d) THEN v END) AS at_cents,
+           (round(CAST(MAX(num) AS DOUBLE) / (MAX(n1) * MAX(n2)), 6) + 0.0) AS d_stat
+    FROM d
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the click and
+    purchase value distributions — the distribution-shift detector next
+    to the mean-shift [[stats_two_sample]]: D = max over thresholds of
+    |F₁ − F₂|, computed EXACTLY in integers by cross-multiplication
+    (|n₂·c₁ − n₁·c₂|, one division at the very end) — no float ECDFs,
+    no rounding lottery, plus the earliest cents value attaining the
+    max. Raw events collapse to per-distinct-value counts (one
+    shuffle); the ECDF cumulative runs over that value table, which is
+    bounded by the VALUE DOMAIN (≤ 49k distinct cents here), not the
+    row count — for continuous 100 TB data you pre-bin to the precision
+    you report. The argmax ties break to the smallest value via an
+    integer min-struct."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+    )
+    # Checkpointed: both the ECDF window and the totals row read this
+    # value-domain rollup — one corpus scan, not two.
+    g = (
+        b.groupBy("v")
+        .agg(F.sum("is_a").alias("a"), F.sum(1 - F.col("is_a")).alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select("v", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb"))
+    t = g.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    d = cum.crossJoin(F.broadcast(t)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("n2") * F.col("ca") - F.col("n1") * F.col("cb")).alias("num"),
+        "v",
+    )
+    m = d.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.min(F.struct((-F.col("num")).alias("neg"), F.col("v").alias("v"))).alias("m"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (-F.col("m.neg")).alias("d_num"),
+        F.col("m.v").alias("at_cents"),
+        round_pos((-F.col("m.neg")).cast("double") / (F.col("n1") * F.col("n2")), 6).alias(
+            "d_stat"
+        ),
+    )

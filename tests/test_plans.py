@@ -647,3 +647,39 @@ def test_quantile_2pass_never_sorts_globally(spark, sf_dir):
     assert "BroadcastExchange" in plan
     # no SortMergeJoin: every join side is tiny and broadcasts
     assert "SortMergeJoin" not in plan
+
+
+def test_chi2_contingency_single_corpus_pass(spark, sf_dir):
+    """Chi-square: the corpus is scanned once for the contingency cells;
+    marginals/total are rollups of the tiny cell table and broadcast
+    back — no SortMergeJoin, no second fact scan."""
+    plan = plan_of(spark, sf_dir, "stats_chi2_independence")
+    # the checkpointed contingency rollup replaces every parquet branch:
+    # all four consumers read the SAME materialized cell table
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ks_cumulative_runs_over_value_domain(spark, sf_dir):
+    """KS: raw events collapse to per-distinct-value counts before the
+    ECDF window — the single-partition window consumes the checkpointed
+    value-domain rollup, never raw rows, and the whole statistic costs
+    one corpus scan."""
+    plan = plan_of(spark, sf_dir, "stats_ks_two_sample")
+    assert "Window" in plan
+    # both the ECDF window and the totals row read the checkpointed
+    # value-domain rollup — the raw corpus is scanned once, inside it
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_cell_stats_never_shuffles_embeddings(spark, sf_dir):
+    """The IVF audit reuses the broadcast-argmin assignment: embeddings
+    are scanned, never hash-shuffled — the only exchanges carry the
+    8-cell rollup and the one-row total."""
+    plan = plan_of(spark, sf_dir, "vec_ivf_cell_stats")
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "Exchange hashpartitioning(embedding" not in plan
+    assert "SortMergeJoin" not in plan

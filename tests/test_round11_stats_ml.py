@@ -269,3 +269,60 @@ def test_stream_cusum_alert_matches_naive_sequential_fold(spark, sf_dir):
         assert (o.n_events, o.cusum_final, o.cusum_peak, o.alerts, o.first_alert_us) == (
             len(g), s, smax, alerts, first_us
         ), etype
+
+
+def test_stats_chi2_independence_matches_scipy_free_python(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["hod"] = ev["ts_us"] // 3_600_000_000 % 24
+    obs = Counter(zip(ev["event_type"], ev["hod"]))
+    rt = Counter(ev["event_type"])
+    ct = Counter(ev["hod"])
+    n = len(ev)
+    micro = 0
+    for (e, h), o in obs.items():
+        num = n * o - rt[e] * ct[h]
+        micro += _pyround((num * num) / (n * rt[e] * ct[h]) * 1_000_000)
+    chi2 = micro / 1e6
+    got = REGISTRY["stats_chi2_independence"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.n == n
+    assert r.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert r.chi2 == pytest.approx(chi2, abs=2e-6)
+    assert r.cramers_v == pytest.approx(
+        math.sqrt(chi2 / (n * (min(len(rt), len(ct)) - 1))), abs=2e-6
+    )
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_stats_ks_two_sample_matches_bruteforce_ecdf(spark, sf_dir):
+    ev = _events(sf_dir)
+    a = sorted(_pyround(v * 100) for v in ev[ev.event_type == "click"]["value"])
+    b = sorted(_pyround(v * 100) for v in ev[ev.event_type == "purchase"]["value"])
+    n1, n2 = len(a), len(b)
+    import bisect
+
+    best, at = -1, None
+    for v in sorted(set(a) | set(b)):
+        num = abs(n2 * bisect.bisect_right(a, v) - n1 * bisect.bisect_right(b, v))
+        if num > best:
+            best, at = num, v
+    got = REGISTRY["stats_ks_two_sample"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.n1, r.n2, r.d_num, r.at_cents) == (n1, n2, best, at)
+    assert r.d_stat == pytest.approx(best / (n1 * n2), abs=2e-6)
+
+
+def test_vec_ivf_cell_stats_partitions_the_corpus(spark, sf_dir):
+    cells = REGISTRY["vec_ivf_cell_stats"].spark(spark, sf_dir).toPandas()
+    import pyarrow.parquet as _pq
+
+    n = len(_pq.read_table(f"{sf_dir}/embeddings.parquet"))
+    assert cells["n_vecs"].sum() == n
+    assert set(cells["cid"]) <= set(range(8))
+    assert (cells["share_bp"] == cells["n_vecs"] * 10000 // n).all()
+    assert (cells["mean_d2"] >= 0).all()
+    # seed centroids quantize their own cell: every cell's mean error is
+    # finite and the assignment is total (no NULL cid)
+    assert cells["cid"].notna().all()
