@@ -2875,3 +2875,96 @@ def vec_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_vecs * 10000 div n").alias("share_bp"),
         F.expr("sum_d2 div n_vecs").alias("mean_d2"),
     )
+
+
+# --- farthest-point diverse subset (k-center seeding, round 11) -------------
+
+
+_KC_K = 4
+
+
+def _kc_oracle() -> str:
+    d = lambda sa, sb: _SQL_IL2.format(sa=sa, sb=sb)
+    return f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), s0 AS (SELECT se FROM sc WHERE vec_id = 0),
+    a1 AS (
+      SELECT vec_id, se, d FROM (
+        SELECT sc.vec_id, sc.se, {d('sc.se', 's0.se')} AS d FROM sc, s0
+      ) ORDER BY d DESC, vec_id ASC LIMIT 1
+    ), a2 AS (
+      SELECT vec_id, se, d FROM (
+        SELECT sc.vec_id, sc.se,
+               least({d('sc.se', 's0.se')}, {d('sc.se', 'a1.se')}) AS d
+        FROM sc, s0, a1
+      ) ORDER BY d DESC, vec_id ASC LIMIT 1
+    ), a3 AS (
+      SELECT vec_id, d FROM (
+        SELECT sc.vec_id,
+               least({d('sc.se', 's0.se')}, {d('sc.se', 'a1.se')},
+                     {d('sc.se', 'a2.se')}) AS d
+        FROM sc, s0, a1, a2
+      ) ORDER BY d DESC, vec_id ASC LIMIT 1
+    )
+    SELECT 0 AS center_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS sel_d2
+    UNION ALL SELECT 1, vec_id, d FROM a1
+    UNION ALL SELECT 2, vec_id, d FROM a2
+    UNION ALL SELECT 3, vec_id, d FROM a3
+    """
+
+
+@register("sample_kcenter_diverse", group="llm-ext", oracle=_kc_oracle())
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (k-center / Gonzalez) diverse-subset selection:
+    starting from vec 0, greedily pick the vector maximizing its minimum
+    exact-integer L2² distance to the chosen set, 3 rounds — the
+    diversity-sampling primitive for eval-set curation and k-means++-
+    style seeding, the OPPOSITE selection pressure to the dedup family.
+    Each round is one corpus pass: the chosen centers ride along as a
+    ONE-ROW broadcast, min-distance is a map-side HOF, and the argmax is
+    a max(struct(d, -vec_id)) aggregate (ties -> lowest id) — the
+    embedding table is never shuffled, mirroring ml_kmeans_train's
+    unrolled-iteration discipline. k passes for k centers is inherent
+    to the greedy algorithm; its 2-approximation of the optimal k-center
+    radius is what you buy with them."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc_ = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+    s0 = F.broadcast(sc_.filter(F.col("vec_id") == 0).select(F.col("se").alias("se0")))
+    base = sc_.crossJoin(s0)
+
+    def argmax(df, dcol):
+        return F.broadcast(
+            df.select(
+                F.max(
+                    F.struct(
+                        dcol.alias("d"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("se").alias("cse"),
+                    )
+                ).alias("m")
+            )
+        )
+
+    d0 = il2(F.col("se"), F.col("se0"))
+    a1 = argmax(base, d0)
+    b2 = base.crossJoin(a1.select(F.col("m.cse").alias("se1")))
+    d1 = F.least(d0, il2(F.col("se"), F.col("se1")))
+    a2 = argmax(b2, d1)
+    b3 = b2.crossJoin(a2.select(F.col("m.cse").alias("se2")))
+    d2 = F.least(d1, il2(F.col("se"), F.col("se2")))
+    a3 = argmax(b3, d2)
+
+    def row(rank, a):
+        return a.select(
+            F.lit(rank).alias("center_rank"),
+            (-F.col("m.nid")).alias("vec_id"),
+            F.col("m.d").alias("sel_d2"),
+        )
+
+    seed = sc_.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("center_rank"),
+        F.col("vec_id"),
+        F.lit(0).cast("long").alias("sel_d2"),
+    )
+    return seed.unionByName(row(1, a1)).unionByName(row(2, a2)).unionByName(row(3, a3))

@@ -1461,3 +1461,99 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 market_basket_pairs.__doc__ = market_basket_pairs.__doc__.format(_BASKET_K=_BASKET_K)
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time join, either direction (round 11)
+
+
+@register(
+    "join_asof_nearest",
+    group="relational-ext",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT p.event_id AS pid, p.user_id AS user_id, p.ts AS pts,
+             c.event_id AS bid, c.ts AS bts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), f AS (
+      SELECT p.event_id AS pid, c.event_id AS fid, c.ts AS fts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts
+    ), j AS (
+      SELECT b.pid, b.user_id,
+             epoch_us(CAST(b.pts AS TIMESTAMP)) AS purchase_us,
+             b.bid, epoch_us(CAST(b.bts AS TIMESTAMP)) AS bus,
+             f.fid, epoch_us(CAST(f.fts AS TIMESTAMP)) AS fus
+      FROM b JOIN f ON b.pid = f.pid
+    )
+    SELECT pid AS purchase_id, user_id, purchase_us,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL
+                      OR purchase_us - bus <= fus - purchase_us)
+                THEN bid ELSE fid END AS click_id,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL
+                      OR purchase_us - bus <= fus - purchase_us)
+                THEN bus ELSE fus END AS click_us,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL
+                      OR purchase_us - bus <= fus - purchase_us)
+                THEN purchase_us - bus ELSE fus - purchase_us END AS dt_us
+    FROM j
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: for every purchase, the same user's click
+    closest in EITHER direction (ties -> the earlier click) — the
+    sensor-fusion / feature-alignment variant of [[join_asof]]'s
+    backward-only match. Same Spark-first shape, run twice over ONE
+    shuffle: the tagged click/purchase union carries the latest click
+    forward in (ts, tag) order AND the next click backward in the
+    reversed order (where equal-ts purchases precede clicks, making the
+    forward match strictly later — no double count of an exact-tie
+    click, which the backward pass already owns). The nearest pick is a
+    null-safe integer comparison of the two gaps. Cost: one user_id
+    exchange + two window passes, independent of click density; the
+    oracle composes DuckDB's native ASOF twice (>= and <)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases).withColumn("ts_us", F.unix_micros("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("click_id").isNotNull(), F.col("ts_us"))
+    carried = merged.select(
+        "user_id", "ts_us", "tag", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(wb).alias("bid"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("bus"),
+        F.last("click_id", ignorenulls=True).over(wf).alias("fid"),
+        F.last(click_ts, ignorenulls=True).over(wf).alias("fus"),
+    ).filter(F.col("tag") == 1)
+    prev_wins = F.col("bid").isNotNull() & (
+        F.col("fid").isNull()
+        | (F.col("ts_us") - F.col("bus") <= F.col("fus") - F.col("ts_us"))
+    )
+    return carried.select(
+        F.col("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        F.when(prev_wins, F.col("bid")).otherwise(F.col("fid")).alias("click_id"),
+        F.when(prev_wins, F.col("bus")).otherwise(F.col("fus")).alias("click_us"),
+        F.when(prev_wins, F.col("ts_us") - F.col("bus"))
+        .otherwise(F.col("fus") - F.col("ts_us"))
+        .alias("dt_us"),
+    )

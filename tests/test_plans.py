@@ -683,3 +683,21 @@ def test_ivf_cell_stats_never_shuffles_embeddings(spark, sf_dir):
     assert "Exchange hashpartitioning(vec_id" not in plan
     assert "Exchange hashpartitioning(embedding" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
+    """Bidirectional as-of: still ONE user_id exchange and zero join
+    operators — the nearest pick must not regress to a range join."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_kcenter_rounds_broadcast_centers(spark, sf_dir):
+    """Greedy k-center: every chosen-center set rides as a one-row
+    broadcast; the embedding table is never hash-shuffled and no
+    SortMergeJoin exists — k corpus passes, zero pair expansion."""
+    plan = plan_of(spark, sf_dir, "sample_kcenter_diverse")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan

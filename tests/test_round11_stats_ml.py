@@ -12,6 +12,7 @@ import hashlib
 import math
 from collections import Counter
 
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -326,3 +327,49 @@ def test_vec_ivf_cell_stats_partitions_the_corpus(spark, sf_dir):
     # seed centroids quantize their own cell: every cell's mean error is
     # finite and the assignment is total (no NULL cid)
     assert cells["cid"].notna().all()
+
+
+def test_join_asof_nearest_matches_bruteforce(spark, sf_dir):
+    ev = _events(sf_dir)
+    clicks: dict = {}
+    for r in ev[ev.event_type == "click"].itertuples():
+        clicks.setdefault(r.user_id, []).append((int(r.ts_us), int(r.event_id)))
+    got = {r.purchase_id: r for r in REGISTRY["join_asof_nearest"].spark(spark, sf_dir).toPandas().itertuples()}
+    purchases = ev[ev.event_type == "purchase"]
+    assert len(got) == len(purchases)
+    for p in purchases.itertuples():
+        cand = clicks.get(p.user_id, [])
+        r = got[p.event_id]
+        assert r.purchase_us == p.ts_us
+        if not cand:
+            assert r.click_id is None or pd.isna(r.click_id)
+            continue
+        # nearest by |dt|; ties -> the earlier (backward) click
+        best = min(cand, key=lambda c: (abs(c[0] - p.ts_us), c[0] > p.ts_us, c[1]))
+        assert (r.click_id, r.click_us) == (best[1], best[0]), p.event_id
+        assert r.dt_us == abs(best[0] - p.ts_us)
+
+
+def test_sample_kcenter_diverse_matches_greedy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    se = np.array(
+        [[round(float(x) * 10_000_000) for x in v] for v in t["embedding"]],
+        dtype="int64",
+    )
+    centers = [0]
+    dmin = ((se - se[ids == 0][0]) ** 2).sum(axis=1)
+    expect = [(0, 0, 0)]
+    for rank in range(1, 4):
+        order = np.lexsort((ids, -dmin))  # max d, ties -> lowest vec_id
+        pick = order[0]
+        expect.append((rank, int(ids[pick]), int(dmin[pick])))
+        dmin = np.minimum(dmin, ((se - se[pick]) ** 2).sum(axis=1))
+    got = REGISTRY["sample_kcenter_diverse"].spark(spark, sf_dir).toPandas()
+    assert [(r.center_rank, r.vec_id, r.sel_d2) for r in got.itertuples()] == expect
+    # diversity: selection radii are non-increasing (greedy invariant)
+    d2s = [d for _, _, d in expect[1:]]
+    assert d2s == sorted(d2s, reverse=True)
