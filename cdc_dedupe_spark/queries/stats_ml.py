@@ -991,3 +991,112 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_stat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_pca_power — top principal direction by exact-integer power iteration
+
+
+_PCA_DIM = 64
+_PCA_MILLI = 1000
+
+
+def _pca_oracle() -> str:
+    return f"""
+    WITH sc AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x::DOUBLE * 10000000) AS BIGINT)) AS se
+      FROM embeddings
+    ), s1 AS (
+      SELECT vec_id, se, CAST({_PCA_MILLI} AS HUGEINT) * list_sum(se) AS s FROM sc
+    ), t1 AS (
+      SELECT i.i AS dim, SUM(s1.s * s1.se[i.i]) AS t
+      FROM s1, generate_series(1, {_PCA_DIM}) i(i) GROUP BY i.i
+    ), m1 AS (SELECT MAX(abs(t)) AS vmax FROM t1),
+    v1 AS (
+      SELECT dim,
+             CAST(CASE WHEN t < 0 THEN -((-t * {_PCA_MILLI}) // vmax)
+                       ELSE (t * {_PCA_MILLI}) // vmax END AS BIGINT) AS v
+      FROM t1, m1
+    ), v1l AS (
+      SELECT list(v ORDER BY dim) AS vl FROM v1
+    ), s2 AS (
+      SELECT sc.vec_id, sc.se,
+             CAST(list_sum(list_transform(generate_series(1, {_PCA_DIM}),
+                     i -> sc.se[i] * v1l.vl[i])) AS HUGEINT) AS s
+      FROM sc, v1l
+    ), t2 AS (
+      SELECT i.i AS dim, SUM(s2.s * s2.se[i.i]) AS t
+      FROM s2, generate_series(1, {_PCA_DIM}) i(i) GROUP BY i.i
+    ), m2 AS (SELECT MAX(abs(t)) AS vmax FROM t2)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(CASE WHEN t < 0 THEN -((-t * {_PCA_MILLI}) // vmax)
+                     ELSE (t * {_PCA_MILLI}) // vmax END AS BIGINT) AS v_milli
+    FROM t2, m2
+    """
+
+
+@register("ml_pca_power", group="stats-ml", oracle=_pca_oracle())
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by TWO unrolled
+    power iterations, v' ∝ Xᵀ(Xv) — distributed PCA without ever
+    materializing the 64×64 Gram matrix (the Gram route costs a dim²
+    row blow-up or dim² aggregate columns; the matrix-free route is two
+    corpus passes per iteration with the current direction as a ONE-ROW
+    broadcast). EVERYTHING is exact integers: embeddings pre-scaled to
+    1e7 ints, v carried in milli units, per-row projections s = x·v are
+    exact BIGINT HOFs, and the 64 per-dimension sums Σ s·xⱼ run in
+    DECIMAL(38,0)/HUGEINT (they reach ~10²¹). Renormalization divides
+    by max|t| with sign-split truncating division — floor (DuckDB //)
+    equals trunc (Spark div) only for non-negative operands, so both
+    engines divide |t| and re-apply the sign. Start vector = all-ones
+    milli (deterministic; not orthogonal to the top component for this
+    corpus, unit-pinned via the Rayleigh ratio improving).
+
+    At 100 TB: per iteration, one scan + a 64-value aggregate; the
+    direction never exceeds one broadcast row. The ml_kmeans_train
+    unrolled-iteration discipline applied to spectral structure."""
+    from ..functions.vector import iscale
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc_ = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+
+    def dims_sums(df, scol):
+        aggs = [
+            F.sum(_dec(scol) * F.element_at("se", j + 1)).alias(f"t{j}")
+            for j in range(_PCA_DIM)
+        ]
+        return df.agg(*aggs)
+
+    def renorm(trow):
+        ts = [F.col(f"t{j}") for j in range(_PCA_DIM)]
+        vmax = F.greatest(*[F.abs(t) for t in ts])
+        comps = [
+            F.when(t < 0, -F.expr(f"(-t{j} * {_PCA_MILLI}) div vmax"))
+            .otherwise(F.expr(f"(t{j} * {_PCA_MILLI}) div vmax"))
+            .cast("long")
+            .alias(f"v{j}")
+            for j, t in enumerate(ts)
+        ]
+        return trow.withColumn("vmax", vmax).select(
+            F.array(*comps).alias("vl")
+        )
+
+    # iteration 1: v0 = all-ones milli -> s = 1000 * Σ se_i
+    s1 = sc_.withColumn(
+        "s", F.lit(_PCA_MILLI) * F.aggregate("se", F.lit(0).cast("long"), lambda a, x: a + x)
+    )
+    v1 = F.broadcast(renorm(dims_sums(s1, F.col("s"))))
+    # iteration 2: s = se · v1 (exact BIGINT zip_with)
+    s2 = sc_.crossJoin(v1).withColumn(
+        "s",
+        F.aggregate(
+            F.zip_with("se", "vl", lambda x, v: x * v),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    v2 = renorm(dims_sums(s2, F.col("s")))
+    return v2.select(
+        F.posexplode("vl").alias("pos", "v_milli")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "v_milli")

@@ -701,3 +701,13 @@ def test_kcenter_rounds_broadcast_centers(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_pca_power_never_shuffles_embeddings(spark, sf_dir):
+    """Matrix-free power iteration: the direction rides as a one-row
+    broadcast; embeddings are scanned per iteration, never
+    hash-shuffled, and no dim^2 row expansion (Generate) exists."""
+    plan = plan_of(spark, sf_dir, "ml_pca_power")
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "SortMergeJoin" not in plan

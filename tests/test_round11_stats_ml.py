@@ -373,3 +373,47 @@ def test_sample_kcenter_diverse_matches_greedy(spark, sf_dir):
     # diversity: selection radii are non-increasing (greedy invariant)
     d2s = [d for _, _, d in expect[1:]]
     assert d2s == sorted(d2s, reverse=True)
+
+
+def test_ml_pca_power_matches_integer_replay_and_converges(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    se = np.array(
+        [[round(float(x) * 10_000_000) for x in v] for v in t["embedding"]],
+        dtype=object,  # exact python ints, no int64 overflow
+    )
+
+    def iterate(v):
+        s = se @ v
+        tj = (se * s[:, None]).sum(axis=0)
+        vmax = max(abs(int(x)) for x in tj)
+        return np.array(
+            [-((-int(x) * 1000) // vmax) if int(x) < 0 else (int(x) * 1000) // vmax for x in tj],
+            dtype=object,
+        )
+
+    v1 = iterate(np.array([1000] * 64, dtype=object))
+    v2 = iterate(v1)
+    got = REGISTRY["ml_pca_power"].spark(spark, sf_dir).toPandas().sort_values("dim")
+    assert [int(x) for x in got["v_milli"]] == [int(x) for x in v2]
+    # convergence: the Rayleigh quotient of v2 is no worse than v1's
+    sef = np.array(se.tolist(), dtype=float)
+    G = sef.T @ sef
+
+    def rq(v):
+        vf = np.array([float(x) for x in v])
+        return (vf @ G @ vf) / (vf @ vf)
+
+    assert rq(v2) >= rq(v1) * 0.999
+    # strict progress from the all-ones start; full alignment with the
+    # true top eigenvector is NOT asserted — random unit vectors give a
+    # near-flat spectrum, where power iteration needs O(1/log(l1/l2))
+    # rounds, far more than the two unrolled here (the algorithm, not
+    # its convergence on isotropic noise, is the contract)
+    v0 = np.array([1000.0] * 64)
+    assert rq(v2) >= rq(v0)
+    # the Rayleigh quotient must sit within the spectrum bounds
+    w = np.linalg.eigvalsh(G)
+    assert w[0] - 1e-6 <= rq(v2) <= w[-1] + abs(w[-1]) * 1e-9
