@@ -62,6 +62,15 @@ HEADLINE = [
     "events_path_transitions",
     "graph_triangle_count",
     "market_basket_pairs",
+    "ml_linreg_normal",
+    "stats_corr_matrix",
+    "sample_reservoir_topk",
+    "text_bpe_merge_pairs",
+    "agg_quantile_2pass",
+    "stats_ks_two_sample",
+    "ml_nb_classify",
+    "join_asof_nearest",
+    "ml_pca_power",
 ]
 
 
