@@ -2968,3 +2968,92 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("sel_d2"),
     )
     return seed.unionByName(row(1, a1)).unionByName(row(2, a2)).unionByName(row(3, a3))
+
+
+# --- neighbor-Jaccard link prediction (round 11) ----------------------------
+
+
+_LP_TOP = 20
+
+
+@register(
+    "graph_link_predict",
+    group="llm-ext",
+    oracle=f"""
+    WITH knn AS (SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+      FROM knn
+    ),
+    adj AS (
+      SELECT u AS w, v AS x FROM und UNION ALL SELECT v, u FROM und
+    ),
+    cand AS (
+      SELECT a1.x AS u, a2.x AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+      GROUP BY a1.x, a2.x
+    ),
+    non_edge AS (
+      SELECT c.* FROM cand c ANTI JOIN und ON und.u = c.u AND und.v = c.v
+    ),
+    deg AS (
+      SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY w
+    )
+    SELECT ne.u, ne.v, ne.common,
+           (ne.common * 1000000) // (du.degree + dv.degree - ne.common)
+             AS jaccard_ppm
+    FROM non_edge ne
+    JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v
+    ORDER BY jaccard_ppm DESC, ne.u, ne.v LIMIT {_LP_TOP}
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor Jaccard over the shared k-NN graph:
+    the top-20 NON-adjacent node pairs ranked by
+    |N(u)∩N(v)| / |N(u)∪N(v)| — "these two vectors share most of their
+    neighborhoods but no edge", the candidate-generation step of graph-
+    based dedup review and recommendation. Candidates come from the
+    wedge join (pairs with ≥1 common neighbor — O(n·k²) like
+    [[graph_triangle_count]], never all-pairs), existing edges drop via
+    an anti join, and the score is EXACT integer ppm
+    (common·10⁶ div (deg_u + deg_v − common)) with a total
+    (ppm DESC, u, v) order into TakeOrderedAndProject. Degrees join on
+    high-cardinality node keys — nothing broadcasts the graph.
+
+    At 100 TB: identical scale story to the triangle pass — wedge
+    fan-out is bounded by the k-NN build's k, and the top-k never
+    materializes the candidate list anywhere."""
+    edges = _knn_edges(spark, sf_dir).select("vec_id", "nbr_id")
+    und = (
+        edges.select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # adjacency, anti join and degrees share it
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("x")).unionByName(
+        und.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    cand = (
+        a1.join(a2, (F.col("a1.w") == F.col("a2.w")) & (F.col("a1.x") < F.col("a2.x")))
+        .groupBy(F.col("a1.x").alias("u"), F.col("a2.x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_edge = cand.join(und, ["u", "v"], "left_anti")
+    deg = adj.groupBy(F.col("w").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        non_edge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("common * 1000000 div (deg_u + deg_v - common)").alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "u", "v")
+        .limit(_LP_TOP)
+    )

@@ -711,3 +711,14 @@ def test_pca_power_never_shuffles_embeddings(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_link_predict_wedge_join_is_equi_topk(spark, sf_dir):
+    """Link prediction: the wedge self-join must be an equi hash join on
+    the shared-middle key (never nested-loop over all pairs), the
+    non-edge filter a hash anti join, and the top-20 a
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "graph_link_predict")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

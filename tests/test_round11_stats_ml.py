@@ -417,3 +417,29 @@ def test_ml_pca_power_matches_integer_replay_and_converges(spark, sf_dir):
     # the Rayleigh quotient must sit within the spectrum bounds
     w = np.linalg.eigvalsh(G)
     assert w[0] - 1e-6 <= rq(v2) <= w[-1] + abs(w[-1]) * 1e-9
+
+
+def test_graph_link_predict_matches_pure_python(spark, sf_dir):
+    edges = REGISTRY["ann_knn_graph"].spark(spark, sf_dir).toPandas()
+    und = {tuple(sorted((int(r.vec_id), int(r.nbr_id)))) for r in edges.itertuples()}
+    adj: dict = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    scored = []
+    for w, nbrs in adj.items():
+        for u in nbrs:
+            for v in nbrs:
+                if u < v and (u, v) not in und:
+                    scored.append((u, v))
+    rows = []
+    for u, v in set(scored):
+        common = len(adj[u] & adj[v])
+        ppm = common * 1_000_000 // (len(adj[u]) + len(adj[v]) - common)
+        rows.append((ppm, u, v, common))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expect = [(u, v, c, ppm) for ppm, u, v, c in rows[:20]]
+    got = REGISTRY["graph_link_predict"].spark(spark, sf_dir).toPandas()
+    assert [(r.u, r.v, r.common, r.jaccard_ppm) for r in got.itertuples()] == expect
+    # predictions are strictly non-edges with at least one shared neighbor
+    assert all((r.u, r.v) not in und and r.common >= 1 for r in got.itertuples())
