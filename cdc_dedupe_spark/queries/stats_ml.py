@@ -1100,3 +1100,117 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v2.select(
         F.posexplode("vl").alias("pos", "v_milli")
     ).select((F.col("pos") + 1).cast("long").alias("dim"), "v_milli")
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_ci — Poisson bootstrap confidence interval
+
+
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds over the 32-bit hash space:
+# floor(P(X <= k) * 2^32) for k = 0..7 (tail mass beyond 7 -> weight 8).
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777, 4294923276)
+_BOOT_LO_RANK = 2   # ~2.5th percentile of B=32 replica means
+_BOOT_HI_RANK = 31  # ~97.5th
+
+
+def _boot_w_sql(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@register(
+    "stats_bootstrap_ci",
+    group="stats-ml",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT b.b, x.c,
+             {_boot_w_sql("CAST(('0x' || substr(md5(CAST(x.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)")} AS w
+      FROM x, generate_series(1, {_BOOT_B}) b(b)
+    ), rep AS (
+      SELECT b, CAST(SUM(w * c) AS BIGINT) AS s, CAST(SUM(w) AS BIGINT) AS nb
+      FROM w GROUP BY b
+    ), means AS (
+      SELECT b, (round(CAST(s AS DOUBLE) / nb, 6) + 0.0) AS m,
+             ROW_NUMBER() OVER (ORDER BY CAST(s AS DOUBLE) / nb, b) AS rk
+      FROM rep
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_cents
+      FROM x
+    )
+    SELECT tot.n, CAST({_BOOT_B} AS BIGINT) AS n_replicas, tot.mean_cents,
+           MAX(CASE WHEN rk = {_BOOT_LO_RANK} THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = {_BOOT_HI_RANK} THEN m END) AS ci_hi
+    FROM means, tot GROUP BY tot.n, tot.mean_cents
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean purchase
+    value — THE scalable bootstrap: classic resampling needs B
+    sequential passes over a materialized sample, but for large n the
+    multinomial replica weights converge to independent Poisson(1), so
+    every row draws its 32 replica weights DIRECTLY from a hash
+    (md5(event_id:replica) against fixed inverse-CDF integer
+    thresholds — deterministic, rerun-stable, engine-identical) and all
+    replicas accumulate in ONE pass: explode ×B map-side, weighted
+    integer sums partial-aggregate, shuffle carries B rows. Replica
+    means are ranked with a (mean, replica) tie-break and the CI is the
+    2nd / 31st order statistic. B is the CPU-vs-precision knob; the
+    scan count never changes.
+
+    All sums are exact integer cents; the only doubles are the B final
+    divisions — identical IEEE ops both engines."""
+    x = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    b = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("b")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(8)
+    for k in range(len(_BOOT_T) - 1, -1, -1):
+        w = F.when(h < _BOOT_T[k], k).otherwise(w)
+    rep = (
+        x.select("event_id", "c", b)
+        .select("c", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("s"), F.sum("w").alias("nb"))
+    )
+    from pyspark.sql import Window
+
+    mean_b = F.col("s").cast("double") / F.col("nb")
+    means = rep.select(
+        "b", round_pos(mean_b, 6).alias("m"), F.row_number().over(Window.orderBy(mean_b, "b")).alias("rk")
+    )
+    full = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        round_pos(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias("mean_cents"),
+    )
+    return (
+        means.crossJoin(F.broadcast(full))
+        .groupBy("n", "mean_cents")
+        .agg(
+            F.max(F.when(F.col("rk") == _BOOT_LO_RANK, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == _BOOT_HI_RANK, F.col("m"))).alias("ci_hi"),
+        )
+        .select(
+            "n",
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "mean_cents",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -722,3 +722,13 @@ def test_link_predict_wedge_join_is_equi_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_bootstrap_replicas_partial_aggregate(spark, sf_dir):
+    """Poisson bootstrap: the xB explode is map-side and the replica
+    sums partial-aggregate before the shuffle — the exchange carries
+    O(B x parts) rows, and the corpus is scanned for replicas once."""
+    plan = plan_of(spark, sf_dir, "stats_bootstrap_ci")
+    assert "partial_sum" in plan
+    assert re.search(r"^\(\d+\) Generate", plan, re.MULTILINE)  # the xB explode
+    assert "SortMergeJoin" not in plan

@@ -443,3 +443,40 @@ def test_graph_link_predict_matches_pure_python(spark, sf_dir):
     assert [(r.u, r.v, r.common, r.jaccard_ppm) for r in got.itertuples()] == expect
     # predictions are strictly non-edges with at least one shared neighbor
     assert all((r.u, r.v) not in und and r.common >= 1 for r in got.itertuples())
+
+
+def test_stats_bootstrap_ci_matches_hash_replay(spark, sf_dir):
+    from cdc_dedupe_spark.queries.stats_ml import (
+        _BOOT_B, _BOOT_HI_RANK, _BOOT_LO_RANK, _BOOT_T,
+    )
+
+    ev = _events(sf_dir)
+    p = ev[ev.event_type == "purchase"]
+    cents = {int(r.event_id): _pyround(r.value * 100) for r in p.itertuples()}
+
+    def weight(eid, b):
+        h = int(hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(_BOOT_T):
+            if h < t:
+                return k
+        return 8
+
+    means = []
+    for b in range(1, _BOOT_B + 1):
+        s = nb = 0
+        for eid, c in cents.items():
+            w = weight(eid, b)
+            s += w * c
+            nb += w
+        means.append((s / nb, b))
+    means.sort()
+    lo = round(means[_BOOT_LO_RANK - 1][0], 6)
+    hi = round(means[_BOOT_HI_RANK - 1][0], 6)
+    got = REGISTRY["stats_bootstrap_ci"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.n == len(cents) and r.n_replicas == _BOOT_B
+    assert r.ci_lo == pytest.approx(lo, abs=2e-6)
+    assert r.ci_hi == pytest.approx(hi, abs=2e-6)
+    # the interval brackets the full-sample mean
+    assert r.ci_lo <= r.mean_cents <= r.ci_hi
