@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
 from ..functions.text import SQL_PADDED_ORDER_KEY, padded_order_key
+from ._determinism import round_pos
 from ..sources.replay import events_stream
 from ..streaming.run import run_to_memory
 from ..tables import table
@@ -590,4 +591,139 @@ def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("event_type")
         .agg(last)
         .select("event_type", "m.n_events", "m.cusum_final", "m.cusum_peak", "m.alerts", "m.first_alert_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_distinct — streaming HyperLogLog distinct users (round 11)
+
+
+_SH_M = 256
+_SH_VBITS = 52
+_SH_ALPHA = 0.7213 / (1 + 1.079 / _SH_M)
+_SH_NUM = _SH_ALPHA * _SH_M * _SH_M * float(1 << _SH_VBITS)
+
+_SH_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("m", LongType()),
+        StructField("n_zero_registers", LongType()),
+        StructField("s_scaled", LongType()),
+    ]
+)
+_SH_STATE = StructType(
+    [StructField("regs", BinaryType()), StructField("n", LongType())]
+)
+
+
+def _hll_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Register-max HLL fold: the 256-byte register array IS the state —
+    the canonical bounded-state streaming distinct. Hashing mirrors the
+    batch sketch family bit-for-bit (md5 15-hex-char prefix, 8 register
+    bits, rho clamped at 52), so the emitted sketch is engine-exact."""
+    import hashlib as _hl
+
+    (regs_b, n) = state.get if state.exists else (bytes(_SH_M), 0)
+    regs = bytearray(regs_b)
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            hv = int(_hl.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+            reg = hv % _SH_M
+            v = hv >> 8
+            rho = _SH_VBITS if v == 0 else (_SH_VBITS + 1) - v.bit_length()
+            if rho > regs[reg]:
+                regs[reg] = rho
+        n += len(pdf)
+    state.update((bytes(regs), n))
+    s_scaled = sum(1 << (_SH_VBITS - m) for m in regs)
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_events": n,
+                "m": _SH_M,
+                "n_zero_registers": sum(1 for m in regs if m == 0),
+                "s_scaled": s_scaled,
+            }
+        ]
+    )
+
+
+@register(
+    "stream_hll_distinct",
+    group="streaming",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ), rho AS (
+      SELECT event_type, hv % {_SH_M} AS reg,
+             CASE WHEN (hv >> 8) = 0 THEN {_SH_VBITS}
+                  ELSE {_SH_VBITS + 1} - length(bin(hv >> 8)) END AS r
+      FROM h
+    ), g AS (
+      SELECT et.event_type, gs.reg
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           (SELECT unnest(generate_series(0, {_SH_M - 1})) AS reg) gs
+    ), regs AS (
+      SELECT g.event_type, g.reg, COALESCE(MAX(rho.r), 0) AS m
+      FROM g LEFT JOIN rho ON rho.reg = g.reg AND rho.event_type = g.event_type
+      GROUP BY g.event_type, g.reg
+    ), s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_SH_VBITS} - m)) AS BIGINT) AS s_scaled,
+             CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM regs GROUP BY event_type
+    ), ne AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+    )
+    SELECT s.event_type, ne.n_events,
+           CAST({_SH_M} AS BIGINT) AS m,
+           s.n_zero AS n_zero_registers,
+           s.s_scaled,
+           (round({_SH_NUM!r} / s.s_scaled, 1) + 0.0) AS hll_raw_estimate
+    FROM s JOIN ne ON ne.event_type = s.event_type
+    """,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate-distinct users per event type — HyperLogLog
+    registers AS the stream state (256 bytes per key, forever, at any
+    throughput): the third point on the distinct-count spectrum next to
+    the exact batch count and [[agg_hll_registers]]'s batch sketch, and
+    the mergeable shape a fleet of streams would union. The
+    applyInPandasWithState fold mirrors the batch sketch family's
+    hashing bit-for-bit (md5 15-hex prefix, 8 register bits, rho
+    clamped at 52), so the emitted registers — and therefore the scaled
+    integer sum and the raw estimate — hash EXACTLY against the batch
+    SQL oracle: a streaming sketch with a bit-exact cross-engine check.
+    Register-max is commutative/associative, so batch split and arrival
+    order cannot change the answer — stronger determinism than the
+    sequential folds, no ordering caveat needed."""
+    stream = events_stream(spark, sf_dir).select("event_type", "user_id")
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _hll_fold,
+        outputStructType=_SH_OUT,
+        stateStructType=_SH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_hll_distinct", output_mode="update")
+    last = F.max_by(
+        F.struct("n_events", "m", "n_zero_registers", "s_scaled"), F.col("n_events")
+    ).alias("z")
+    return (
+        out.groupBy("event_type")
+        .agg(last)
+        .select(
+            "event_type",
+            "z.n_events",
+            "z.m",
+            "z.n_zero_registers",
+            "z.s_scaled",
+            round_pos(F.lit(_SH_NUM) / F.col("z.s_scaled"), 1).alias("hll_raw_estimate"),
+        )
     )

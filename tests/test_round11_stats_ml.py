@@ -480,3 +480,33 @@ def test_stats_bootstrap_ci_matches_hash_replay(spark, sf_dir):
     assert r.ci_hi == pytest.approx(hi, abs=2e-6)
     # the interval brackets the full-sample mean
     assert r.ci_lo <= r.mean_cents <= r.ci_hi
+
+
+def test_stream_hll_distinct_matches_register_replay(spark, sf_dir):
+    from cdc_dedupe_spark.queries.streaming import _SH_M, _SH_NUM, _SH_VBITS
+
+    ev = _events(sf_dir)
+    got = {r.event_type: r for r in REGISTRY["stream_hll_distinct"].spark(spark, sf_dir).toPandas().itertuples()}
+    for etype, g in ev.groupby("event_type"):
+        regs = [0] * _SH_M
+        for uid in g["user_id"]:
+            hv = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+            v = hv >> 8
+            rho = _SH_VBITS if v == 0 else (_SH_VBITS + 1) - v.bit_length()
+            regs[hv % _SH_M] = max(regs[hv % _SH_M], rho)
+        s_scaled = sum(1 << (_SH_VBITS - m) for m in regs)
+        r = got[etype]
+        assert r.n_events == len(g)
+        assert r.s_scaled == s_scaled
+        assert r.n_zero_registers == sum(1 for m in regs if m == 0)
+        assert r.hll_raw_estimate == pytest.approx(_SH_NUM / s_scaled, abs=0.2)
+        # sf0.001 sits deep in HLL's small-range regime where the RAW
+        # estimate overshoots by design (the declared output documents
+        # this; the ln()-based linear-counting correction is not
+        # cross-engine-exact so the query doesn't ship it) — but the
+        # registers must carry the information: the test-side linear
+        # counting estimate m*ln(m/V) recovers the truth within 20%
+        true = g["user_id"].nunique()
+        if r.n_zero_registers > 0:
+            lc = _SH_M * math.log(_SH_M / r.n_zero_registers)
+            assert abs(lc - true) / true < 0.2, (etype, lc, true)
