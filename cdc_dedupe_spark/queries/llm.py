@@ -467,3 +467,66 @@ def retrieval_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_rank",
         )
     )
+
+
+_CHUNK_HEX = 128  # 64 payload bytes = 128 hex chars
+
+
+@register(
+    "multimodal_payload_chunks",
+    group="llm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ), s AS (
+      SELECT doc_id, md5(substr(hx, (i - 1) * {_CHUNK_HEX} + 1, {_CHUNK_HEX})) AS h
+      FROM t, UNNEST(generate_series(1, (length(hx) + {_CHUNK_HEX - 1}) // {_CHUNK_HEX}))
+           AS u(i)
+    ), p AS (
+      SELECT doc_id, h, COUNT(*) AS k FROM s GROUP BY doc_id, h
+    ), w AS (
+      SELECT doc_id, k, SUM(k) OVER (PARTITION BY h) AS tot FROM p
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) AS BIGINT) AS dup_chunks,
+           CAST((COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) * 10000)
+                // SUM(k) AS BIGINT) AS dup_frac_bp
+    FROM w GROUP BY doc_id
+    """,
+)
+def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (64-byte) chunk-level dedup profile over the OPAQUE
+    binary payload — the storage/transfer dedup shape for media blobs
+    (backup systems, CAS stores): per document, how much of its byte
+    content recurs anywhere in the corpus, WITHOUT decoding the
+    modality (contrast the token-level [[dedup_span_ngram]]: this works
+    on any bytes, not just text). Chunk hashing is map-side (payload →
+    hex → fixed-stride substrings → md5; only (doc_id, 16-byte hash)
+    pairs leave the scan), corpus frequency is a window over the hash
+    key, and the per-doc profile re-aggregates — the span-profile plan
+    shape on the binary column. Production CDC chunking would replace
+    the fixed stride with a rolling-hash boundary (content-defined
+    chunks survive insertions); the fixed stride keeps the oracle exact
+    and the plan identical."""
+    d = table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).alias("hx")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, (length(hx) + {_CHUNK_HEX - 1}) div {_CHUNK_HEX}),"
+                f" i -> md5(cast(substring(hx, (i - 1) * {_CHUNK_HEX} + 1, {_CHUNK_HEX}) as binary)))"
+            )
+        ).alias("h"),
+    )
+    p = chunks.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("k"))
+    tot = F.sum("k").over(Window.partitionBy("h"))
+    dup = F.sum(F.when(F.col("tot") > 1, F.col("k")).otherwise(F.lit(0)))
+    return (
+        p.withColumn("tot", tot)
+        .groupBy("doc_id")
+        .agg(F.sum("k").alias("n_chunks"), dup.alias("dup_chunks"))
+        .withColumn("dup_frac_bp", F.expr("dup_chunks * 10000 div n_chunks"))
+    )

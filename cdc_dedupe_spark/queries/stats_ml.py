@@ -1214,3 +1214,86 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — Holt forecast vs held-out last bucket
+
+
+@register(
+    "events_forecast_backtest",
+    group="stats-ml",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             list_transform(list(n_events ORDER BY bucket_us), x -> x::DOUBLE) AS xs
+      FROM c GROUP BY event_type
+    ), r AS (
+      SELECT event_type, xs, 2 AS i, xs[1] AS l, xs[2] - xs[1] AS t
+      FROM s WHERE len(xs) >= 3
+      UNION ALL
+      SELECT event_type, xs, i + 1,
+             (xs[i + 1] + l + t) / 2,
+             (((xs[i + 1] + l + t) / 2) - l + t) / 2
+      FROM r WHERE i < len(xs) - 1
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_buckets,
+           (round(l + t, 6) + 0.0) AS forecast,
+           CAST(xs[len(xs)] AS BIGINT) AS actual,
+           (round(abs((l + t) - xs[len(xs)]), 6) + 0.0) AS abs_err
+    FROM r WHERE i = len(xs) - 1
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step forecast backtest — the MLOps loop around
+    [[ts_holt_linear]]: fit Holt level+trend on every hourly bucket
+    EXCEPT the last, forecast one step, and score it against the
+    held-out final bucket. Same dyadic fold, same bit-exact contract
+    (the held-out comparison adds one subtraction); same scale shape
+    (the fold consumes the tiny per-type rollup, raw events pay only
+    the (type, hour) shuffle). Types need >= 3 buckets (2 to seed, 1 to
+    hold out) and are excluded otherwise in both engines.
+
+    This is the honest-evaluation primitive: a pipeline that ships
+    forecasts should continuously re-run exactly this query with the
+    window advanced."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_us", "n_events"))),
+        lambda s: s["n_events"].cast("double"),
+    )
+    s = c.groupBy("event_type").agg(xs.alias("xs")).filter(F.size("xs") >= 3)
+    x1 = F.element_at(F.col("xs"), 1)
+    x2 = F.element_at(F.col("xs"), 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("t"))
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 3, F.greatest(F.size("xs") - 3, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            ((x + acc["l"] + acc["t"]) / 2).alias("l"),
+            ((((x + acc["l"] + acc["t"]) / 2) - acc["l"] + acc["t"]) / 2).alias("t"),
+        ),
+    )
+    forecast = fold["l"] + fold["t"]
+    actual = F.element_at(F.col("xs"), F.size("xs"))
+    return s.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_buckets"),
+        round_pos(forecast, 6).alias("forecast"),
+        actual.cast("long").alias("actual"),
+        round_pos(F.abs(forecast - actual), 6).alias("abs_err"),
+    )

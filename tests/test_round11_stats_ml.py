@@ -510,3 +510,46 @@ def test_stream_hll_distinct_matches_register_replay(spark, sf_dir):
         if r.n_zero_registers > 0:
             lc = _SH_M * math.log(_SH_M / r.n_zero_registers)
             assert abs(lc - true) / true < 0.2, (etype, lc, true)
+
+
+def test_events_forecast_backtest_matches_heldout_fold(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["bucket"] = ev["ts_us"] // 3_600_000_000 * 3_600_000_000
+    got = {r.event_type: r for r in REGISTRY["events_forecast_backtest"].spark(spark, sf_dir).toPandas().itertuples()}
+    for etype, g in ev.groupby("event_type"):
+        xs = [float(c) for _, c in sorted(Counter(g["bucket"]).items())]
+        if len(xs) < 3:
+            assert etype not in got
+            continue
+        train, actual = xs[:-1], xs[-1]
+        l, t = train[0], train[1] - train[0]
+        for x in train[2:]:
+            l_new = (x + l + t) / 2
+            t_new = ((l_new - l) + t) / 2
+            l, t = l_new, t_new
+        r = got[etype]
+        assert r.n_buckets == len(xs)
+        assert r.forecast == pytest.approx(l + t, abs=2e-6)
+        assert r.actual == actual
+        assert r.abs_err == pytest.approx(abs((l + t) - actual), abs=2e-6)
+
+
+def test_multimodal_payload_chunks_matches_byte_chunker(spark, sf_dir):
+    docs = _docs(sf_dir)
+    per_doc: dict = {}
+    freq: Counter = Counter()
+    for r in docs.itertuples():
+        raw = r.text.encode()
+        hs = [
+            hashlib.md5(raw[i : i + 64].hex().upper().encode()).hexdigest()
+            for i in range(0, len(raw), 64)
+        ]
+        per_doc[r.doc_id] = hs
+        freq.update(hs)
+    got = {r.doc_id: r for r in REGISTRY["multimodal_payload_chunks"].spark(spark, sf_dir).toPandas().itertuples()}
+    assert set(got) == set(per_doc)
+    for doc_id, hs in per_doc.items():
+        dup = sum(1 for h in hs if freq[h] > 1)
+        r = got[doc_id]
+        assert (r.n_chunks, r.dup_chunks) == (len(hs), dup), doc_id
+        assert r.dup_frac_bp == dup * 10000 // len(hs)
