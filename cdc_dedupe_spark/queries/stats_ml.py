@@ -1297,3 +1297,146 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.cast("long").alias("actual"),
         round_pos(F.abs(forecast - actual), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_credit — last-click revenue attribution
+
+
+@register(
+    "events_attribution_credit",
+    group="stats-ml",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, CAST(round(p.value * 100) AS BIGINT) AS cents,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT COALESCE((epoch_us(CAST(click_ts AS TIMESTAMP)) // 3600000000) % 24, -1)
+             AS click_hod,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY 1
+    """,
+)
+def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click revenue attribution — the marketing-analytics rollup on
+    top of the as-of machinery: every purchase credits its user's most
+    recent prior click, and revenue aggregates by the CLICK's hour of
+    day (bucket −1 collects organic purchases with no prior click). The
+    attribution itself is [[join_asof]]'s single-shuffle merge carry (no
+    range join, cost independent of click density); the report is one
+    |24+1|-group aggregate over its output with exact integer cents.
+    Hour from epoch-micros arithmetic — no timezone surface."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    merged = clicks.unionByName(purchases).withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("click_id").isNotNull(), F.col("ts_us"))
+    carried = merged.select(
+        "tag",
+        "cents",
+        F.last("click_id", ignorenulls=True).over(w).alias("bid"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("bus"),
+    ).filter(F.col("tag") == 1)
+    hod = F.when(
+        F.col("bid").isNotNull(), (F.col("bus") / 3600000000).cast("long") % 24
+    ).otherwise(F.lit(-1))
+    return (
+        carried.select(hod.alias("click_hod"), "cents", "bid")
+        .groupBy("click_hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum((F.col("bid").isNotNull()).cast("long")).alias("n_attributed"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_user_features — the feature-store snapshot
+
+
+@register(
+    "events_user_features",
+    group="stats-ml",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS spend_cents,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_seen_us
+      FROM events GROUP BY user_id
+    ), t AS (SELECT MAX(last_seen_us) AS now_us FROM f)
+    SELECT f.user_id, f.n_events, f.n_purchases, f.n_types, f.spend_cents,
+           (t.now_us - f.last_seen_us) // 3600000000 AS recency_hours
+    FROM f, t
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store snapshot — the feature-engineering
+    aggregation that feeds every downstream model (churn, LTV, the NB
+    quality gate): activity counts, purchase count and exact-cents
+    spend, behavioral breadth (distinct types) and recency in hours
+    against the corpus watermark, all from ONE user_id shuffle with
+    conditional aggregates (no per-feature scans — the agg_filtered
+    discipline applied to feature assembly). The corpus watermark rides
+    back as a one-row broadcast. Streaming-ready: the same aggregate
+    shapes run incrementally as stream_upsert_latest-style state."""
+    f = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+            ).alias("spend_cents"),
+            F.max("ts_us").alias("last_seen_us"),
+        )
+        # checkpointed: the watermark row and the output both read this
+        # per-user rollup — one corpus scan, not two
+        .localCheckpoint(eager=False)
+    )
+    t = f.agg(F.max("last_seen_us").alias("now_us"))
+    return f.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "n_types",
+        "spend_cents",
+        F.expr("(now_us - last_seen_us) div 3600000000").alias("recency_hours"),
+    )

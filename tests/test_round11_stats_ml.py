@@ -553,3 +553,35 @@ def test_multimodal_payload_chunks_matches_byte_chunker(spark, sf_dir):
         r = got[doc_id]
         assert (r.n_chunks, r.dup_chunks) == (len(hs), dup), doc_id
         assert r.dup_frac_bp == dup * 10000 // len(hs)
+
+
+def test_events_attribution_credit_matches_bruteforce(spark, sf_dir):
+    ev = _events(sf_dir)
+    clicks: dict = {}
+    for r in ev[ev.event_type == "click"].itertuples():
+        clicks.setdefault(r.user_id, []).append((int(r.ts_us), int(r.event_id)))
+    for v in clicks.values():
+        v.sort()
+    agg: dict = {}
+    for p in ev[ev.event_type == "purchase"].itertuples():
+        cand = [c for c in clicks.get(p.user_id, []) if c[0] <= p.ts_us]
+        hod = cand[-1][0] // 3_600_000_000 % 24 if cand else -1
+        n, a, rev = agg.get(hod, (0, 0, 0))
+        agg[hod] = (n + 1, a + (1 if cand else 0), rev + _pyround(p.value * 100))
+    got = REGISTRY["events_attribution_credit"].spark(spark, sf_dir).toPandas()
+    assert {r.click_hod: (r.n_purchases, r.n_attributed, r.revenue_cents) for r in got.itertuples()} == agg
+
+
+def test_events_user_features_matches_pandas(spark, sf_dir):
+    ev = _events(sf_dir)
+    now_us = ev["ts_us"].max()
+    got = {r.user_id: r for r in REGISTRY["events_user_features"].spark(spark, sf_dir).toPandas().itertuples()}
+    assert set(got) == set(ev["user_id"].unique())
+    for uid, g in ev.groupby("user_id"):
+        purch = g[g.event_type == "purchase"]
+        r = got[uid]
+        assert r.n_events == len(g)
+        assert r.n_purchases == len(purch)
+        assert r.n_types == g["event_type"].nunique()
+        assert r.spend_cents == sum(_pyround(v * 100) for v in purch["value"])
+        assert r.recency_hours == (now_us - g["ts_us"].max()) // 3_600_000_000
