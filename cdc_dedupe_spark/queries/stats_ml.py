@@ -1440,3 +1440,77 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_cents",
         F.expr("(now_us - last_seen_us) div 3600000000").alias("recency_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_active_users — DAU / WAU / MAU rolling distinct actives
+
+
+@register(
+    "events_active_users",
+    group="stats-ml",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    ), mau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+      FROM days d JOIN ud ON ud.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT dau.day * 86400000000 AS day_us, dau.dau, wau.wau, mau.mau,
+           (dau.dau * 10000) // mau.mau AS stickiness_bp
+    FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio — the product-
+    analytics staple. Scalable shape: the corpus first collapses to the
+    DISTINCT (user, day) incidence table (one shuffle; at 100 TB this
+    is the only pass over raw events), and each trailing window is that
+    table exploded to the ≤7 / ≤28 report-days it covers followed by a
+    distinct count per day — cover-list replication on the SMALL
+    incidence table, never a per-day re-scan and never a range join of
+    raw events. Exact counts; the sketch alternative at extreme
+    cardinality is [[stream_hll_distinct]]'s register merge per day,
+    where trailing windows become register-wise max over ≤28 daily
+    sketches. Stickiness is truncating-integer basis points."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    # the (user, day) incidence table: the one pass over raw events
+    ud = ev.distinct().localCheckpoint(eager=False)
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(width: int, name: str) -> DataFrame:
+        cover = ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + (width - 1))).alias("day"),
+        )
+        return (
+            cover.join(days, "day")
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    out = (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(28, "mau"), "day")
+    )
+    return out.select(
+        (F.col("day") * 86400000000).alias("day_us"),
+        "dau",
+        "wau",
+        "mau",
+        F.expr("dau * 10000 div mau").alias("stickiness_bp"),
+    )

@@ -585,3 +585,20 @@ def test_events_user_features_matches_pandas(spark, sf_dir):
         assert r.n_types == g["event_type"].nunique()
         assert r.spend_cents == sum(_pyround(v * 100) for v in purch["value"])
         assert r.recency_hours == (now_us - g["ts_us"].max()) // 3_600_000_000
+
+
+def test_events_active_users_matches_bruteforce_windows(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["day"] = ev["ts_us"] // 86_400_000_000
+    ud = {(int(r.user_id), int(r.day)) for r in ev.itertuples()}
+    days = sorted({d for _, d in ud})
+    got = {r.day_us: r for r in REGISTRY["events_active_users"].spark(spark, sf_dir).toPandas().itertuples()}
+    assert set(got) == {d * 86_400_000_000 for d in days}
+    for d in days:
+        dau = len({u for u, dd in ud if dd == d})
+        wau = len({u for u, dd in ud if d - 6 <= dd <= d})
+        mau = len({u for u, dd in ud if d - 27 <= dd <= d})
+        r = got[d * 86_400_000_000]
+        assert (r.dau, r.wau, r.mau) == (dau, wau, mau), d
+        assert r.stickiness_bp == dau * 10000 // mau
+        assert dau <= wau <= mau
