@@ -1514,3 +1514,135 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.expr("dau * 10000 div mau").alias("stickiness_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_eval_metrics — precision / recall / F1 from the NB confusion matrix
+
+
+def _eval_oracle() -> str:
+    from .registry import REGISTRY as _R
+
+    nb = _R["ml_nb_classify"].oracle
+    return f"""
+    WITH conf AS ({nb}),
+    trues AS (
+      SELECT lang_true AS lang, CAST(SUM(n_docs) AS BIGINT) AS true_total
+      FROM conf GROUP BY 1
+    ), preds AS (
+      SELECT lang_pred AS lang, CAST(SUM(n_docs) AS BIGINT) AS pred_total
+      FROM conf GROUP BY 1
+    ), tps AS (
+      SELECT lang_true AS lang, CAST(SUM(n_docs) AS BIGINT) AS tp
+      FROM conf WHERE lang_true = lang_pred GROUP BY 1
+    )
+    SELECT t.lang,
+           COALESCE(tp.tp, 0) AS tp,
+           COALESCE(p.pred_total, 0) - COALESCE(tp.tp, 0) AS fp,
+           t.true_total - COALESCE(tp.tp, 0) AS fn,
+           CASE WHEN COALESCE(p.pred_total, 0) > 0
+                THEN (COALESCE(tp.tp, 0) * 10000) // p.pred_total END AS precision_bp,
+           (COALESCE(tp.tp, 0) * 10000) // t.true_total AS recall_bp,
+           (COALESCE(tp.tp, 0) * 20000)
+             // (t.true_total + COALESCE(p.pred_total, 0)) AS f1_bp
+    FROM trues t
+    LEFT JOIN preds p ON p.lang = t.lang
+    LEFT JOIN tps tp ON tp.lang = t.lang
+    """
+
+
+@register("ml_eval_metrics", group="stats-ml", oracle=_eval_oracle())
+def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 over [[ml_nb_classify]]'s
+    language confusion matrix — the evaluation readout every classifier
+    gate ships with. Works entirely on the |langs|²-row confusion
+    table: marginals give pred/true totals, the diagonal gives TP, and
+    the metrics are truncating-integer basis points from exact counts
+    (F1 = 2TP/(true+pred) — the harmonic mean without a float in
+    sight; precision is NULL for a class the model never predicts,
+    identically both engines). At 100 TB the cost IS the classifier's;
+    this adds |classes| rows of algebra."""
+    conf = ml_nb_classify(spark, sf_dir).localCheckpoint(eager=False)
+    trues = conf.groupBy(F.col("lang_true").alias("lang")).agg(
+        F.sum("n_docs").alias("true_total")
+    )
+    preds = conf.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("n_docs").alias("pred_total")
+    )
+    tps = (
+        conf.filter(F.col("lang_true") == F.col("lang_pred"))
+        .groupBy(F.col("lang_true").alias("lang"))
+        .agg(F.sum("n_docs").alias("tp"))
+    )
+    j = (
+        trues.join(preds, "lang", "left")
+        .join(tps, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("pred_total", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.col("true_total") - F.coalesce("tp", F.lit(0))).alias("fn"),
+            F.coalesce("pred_total", F.lit(0)).alias("pt"),
+            "true_total",
+        )
+    )
+    return j.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("pt") > 0, F.expr("tp * 10000 div pt")).alias("precision_bp"),
+        F.expr("tp * 10000 div true_total").alias("recall_bp"),
+        F.expr("tp * 20000 div (true_total + pt)").alias("f1_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_class_balance — exact downsampling to the minority class
+
+
+@register(
+    "sample_class_balance",
+    group="stats-ml",
+    oracle="""
+    WITH n AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS n_min
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+    ), r AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR) || '#' || lang) AS rk,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || lang), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS class_rank
+    FROM r, n WHERE rn <= n.n_min
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact class balancing: downsample every language to the MINORITY
+    class's count by md5-rank — the class-imbalance fix applied before
+    training a classifier (contrast [[sample_stratified]]: that keeps a
+    RATE per stratum, this keeps an exact COUNT; both are pure
+    functions of row content, so reruns and repartitioning pick the
+    same rows). One window shuffle partitioned by class ranks the hash
+    permutation; the minority count rides as a one-row broadcast. At
+    100 TB per-class rank is the only shuffle, and the window is
+    WindowGroupLimit-prunable when the limit is a literal — with the
+    data-derived n_min the full rank runs, the price of exactness."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("n_min")
+    )
+    rk = F.md5(F.concat_ws("#", F.col("doc_id"), F.col("lang")).cast("binary"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(rk, F.col("doc_id")))
+    r = d.select("doc_id", "lang").withColumn("rn", rn)
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("class_rank"))
+    )

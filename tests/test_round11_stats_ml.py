@@ -602,3 +602,39 @@ def test_events_active_users_matches_bruteforce_windows(spark, sf_dir):
         assert (r.dau, r.wau, r.mau) == (dau, wau, mau), d
         assert r.stickiness_bp == dau * 10000 // mau
         assert dau <= wau <= mau
+
+
+def test_ml_eval_metrics_matches_confusion_algebra(spark, sf_dir):
+    conf = REGISTRY["ml_nb_classify"].spark(spark, sf_dir).toPandas()
+    got = {r.lang: r for r in REGISTRY["ml_eval_metrics"].spark(spark, sf_dir).toPandas().itertuples()}
+    trues = conf.groupby("lang_true")["n_docs"].sum()
+    preds = conf.groupby("lang_pred")["n_docs"].sum()
+    assert set(got) == set(trues.index)
+    for lang in trues.index:
+        tp = int(conf[(conf.lang_true == lang) & (conf.lang_pred == lang)]["n_docs"].sum())
+        pt = int(preds.get(lang, 0))
+        tt = int(trues[lang])
+        r = got[lang]
+        assert (r.tp, r.fp, r.fn) == (tp, pt - tp, tt - tp)
+        if pt > 0:
+            assert r.precision_bp == tp * 10000 // pt
+        else:
+            assert pd.isna(r.precision_bp)
+        assert r.recall_bp == tp * 10000 // tt
+        assert r.f1_bp == tp * 20000 // (tt + pt)
+
+
+def test_sample_class_balance_exact_counts(spark, sf_dir):
+    docs = _docs(sf_dir)
+    n_min = docs.groupby("lang").size().min()
+    expect = set()
+    for lang, g in docs.groupby("lang"):
+        ranked = sorted(
+            (hashlib.md5(f"{r.doc_id}#{lang}".encode()).hexdigest(), r.doc_id)
+            for r in g.itertuples()
+        )
+        expect |= {(d, lang) for _, d in ranked[:n_min]}
+    got = REGISTRY["sample_class_balance"].spark(spark, sf_dir).toPandas()
+    assert {(r.doc_id, r.lang) for r in got.itertuples()} == expect
+    sizes = got.groupby("lang").size()
+    assert (sizes == n_min).all()
