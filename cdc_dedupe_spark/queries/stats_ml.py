@@ -1061,34 +1061,46 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sc_ = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
 
-    def dims_sums(df, scol):
-        aggs = [
-            F.sum(_dec(scol) * F.element_at("se", j + 1)).alias(f"t{j}")
-            for j in range(_PCA_DIM)
-        ]
-        return df.agg(*aggs)
-
-    def renorm(trow):
-        ts = [F.col(f"t{j}") for j in range(_PCA_DIM)]
-        vmax = F.greatest(*[F.abs(t) for t in ts])
-        comps = [
-            F.when(t < 0, -F.expr(f"(-t{j} * {_PCA_MILLI}) div vmax"))
-            .otherwise(F.expr(f"(t{j} * {_PCA_MILLI}) div vmax"))
-            .cast("long")
-            .alias(f"v{j}")
-            for j, t in enumerate(ts)
-        ]
-        return trow.withColumn("vmax", vmax).select(
-            F.array(*comps).alias("vl")
+    def dims_sums(df):
+        # posexplode, NOT 64 element_at aggregates: the optimizer inlines
+        # the per-row projection s into every aggregate expression (the
+        # re-inlining pitfall), re-evaluating the zip-fold 64x per row
+        # and blowing the codegen budget (measured 10s -> 2s at sf0.1).
+        # Generate evaluates s ONCE per row and replicates the value;
+        # the (dim, t) rollup partial-aggregates to 64 rows per task.
+        return (
+            df.select(F.posexplode("se").alias("dim", "x"), "s")
+            .groupBy("dim")
+            .agg(F.sum(_dec(F.col("s")) * F.col("x")).alias("t"))
         )
+
+    def renorm(t):
+        # sign-split truncating milli renormalization over the 64-row
+        # (dim, t) frame; the max rides back as a one-row broadcast
+        m = t.agg(F.max(F.abs(F.col("t"))).alias("vmax"))
+        return t.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.when(
+                F.col("t") < 0, -F.expr(f"(-t * {_PCA_MILLI}) div vmax")
+            )
+            .otherwise(F.expr(f"(t * {_PCA_MILLI}) div vmax"))
+            .cast("long")
+            .alias("v"),
+        )
+
+    def as_row(v):
+        vl = F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+        )
+        return F.broadcast(v.agg(vl.alias("vl")))
 
     # iteration 1: v0 = all-ones milli -> s = 1000 * Σ se_i
     s1 = sc_.withColumn(
         "s", F.lit(_PCA_MILLI) * F.aggregate("se", F.lit(0).cast("long"), lambda a, x: a + x)
     )
-    v1 = F.broadcast(renorm(dims_sums(s1, F.col("s"))))
-    # iteration 2: s = se · v1 (exact BIGINT zip_with)
-    s2 = sc_.crossJoin(v1).withColumn(
+    v1 = renorm(dims_sums(s1))
+    # iteration 2: s = se · v1 (exact BIGINT zip_with against the broadcast row)
+    s2 = sc_.crossJoin(as_row(v1)).withColumn(
         "s",
         F.aggregate(
             F.zip_with("se", "vl", lambda x, v: x * v),
@@ -1096,10 +1108,8 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ),
     )
-    v2 = renorm(dims_sums(s2, F.col("s")))
-    return v2.select(
-        F.posexplode("vl").alias("pos", "v_milli")
-    ).select((F.col("pos") + 1).cast("long").alias("dim"), "v_milli")
+    v2 = renorm(dims_sums(s2))
+    return v2.select((F.col("dim") + 1).cast("long").alias("dim"), F.col("v").alias("v_milli"))
 
 
 # ---------------------------------------------------------------------------
