@@ -1557,3 +1557,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("fus") - F.col("ts_us"))
         .alias("dt_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_running_distinct — running COUNT(DISTINCT) via first-occurrence
+
+
+@register(
+    "window_running_distinct",
+    group="relational-ext",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN LAG(event_type) OVER (
+                    PARTITION BY user_id
+                    ORDER BY event_type, ts, event_id) IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT)
+             AS distinct_types_so_far
+    FROM f
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user over event time — the
+    cumulative-breadth window SQL cannot express directly (DISTINCT is
+    not a window aggregate): the FIRST-OCCURRENCE trick rewrites it as
+    two plain windows — flag each (user, type)'s first event via
+    row_number, then a running SUM of flags in event order. Both
+    windows co-partition on user_id, so the whole query is ONE shuffle
+    (the type sub-key sorts within the same exchange). Contrast a
+    collect_set-over-window: that carries O(types) state per ROW and
+    materializes a set per output row; the flag rewrite is O(1) per row
+    at any breadth."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    # BOTH windows partition by user_id alone (the flag window sorts by
+    # type first, so a type's first (ts, id) row is the type boundary
+    # where lag(type) changes) — same distribution, different sort =>
+    # Catalyst plans ONE exchange with two in-partition sorts. A
+    # (user, type)-partitioned row_number would force a second shuffle.
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first = (
+        ~F.lag("event_type").over(w_first).eqNullSafe(F.col("event_type"))
+    ).cast("long")
+    return ev.withColumn("first_seen", first).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )

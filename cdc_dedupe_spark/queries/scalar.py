@@ -257,3 +257,37 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").applyInPandas(
         grp_mean, schema="c_nationkey int, avg_acctbal double, n_customers long"
     )
+
+
+@register(
+    "fn_bitwise",
+    group="scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(l_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mixed,
+           CAST(l_orderkey >> 4 AS BIGINT) AS shifted_down,
+           CAST((CAST(l_linenumber AS BIGINT) << 8) AS BIGINT) AS shifted_up,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
+    FROM lineitem WHERE l_orderkey < 64
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR masking, shifts and popcount —
+    the operators the engine's own sketch family leans on (register
+    packing, simhash votes, HLL rho), declared as a user-facing scalar
+    capability. Map-side, pushdown-filtered scan, zero shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 64)
+    ok = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ok.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        ok.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        ok.bitwiseXOR(ln).alias("mixed"),
+        F.shiftright(ok, 4).cast("long").alias("shifted_down"),
+        F.shiftleft(ln, 8).cast("long").alias("shifted_up"),
+        F.bit_count(ok).cast("long").alias("popcount"),
+    )

@@ -732,3 +732,11 @@ def test_bootstrap_replicas_partial_aggregate(spark, sf_dir):
     assert "partial_sum" in plan
     assert re.search(r"^\(\d+\) Generate", plan, re.MULTILINE)  # the xB explode
     assert "SortMergeJoin" not in plan
+
+
+def test_running_distinct_single_exchange(spark, sf_dir):
+    """The first-occurrence rewrite: both windows co-partition on
+    user_id, so running COUNT(DISTINCT) costs exactly ONE exchange."""
+    plan = plan_of(spark, sf_dir, "window_running_distinct")
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan

@@ -638,3 +638,35 @@ def test_sample_class_balance_exact_counts(spark, sf_dir):
     assert {(r.doc_id, r.lang) for r in got.itertuples()} == expect
     sizes = got.groupby("lang").size()
     assert (sizes == n_min).all()
+
+
+def test_window_running_distinct_matches_set_replay(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["ts_us", "event_id"])
+    got = {(r.user_id, r.event_id): r.distinct_types_so_far
+           for r in REGISTRY["window_running_distinct"].spark(spark, sf_dir).toPandas().itertuples()}
+    seen: dict = {}
+    for r in ev.itertuples():
+        s = seen.setdefault(r.user_id, set())
+        s.add(r.event_type)
+        assert got[(r.user_id, r.event_id)] == len(s), r.event_id
+    assert len(got) == len(ev)
+
+
+def test_fn_bitwise_matches_python_ints(spark, sf_dir):
+    li = _lineitem(sf_dir)
+    sub = li[li.l_orderkey < 64]
+    # (orderkey, linenumber) is NOT unique in this synthetic corpus, so
+    # compare as sorted multisets of full tuples
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.lo_byte, r.with_flag, r.mixed,
+         r.shifted_down, r.shifted_up, r.popcount)
+        for r in REGISTRY["fn_bitwise"].spark(spark, sf_dir).toPandas().itertuples()
+    )
+    expect = sorted(
+        (int(r.l_orderkey), int(r.l_linenumber),
+         int(r.l_orderkey) & 255, int(r.l_orderkey) | 4096,
+         int(r.l_orderkey) ^ int(r.l_linenumber), int(r.l_orderkey) >> 4,
+         int(r.l_linenumber) << 8, bin(int(r.l_orderkey)).count("1"))
+        for r in sub.itertuples()
+    )
+    assert got == expect
