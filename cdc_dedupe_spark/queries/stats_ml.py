@@ -1656,3 +1656,164 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("n_min"))
         .select("doc_id", "lang", F.col("rn").cast("long").alias("class_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr — lag-k autocorrelation of the hourly rate
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@register(
+    "ts_autocorr",
+    group="stats-ml",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, list(n_events ORDER BY bucket_us) AS xs
+      FROM c GROUP BY event_type
+    ), lagged AS (
+      -- list-function form: generate_series/list_transform lambdas may
+      -- reference the FROM row (xs, l.lag); the table-function form may
+      -- not take lateral parameters in a scalar subquery
+      SELECT event_type, l.lag AS lag, len(xs) - l.lag AS n,
+             list_sum(xs[1 : len(xs) - l.lag]) AS sx,
+             list_sum(xs[l.lag + 1 : len(xs)]) AS sy,
+             list_sum(list_transform(xs[1 : len(xs) - l.lag], x -> x * x)) AS sxx,
+             list_sum(list_transform(xs[l.lag + 1 : len(xs)], x -> x * x)) AS syy,
+             list_sum(list_transform(generate_series(1, len(xs) - l.lag),
+                                     i -> xs[i] * xs[i + l.lag])) AS sxy
+      FROM s, (VALUES {", ".join(f"({k})" for k in _ACF_LAGS)}) l(lag)
+      WHERE len(xs) > l.lag + 1
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           (round(
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+             6) + 0.0) AS acf
+    FROM lagged
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the hourly event rate per type — the
+    serial-dependence statistic behind every forecasting decision
+    ([[ts_holt_linear]] assumes it; this measures it). The Pearson
+    machinery of [[stats_corr_matrix]] applied to (x_t, x_{t+k}) pairs:
+    per type and lag, the five moments are exact BIGINT HOF sums over
+    the collected bucket list (zip of the list with its own k-shifted
+    slice — no self-join of the rollup, no second shuffle), numerators
+    in DECIMAL(38,0)/HUGEINT, one double chain per output row. Types
+    shorter than lag+2 buckets are excluded in both engines.
+
+    Shape at scale: identical to the fold family — raw events pay the
+    (type, hour) rollup shuffle once; the O(lags · buckets) moment work
+    rides the tiny per-type list."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_us", "n_events"))),
+        lambda s: s["n_events"],
+    )
+    s = c.groupBy("event_type").agg(xs.alias("xs"))
+    lags = s.select(
+        "event_type",
+        "xs",
+        F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag"),
+    ).filter(F.size("xs") > F.col("lag") + 1)
+    head = F.expr("slice(xs, 1, size(xs) - lag)")
+    tail_ = F.expr("slice(xs, lag + 1, size(xs) - lag)")
+    zipped = lags.select(
+        "event_type",
+        "lag",
+        (F.size("xs") - F.col("lag")).alias("n"),
+        F.aggregate(head, F.lit(0).cast("long"), lambda a, x: a + x).alias("sx"),
+        F.aggregate(tail_, F.lit(0).cast("long"), lambda a, x: a + x).alias("sy"),
+        F.aggregate(head, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("sxx"),
+        F.aggregate(tail_, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("syy"),
+        F.aggregate(
+            F.zip_with(head, tail_, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sxy"),
+    )
+    cov = (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy")).cast("double")
+    vx = (_dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")).cast("double")
+    vy = (_dec(F.col("n")) * F.col("syy") - _dec(F.col("sy")) * F.col("sy")).cast("double")
+    return zipped.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        round_pos(cov / F.sqrt(vx * vy), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonality_profile — hour-of-day seasonal indices
+
+
+@register(
+    "ts_seasonality_profile",
+    group="stats-ml",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), cell AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM e GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_hods
+      FROM cell GROUP BY 1
+    )
+    SELECT cell.event_type, cell.hod, cell.n,
+           (cell.n * 10000 * t.n_hods) // t.tot AS seasonal_index_bp
+    FROM cell JOIN t ON t.event_type = cell.event_type
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type — the diurnal profile
+    (index 10000 bp = that hour carries exactly its uniform share;
+    20000 = double): the multiplicative-decomposition seasonal factor
+    computed as exact truncating-integer basis points, n·10000·H / Σn.
+    One (type, hod) rollup shuffle, per-type totals rolled from the
+    ≤ |types|·24-cell table and joined back — the contingency shape of
+    [[stats_chi2_independence]] (which tests whether THIS profile is
+    flat) emitting the profile itself. Hours from epoch-micros
+    arithmetic; no timezone surface."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    cell = (
+        e.groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("day").alias("n_days"))
+        .localCheckpoint(eager=False)
+    )
+    t = cell.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_hods")
+    )
+    return cell.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.expr("n * 10000 * n_hods div tot").alias("seasonal_index_bp"),
+    )

@@ -670,3 +670,40 @@ def test_fn_bitwise_matches_python_ints(spark, sf_dir):
         for r in sub.itertuples()
     )
     assert got == expect
+
+
+def test_ts_autocorr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    ev = _events(sf_dir)
+    ev["bucket"] = ev["ts_us"] // 3_600_000_000 * 3_600_000_000
+    got = {(r.event_type, r.lag): r for r in REGISTRY["ts_autocorr"].spark(spark, sf_dir).toPandas().itertuples()}
+    n_expected = 0
+    for etype, g in ev.groupby("event_type"):
+        xs = [c for _, c in sorted(Counter(g["bucket"]).items())]
+        for k in (1, 2, 3):
+            if len(xs) <= k + 1:
+                assert (etype, k) not in got
+                continue
+            n_expected += 1
+            a, b = np.array(xs[:-k], dtype=float), np.array(xs[k:], dtype=float)
+            expect = np.corrcoef(a, b)[0, 1]
+            r = got[(etype, k)]
+            assert r.n_pairs == len(a)
+            assert r.acf == pytest.approx(expect, abs=2e-6), (etype, k)
+    assert len(got) == n_expected
+
+
+def test_ts_seasonality_profile_sums_to_uniform(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["hod"] = ev["ts_us"] // 3_600_000_000 % 24
+    got = REGISTRY["ts_seasonality_profile"].spark(spark, sf_dir).toPandas()
+    for etype, g in ev.groupby("event_type"):
+        cells = got[got.event_type == etype]
+        counts = Counter(g["hod"])
+        assert {int(r.hod): int(r.n) for r in cells.itertuples()} == dict(counts)
+        tot, hods = len(g), len(counts)
+        for r in cells.itertuples():
+            assert r.seasonal_index_bp == r.n * 10000 * hods // tot
+        # indices average to ~10000 bp by construction (truncation under)
+        assert 9000 <= cells["seasonal_index_bp"].mean() <= 10000
