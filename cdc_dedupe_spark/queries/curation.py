@@ -485,3 +485,103 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_hat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_containment — asymmetric sub-document duplication (round 11)
+
+
+_CONT_FREQ_CAP = 8
+_CONT_MIN_SHARED = 4
+_CONT_TOP = 50
+
+
+@register(
+    "dedup_span_containment",
+    group="curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_W}
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM s GROUP BY doc_id
+    ), rare AS (
+      SELECT h FROM s GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {_CONT_FREQ_CAP}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM s a JOIN rare USING (h) JOIN s b USING (h)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {_CONT_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.shared, za.n_spans AS spans_a,
+           (p.shared * 10000) // za.n_spans AS containment_bp
+    FROM pairs p JOIN sz za ON za.doc_id = p.doc_a
+    ORDER BY containment_bp DESC, doc_a, doc_b LIMIT {_CONT_TOP}
+    """,
+)
+def dedup_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A→B) =
+    |spans(A) ∩ spans(B)| / |spans(A)| — high when document A lives
+    INSIDE a larger B (boilerplate wrapping, quote-and-extend, the
+    SlimPajama sub-document case), which symmetric Jaccard
+    ([[dedup_ngram_jaccard]]) under-scores because B's extra content
+    dilutes the union. Candidates block on shared DISTINCT 8-gram span
+    hashes with a corpus-frequency cap (2..8): ubiquitous spans
+    generate no pairs (the quadratic guard — a span shared by f docs
+    costs f² pair rows, so the cap bounds per-span work at 64), pairs
+    need >= 4 shared rare spans, and the top-50 lands in
+    TakeOrderedAndProject under a total (bp, a, b) order. Only
+    (doc_id, 16-byte hash) pairs ever shuffle; containment is exact
+    truncating basis points."""
+    spans = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
+                        f" i -> md5(cast(array_join(slice(toks, i, {_SPAN_W}), ' ') as binary)))"
+                    )
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)  # both join sides + sizes + freqs share it
+    )
+    sz = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    rare = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter((F.col("f") >= 2) & (F.col("f") <= _CONT_FREQ_CAP))
+        .select("h")
+    )
+    a = spans.join(rare, "h").select("h", F.col("doc_id").alias("doc_a"))
+    b = spans.join(rare, "h").select("h", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _CONT_MIN_SHARED)
+    )
+    return (
+        pairs.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("n_spans").alias("spans_a"),
+            F.expr("shared * 10000 div n_spans").alias("containment_bp"),
+        )
+        .orderBy(F.desc("containment_bp"), "doc_a", "doc_b")
+        .limit(_CONT_TOP)
+    )

@@ -740,3 +740,15 @@ def test_running_distinct_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "window_running_distinct")
     assert n_exchanges(plan) == 1
     assert "Join" not in plan
+
+
+def test_containment_blocks_on_rare_spans(spark, sf_dir):
+    """Containment: the pair join must be an equi hash join on the
+    16-byte span hash (never all-pairs), top-50 a
+    TakeOrderedAndProject, and the shared span projection a
+    checkpointed ExistingRDD read."""
+    plan = plan_of(spark, sf_dir, "dedup_span_containment")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0

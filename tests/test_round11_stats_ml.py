@@ -707,3 +707,44 @@ def test_ts_seasonality_profile_sums_to_uniform(spark, sf_dir):
             assert r.seasonal_index_bp == r.n * 10000 * hods // tot
         # indices average to ~10000 bp by construction (truncation under)
         assert 9000 <= cells["seasonal_index_bp"].mean() <= 10000
+
+
+def test_dedup_span_containment_matches_pure_python(spark, sf_dir):
+    from collections import defaultdict
+
+    docs = _docs(sf_dir)
+    spans: dict = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        if len(toks) < 8:
+            continue
+        spans[r.doc_id] = {
+            hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+            for i in range(len(toks) - 7)
+        }
+    freq: Counter = Counter()
+    for hs in spans.values():
+        freq.update(hs)
+    rare = {h for h, f in freq.items() if 2 <= f <= 8}
+    shared: dict = defaultdict(int)
+    by_span: dict = defaultdict(list)
+    for d, hs in spans.items():
+        for h in hs & rare:
+            by_span[h].append(d)
+    for h, ds in by_span.items():
+        for x in ds:
+            for y in ds:
+                if x != y:
+                    shared[(x, y)] += 1
+    rows = [
+        (c * 10000 // len(spans[a]), a, b, c, len(spans[a]))
+        for (a, b), c in shared.items()
+        if c >= 4
+    ]
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expect = [(a, b, c, n, bp) for bp, a, b, c, n in rows[:50]]
+    got = REGISTRY["dedup_span_containment"].spark(spark, sf_dir).toPandas()
+    assert [
+        (r.doc_a, r.doc_b, r.shared, r.spans_a, r.containment_bp)
+        for r in got.itertuples()
+    ] == expect
