@@ -2908,9 +2908,9 @@ def _kc_oracle() -> str:
       ) ORDER BY d DESC, vec_id ASC LIMIT 1
     )
     SELECT 0 AS center_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS sel_d2
-    UNION ALL SELECT 1, vec_id, d FROM a1
-    UNION ALL SELECT 2, vec_id, d FROM a2
-    UNION ALL SELECT 3, vec_id, d FROM a3
+    UNION ALL SELECT 1, vec_id, CAST(d AS BIGINT) FROM a1
+    UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM a2
+    UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM a3
     """
 
 

@@ -933,7 +933,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum, t
     )
     SELECT MAX(n1) AS n1, MAX(n2) AS n2,
-           MAX(num) AS d_num,
+           CAST(MAX(num) AS BIGINT) AS d_num,
            MIN(CASE WHEN num = (SELECT MAX(num) FROM d) THEN v END) AS at_cents,
            (round(CAST(MAX(num) AS DOUBLE) / (MAX(n1) * MAX(n2)), 6) + 0.0) AS d_stat
     FROM d

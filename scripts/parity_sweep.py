@@ -42,7 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 def main() -> int:
     import duckdb
 
-    from tests.parity import assert_frames_match
+    from tests.parity import assert_frames_match, duck_strict_df, spark_kinds
 
     from cdc_dedupe_spark.queries import REGISTRY
     from cdc_dedupe_spark.session import get_spark
@@ -90,18 +90,26 @@ def main() -> int:
     for name in sorted(only or REGISTRY):
         q = REGISTRY[name]
         try:
-            sdf = q.spark(spark, SF_DIR).toPandas()
+            sdf_spark = q.spark(spark, SF_DIR)
+            sdf = sdf_spark.toPandas()
         except Exception as ex:  # record, keep sweeping
             results[name] = {"status": "error", "err": f"{type(ex).__name__}: {ex}"[:200]}
             continue
         if q.oracle is None:
             results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
-        odf = con.execute(q.oracle).df()
+        # Strict fetch (fetchall + declared types, never .df()): integral
+        # oracle columns arrive as exact Python ints, and an oracle that
+        # widens to HUGEINT/DECIMAL where Spark is int64 now MISMATCHES
+        # locally exactly like the driver's hash (r11 failure class).
+        odf, dkinds = duck_strict_df(con, q.oracle)
         # Bit-sensitive compare (tests/parity) — the driver's value hash
         # distinguishes -0.0 from +0.0; plain == does not (the r3 blind spot).
         try:
-            assert_frames_match(sdf, odf, name)
+            assert_frames_match(
+                sdf, odf, name,
+                spark_kind_map=spark_kinds(sdf_spark.schema), duck_kind_map=dkinds,
+            )
             ok, detail = True, None
         except AssertionError as ex:
             ok, detail = False, str(ex)[:300]

@@ -8,7 +8,7 @@ import pytest
 
 from cdc_dedupe_spark.queries import REGISTRY
 
-from .parity import assert_frames_match
+from .parity import assert_frames_match, duck_strict_df, spark_kinds
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -19,5 +19,11 @@ def test_query_parity(name, spark, duck, sf_dir):
     if q.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only: must run and produce a frame
         return
-    duck_pdf = duck.execute(q.oracle).df()
-    assert_frames_match(spark_pdf, duck_pdf, name=name)
+    # Strict path: dtype-class divergence (oracle HUGEINT/DECIMAL vs
+    # Spark int64) fails here even when the values agree — the r11
+    # driver-mismatch class (VERDICT r11 "What's wrong" #1/#2).
+    duck_pdf, dkinds = duck_strict_df(duck, q.oracle)
+    assert_frames_match(
+        spark_pdf, duck_pdf, name=name,
+        spark_kind_map=spark_kinds(sdf.schema), duck_kind_map=dkinds,
+    )
