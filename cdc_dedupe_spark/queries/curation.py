@@ -80,9 +80,17 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _span_profile(d: DataFrame) -> DataFrame:
     """Shared span-dedup profiler over a documents frame. Used by
     dedup_span_ngram (declared output) and pipeline_curation_mix
-    (dedup gate)."""
+    (dedup gate).
+
+    Doc rows are spread to full parallelism BEFORE the ~50x md5-span
+    explode: the exchange moves only the raw documents (cheap), and the
+    hashing work then scales with cores instead of with the scan's
+    file-count partitioning (measured 4.0x wall for 10x docs on a
+    one-file corpus, 2.2x after — SCALING.md round 12)."""
+    par = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     spans = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= _SPAN_W)
         .select(
             "doc_id",
@@ -539,9 +547,22 @@ def dedup_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     need >= 4 shared rare spans, and the top-50 lands in
     TakeOrderedAndProject under a total (bp, a, b) order. Only
     (doc_id, 16-byte hash) pairs ever shuffle; containment is exact
-    truncating basis points."""
+    truncating basis points.
+
+    The span table is repartitioned on h BEFORE the shared checkpoint:
+    the explode multiplies rows ~50x over the scan's file-sized
+    partitions, so without it every downstream pass inherits the scan's
+    parallelism (measured 19x wall for 10x docs on a one-file corpus —
+    SCALING.md round 12; 2.3x after). Hash-partitioning by h also
+    co-partitions the frequency rollup and BOTH self-join sides, so the
+    checkpointed spans shuffle once, not three times."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     spans = (
         table(spark, sf_dir, "documents")
+        # pre-explode spread: the raw doc rows are cheap to exchange and
+        # the ~50x md5-explode then runs at full parallelism instead of
+        # the scan's file-count partitioning
+        .repartition(par, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= _SPAN_W)
         .select(
@@ -555,6 +576,7 @@ def dedup_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
+        .repartition(par, "h")
         .localCheckpoint(eager=False)  # both join sides + sizes + freqs share it
     )
     sz = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
