@@ -16,9 +16,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from ..functions.text import SQL_PADDED_ORDER_KEY, padded_order_key
+from ..functions.text import (
+    SQL_PADDED_ORDER_KEY,
+    SQL_TOKEN_HASH_WIDE,
+    padded_order_key,
+    token_hash_wide,
+)
 from ._determinism import round_pos
 from ..sources.replay import events_stream
 from ..streaming.run import run_to_memory
@@ -634,25 +647,31 @@ _SH_STATE = StructType(
 )
 
 
+def _hll_update(regs: bytearray, user_ids) -> None:
+    """Register-max update shared by the streaming HLL folds. Hashing
+    mirrors the batch sketch family bit-for-bit (md5 15-hex-char prefix,
+    8 register bits, rho clamped at 52), so emitted sketches are
+    engine-exact against the SQL oracles."""
+    import hashlib as _hl
+
+    for uid in user_ids:
+        hv = int(_hl.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+        reg = hv % _SH_M
+        v = hv >> 8
+        rho = _SH_VBITS if v == 0 else (_SH_VBITS + 1) - v.bit_length()
+        if rho > regs[reg]:
+            regs[reg] = rho
+
+
 def _hll_fold(
     key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Register-max HLL fold: the 256-byte register array IS the state —
-    the canonical bounded-state streaming distinct. Hashing mirrors the
-    batch sketch family bit-for-bit (md5 15-hex-char prefix, 8 register
-    bits, rho clamped at 52), so the emitted sketch is engine-exact."""
-    import hashlib as _hl
-
+    the canonical bounded-state streaming distinct."""
     (regs_b, n) = state.get if state.exists else (bytes(_SH_M), 0)
     regs = bytearray(regs_b)
     for pdf in pdfs:
-        for uid in pdf["user_id"]:
-            hv = int(_hl.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
-            reg = hv % _SH_M
-            v = hv >> 8
-            rho = _SH_VBITS if v == 0 else (_SH_VBITS + 1) - v.bit_length()
-            if rho > regs[reg]:
-                regs[reg] = rho
+        _hll_update(regs, pdf["user_id"])
         n += len(pdf)
     state.update((bytes(regs), n))
     s_scaled = sum(1 << (_SH_VBITS - m) for m in regs)
@@ -743,4 +762,317 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z.s_scaled",
             round_pos(F.lit(_SH_NUM) / F.col("z.s_scaled"), 1).alias("hll_raw_estimate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_active_users_hll — streaming DAU/WAU/MAU from daily HLL sketches
+# (round 12: the sketch twin of events_active_users that its docstring
+# documents — daily register arrays merged by register-wise max)
+
+
+_SAU_OUT = StructType(
+    [
+        StructField("day", LongType()),
+        StructField("n_events", LongType()),
+        StructField("regs", ArrayType(LongType())),
+    ]
+)
+
+
+def _hll_day_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-DAY register-max HLL fold (key = epoch day): same bit-exact
+    hashing as _hll_fold via the shared _hll_update; emits the full
+    register array so the batch side can take register-wise max across
+    trailing windows. Register-max is commutative/associative — batch
+    split and arrival order cannot change the sketch."""
+    (regs_b, n) = state.get if state.exists else (bytes(_SH_M), 0)
+    regs = bytearray(regs_b)
+    for pdf in pdfs:
+        _hll_update(regs, pdf["user_id"])
+        n += len(pdf)
+    state.update((bytes(regs), n))
+    yield pd.DataFrame(
+        [{"day": key[0], "n_events": n, "regs": [int(b) for b in regs]}]
+    )
+
+
+@register(
+    "stream_active_users_hll",
+    group="streaming",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ), rho AS (
+      SELECT day, hv % {_SH_M} AS reg,
+             CASE WHEN (hv >> 8) = 0 THEN {_SH_VBITS}
+                  ELSE {_SH_VBITS + 1} - length(bin(hv >> 8)) END AS r
+      FROM h
+    ), dreg AS (
+      SELECT day, reg, MAX(r) AS m FROM rho GROUP BY day, reg
+    ), days AS (SELECT DISTINCT day FROM h),
+    grid AS (
+      SELECT d.day, gs.reg FROM days d,
+           (SELECT unnest(generate_series(0, {_SH_M - 1})) AS reg) gs
+    ), dfull AS (
+      SELECT g.day, g.reg, COALESCE(MAX(dr.m), 0) AS m
+      FROM grid g LEFT JOIN dreg dr ON dr.reg = g.reg AND dr.day = g.day
+      GROUP BY g.day, g.reg
+    ), wfull AS (
+      SELECT g.day, g.reg, COALESCE(MAX(dr.m), 0) AS m
+      FROM grid g LEFT JOIN dreg dr ON dr.reg = g.reg
+                  AND dr.day BETWEEN g.day - 6 AND g.day
+      GROUP BY g.day, g.reg
+    ), mfull AS (
+      SELECT g.day, g.reg, COALESCE(MAX(dr.m), 0) AS m
+      FROM grid g LEFT JOIN dreg dr ON dr.reg = g.reg
+                  AND dr.day BETWEEN g.day - 27 AND g.day
+      GROUP BY g.day, g.reg
+    ), sd AS (
+      SELECT day, CAST(SUM(CAST(1 AS BIGINT) << ({_SH_VBITS} - m)) AS BIGINT) AS s
+      FROM dfull GROUP BY day
+    ), sw AS (
+      SELECT day, CAST(SUM(CAST(1 AS BIGINT) << ({_SH_VBITS} - m)) AS BIGINT) AS s
+      FROM wfull GROUP BY day
+    ), sm AS (
+      SELECT day, CAST(SUM(CAST(1 AS BIGINT) << ({_SH_VBITS} - m)) AS BIGINT) AS s
+      FROM mfull GROUP BY day
+    ), ne AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events FROM h GROUP BY day
+    )
+    SELECT sd.day * 86400000000 AS day_us, ne.n_events,
+           sd.s AS dau_s_scaled, sw.s AS wau_s_scaled, sm.s AS mau_s_scaled,
+           (round({_SH_NUM!r} / sd.s, 1) + 0.0) AS dau_est,
+           (round(CAST(sm.s AS DOUBLE) / sd.s, 6) + 0.0) AS stickiness
+    FROM sd JOIN sw ON sw.day = sd.day
+            JOIN sm ON sm.day = sd.day
+            JOIN ne ON ne.day = sd.day
+    """,
+)
+def stream_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU / WAU / MAU over HyperLogLog sketches — the sketch
+    twin [[events_active_users]]'s docstring documents, made real: one
+    256-byte register array per DAY is the stream state (key = epoch
+    day, the shared [[stream_hll_distinct]] hashing bit-for-bit), and
+    the trailing 7- / 28-day windows are REGISTER-WISE MAX over the
+    tiny per-day sketch table — the HLL union, exact for the sketch
+    even though the count is approximate. Batch-side the emitted
+    sketches cover-explode to the <=28 report days each serves (the
+    events_active_users plan shape, but over days*256 register rows
+    instead of the |users|*days incidence table), so at 100 TB the raw
+    events are touched exactly once by the fold and every window pass
+    runs over kilobytes. DAU/MAU stickiness falls out as s_mau/s_dau
+    (the scaled register sums are inversely proportional to the
+    estimates) — one IEEE division, bit-exact both engines. State is
+    O(256 bytes x retained days) forever; a production deployment adds
+    a watermark to age out days past the longest window (documented
+    drop: this replay corpus spans ~5 days, nothing ages out).
+    Register-max is commutative/associative, so batch split and arrival
+    order cannot change any emitted value — exact-hash checkable like
+    the rest of the sketch family."""
+    stream = events_stream(spark, sf_dir).select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+    )
+    folded = stream.groupBy("day").applyInPandasWithState(
+        _hll_day_fold,
+        outputStructType=_SAU_OUT,
+        stateStructType=_SH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_active_users_hll", output_mode="update")
+    final = (
+        out.groupBy("day")
+        .agg(F.max_by(F.struct("n_events", "regs"), "n_events").alias("z"))
+        .select("day", "z.n_events", "z.regs")
+        .localCheckpoint(eager=False)  # three window passes share it
+    )
+    regs_tbl = final.select(
+        "day", F.posexplode("regs").alias("reg", "m")
+    ).localCheckpoint(eager=False)
+    days = final.select("day")
+    scaled = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_SH_VBITS} - m AS INT))")
+    )
+
+    def trailing(width: int, name: str) -> DataFrame:
+        # a source day's registers serve report days d..d+width-1; the
+        # join with the realized day list drops phantom future days
+        cover = regs_tbl.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (width - 1))
+            ).alias("day"),
+            "reg",
+            "m",
+        )
+        win = cover.join(days, "day").groupBy("day", "reg").agg(F.max("m").alias("m"))
+        return win.groupBy("day").agg(scaled.alias(name))
+
+    dau = regs_tbl.groupBy("day").agg(scaled.alias("dau_s_scaled"))
+    return (
+        final.join(dau, "day")
+        .join(trailing(7, "wau_s_scaled"), "day")
+        .join(trailing(28, "mau_s_scaled"), "day")
+        .select(
+            (F.col("day") * 86400000000).alias("day_us"),
+            "n_events",
+            "dau_s_scaled",
+            "wau_s_scaled",
+            "mau_s_scaled",
+            round_pos(F.lit(_SH_NUM) / F.col("dau_s_scaled"), 1).alias("dau_est"),
+            round_pos(
+                F.col("mau_s_scaled").cast("double") / F.col("dau_s_scaled"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_weighted_reservoir — bounded-state weighted sampling per stratum
+# (round 12: the streaming twin of sample_priority_weighted)
+
+
+_WRES_K = 100
+
+_WRES_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("rk", LongType()),
+        StructField("event_id", LongType()),
+        StructField("cents", LongType()),
+        StructField("ip", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+_WRES_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+        StructField("ips", ArrayType(DoubleType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _wres_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Priority-sampling reservoir merge: state is the current k-minimum
+    (inv_priority, event_id) rows per stratum; each batch concatenates
+    and re-takes the k smallest. Selection is a pure function of the
+    SET of rows seen (min-k of content-derived priorities — merging is
+    commutative/associative/idempotent), so batch split and arrival
+    order cannot change the final reservoir: exact-hash checkable
+    against the batch window oracle. Priorities arrive computed
+    JVM-side; Python only merges O(k + batch) tuples per key."""
+    if state.exists:
+        (ids, cents, ips, n) = state.get
+        ids, cents, ips = list(ids), list(cents), list(ips)
+    else:
+        ids, cents, ips, n = [], [], [], 0
+    rows = list(zip(ips, ids, cents))
+    for pdf in pdfs:
+        rows.extend(
+            zip(
+                (float(v) for v in pdf["ip"]),
+                (int(v) for v in pdf["event_id"]),
+                (int(v) for v in pdf["cents"]),
+            )
+        )
+        n += len(pdf)
+    rows.sort(key=lambda t: (t[0], t[1]))
+    rows = rows[:_WRES_K]
+    state.update(
+        ([r[1] for r in rows], [r[2] for r in rows], [r[0] for r in rows], n)
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(rows),
+            "rk": list(range(1, len(rows) + 1)),
+            "event_id": [r[1] for r in rows],
+            "cents": [r[2] for r in rows],
+            "ip": [r[0] for r in rows],
+            "n_seen": [n] * len(rows),
+        }
+    )
+
+
+@register(
+    "stream_weighted_reservoir",
+    group="streaming",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id,
+             GREATEST(CAST(round(value * 100) AS BIGINT), 1) AS cents,
+             {SQL_TOKEN_HASH_WIDE.format(t="md5(CAST(event_id AS VARCHAR))")} AS u
+      FROM events
+    ), r AS (
+      SELECT event_type, event_id, cents,
+             CAST(u AS DOUBLE) / cents AS ip,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_seen
+      FROM e
+    ), k AS (
+      SELECT event_type, event_id, cents, ip, n_seen,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ip, event_id
+             ) AS BIGINT) AS rk
+      FROM r
+    )
+    SELECT event_type, rk, event_id, cents, ip, n_seen
+    FROM k WHERE rk <= {_WRES_K}
+    """,
+)
+def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted sampling without replacement — the
+    bounded-state twin of [[sample_priority_weighted]], completing the
+    sampling family's streaming side: per stratum (event_type) the
+    state is ONLY the current k-minimum reservoir of priority-sampled
+    rows (Duffield/Lund/Thorup priorities q = w/u, kept as
+    inv_priority = u/w with w = spend cents and u a content-derived
+    hash of the event id), so a stratum that has seen a billion events
+    holds exactly k rows of state. Min-k merging is commutative,
+    associative and idempotent — a fleet of independent reservoirs
+    unions by concat + re-take-k, and batch split / arrival order
+    cannot change the final sample, which therefore hash-matches the
+    batch window oracle exactly (contrast the order-dependent
+    [[stream_bloom_dedupe]], which is rows-only by contract). The
+    priority arithmetic (portable token_hash_wide of the md5 hex, one
+    IEEE int/int division) runs JVM-side in the stream projection;
+    the Python fold only merges O(k + batch) tuples per key. n_seen
+    carries the exact per-stratum row count for the
+    inclusion-probability audit (tau = the (k+1)-th priority at query
+    time, as in the batch twin)."""
+    stream = events_stream(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(1)).alias(
+            "cents"
+        ),
+    )
+    u = token_hash_wide(F.md5(F.col("event_id").cast("string").cast("binary")))
+    stream = stream.withColumn(
+        "ip", u.cast("double") / F.col("cents")
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _wres_fold,
+        outputStructType=_WRES_OUT,
+        stateStructType=_WRES_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_weighted_reservoir", output_mode="update")
+    # final emission per stratum = the rows carrying the max n_seen; a
+    # window-max filter, not a self-join of the memory-sink view (which
+    # Spark's MemoryPlan cannot self-join)
+    from pyspark.sql import Window as _W
+
+    mx = F.max("n_seen").over(_W.partitionBy("event_type"))
+    return (
+        out.withColumn("_mx", mx)
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("event_type", "rk", "event_id", "cents", "ip", "n_seen")
     )
