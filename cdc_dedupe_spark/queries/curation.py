@@ -607,3 +607,80 @@ def dedup_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment_bp"), "doc_a", "doc_b")
         .limit(_CONT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-doc novel-content fraction in ingestion order
+# (round 12)
+
+
+@register(
+    "text_ngram_novelty",
+    group="curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_W}
+    ), f AS (
+      SELECT h, MIN(doc_id) AS first_doc FROM s GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_spans,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM s JOIN f USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY in ingestion order (doc_id): the fraction of
+    a document's distinct 8-gram spans whose FIRST corpus occurrence is
+    this document — the marginal-contribution curve a curation pipeline
+    watches to decide when a source is mined out (novelty decays toward
+    boilerplate as ingestion proceeds; contrast [[dedup_span_ngram]],
+    which scores duplication symmetrically with no order). First
+    occurrence is an exact min(doc_id) per span hash — deterministic,
+    no sketch — and only (doc_id, 16-byte hash) pairs ever shuffle:
+    span hashing is map-side (same pre-explode spread as
+    [[dedup_span_containment]]), first-owner is one groupBy(h), and the
+    per-doc profile re-aggregates on doc_id. Truncating-bp ratio. At
+    100 TB the span table IS the big object; it is touched by exactly
+    two hash exchanges (h, then doc_id), never joined to itself."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spans = (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {_SPAN_W - 1}),"
+                        f" i -> md5(cast(array_join(slice(toks, i, {_SPAN_W}), ' ') as binary)))"
+                    )
+                )
+            ).alias("h"),
+        )
+        .repartition(par, "h")
+        .localCheckpoint(eager=False)  # first-owner rollup + join share it
+    )
+    first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        spans.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "novel_spans"
+            ),
+        )
+        .withColumn("novelty_bp", F.expr("novel_spans * 10000 div n_spans"))
+    )

@@ -3057,3 +3057,108 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "u", "v")
         .limit(_LP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_matryoshka_prefix — two-stage prefix-filter / full-rerank ANN (round 12)
+
+
+_MRL_PREFIX = 16  # leading dims scored in the cheap pass
+_MRL_SHORTLIST = 32
+_MRL_K = 5
+
+
+def _mrl_oracle() -> str:
+    pse = SQL_ISCALE.format(a="embedding")
+    return f"""
+    WITH p AS (
+      SELECT {pse} AS pse FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, {pse} AS se FROM embeddings WHERE vec_id <> 0
+    ), s1 AS (
+      SELECT c.vec_id, c.se, p.pse,
+             {SQL_ICOSINE.format(sa=f'(c.se[1:{_MRL_PREFIX}])', sb=f'(p.pse[1:{_MRL_PREFIX}])')} AS cos_prefix
+      FROM c, p
+      ORDER BY cos_prefix DESC, vec_id LIMIT {_MRL_SHORTLIST}
+    )
+    SELECT vec_id, cos_prefix,
+           {SQL_ICOSINE.format(sa='se', sb='pse')} AS cos_full
+    FROM s1 ORDER BY cos_full DESC, vec_id LIMIT {_MRL_K}
+    """
+
+
+@register("ann_matryoshka_prefix", group="llm-ext", oracle=_mrl_oracle())
+def ann_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka-style ANN (Kusupati et al., MRL): score ALL
+    candidates against probe vec_id=0 on only the LEADING 16 of 64
+    dims (the cheap funnel pass — 4x less arithmetic and memory traffic
+    per vector than the full kernel), keep a 32-deep shortlist, then
+    re-rank just those 32 with the exact full-dimension cosine for the
+    final top-5 — the standard accuracy-recovering funnel for
+    truncation-robust (MRL-trained) embeddings, and the third ANN
+    strategy next to [[ann_ivf_topk]]'s partition pruning and
+    [[ann_lsh_topk]]'s hashing: this one prunes the DIMENSION axis
+    instead of the corpus axis. Plan shape: the probe is a one-row
+    broadcast; stage 1 is map-side prefix scoring into
+    TakeOrderedAndProject (k rows per partition, no shuffle of the
+    embedding table); stage 2 touches 32 rows. Both stages use the
+    exact integer kernel (iscale/idot), ties break on vec_id — fully
+    deterministic, exact-hash against the SQL twin. At 100 TB the
+    stage-1 scan is the only linear cost and it reads 4x less vector
+    data than brute force if the prefix is stored column-separated
+    (document the storage trick; here the slice happens post-read)."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0)
+        .select(iscale(F.col("embedding")).alias("pse"))
+        .select(
+            "pse",
+            F.slice("pse", 1, _MRL_PREFIX).alias("psp"),
+        )
+        .select(
+            "pse",
+            "psp",
+            F.sqrt(idot(F.col("psp"), F.col("psp")).cast("double")).alias("pnrm_p"),
+            F.sqrt(idot(F.col("pse"), F.col("pse")).cast("double")).alias("pnrm_f"),
+        )
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", iscale(F.col("embedding")).alias("se"))
+        .withColumn("sp", F.slice("se", 1, _MRL_PREFIX))
+    )
+    shortlist = (
+        cand.crossJoin(probe)
+        .select(
+            "vec_id",
+            "se",
+            "pse",
+            "pnrm_f",
+            round_pos(
+                idot(F.col("sp"), F.col("psp")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("sp"), F.col("sp")).cast("double"))
+                    * F.col("pnrm_p")
+                ),
+                4,
+            ).alias("cos_prefix"),
+        )
+        .orderBy(F.col("cos_prefix").desc(), "vec_id")
+        .limit(_MRL_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "cos_prefix",
+            round_pos(
+                idot(F.col("se"), F.col("pse")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
+                    * F.col("pnrm_f")
+                ),
+                4,
+            ).alias("cos_full"),
+        )
+        .orderBy(F.col("cos_full").desc(), "vec_id")
+        .limit(_MRL_K)
+    )

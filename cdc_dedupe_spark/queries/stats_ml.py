@@ -1817,3 +1817,225 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 10000 * n_hods div tot").alias("seasonal_index_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_mann_whitney — rank-sum test over the value-domain rollup (round 12)
+
+
+@register(
+    "stats_mann_whitney",
+    group="stats-ml",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS a, CAST(SUM(1 - is_a) AS BIGINT) AS b
+      FROM b GROUP BY v
+    ), cum AS (
+      SELECT v, a, a + b AS t,
+             CAST(SUM(a + b) OVER (ORDER BY v) AS BIGINT) - (a + b) AS before
+      FROM g
+    ), s AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(t - a) AS BIGINT) AS n2,
+             CAST(SUM(a * (2 * before + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+      FROM cum
+    )
+    SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+           tie_cubes,
+           (round(
+             (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE)) / 2.0
+             / sqrt(
+                 CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tie_cubes AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+               ),
+             6) + 0.0) AS z_score,
+           (round(
+             CAST((r1_x2 - n1 * (n1 + 1)) - (2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)))
+                  AS DOUBLE)
+             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+             6) + 0.0) AS rank_biserial
+    FROM s
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the click and
+    purchase value distributions — the nonparametric median-shift
+    companion to [[stats_two_sample]]'s mean test and
+    [[stats_ks_two_sample]]'s full-distribution distance. EXACT until
+    the final scalars: raw events collapse once to the per-distinct-
+    value rollup (the value-domain shape — bounded by distinct cents,
+    not row count), tie MIDRANKS are kept as exact DOUBLED integers
+    (2·midrank = 2·|values below| + t + 1, always integral), so the
+    rank sum R1, both U statistics (doubled) and the tie-correction
+    term sum(t^3 - t) are exact BIGINTs under one partial-agg shuffle.
+    The normal-approximation z (tie-corrected variance) and the
+    rank-biserial effect size are each one identical IEEE op chain per
+    engine, then round(6). At 100 TB: same contract as the KS twin —
+    pre-bin continuous values to reporting precision; the cumulative
+    runs over the tiny domain table."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum("is_a").alias("a"), F.sum(1 - F.col("is_a")).alias("bb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("a") + F.col("bb")
+    cum = g.select(
+        "v",
+        "a",
+        t.alias("t"),
+        (F.sum(t).over(w) - t).alias("before"),
+    )
+    s = cum.agg(
+        F.sum("a").alias("n1"),
+        F.sum(F.col("t") - F.col("a")).alias("n2"),
+        F.sum(F.col("a") * (2 * F.col("before") + F.col("t") + 1)).alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_cubes"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    u2_x2 = 2 * F.col("n1") * F.col("n2") - u1_x2
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    z = (
+        (u1_x2.cast("double") - (F.col("n1") * F.col("n2")).cast("double"))
+        / F.lit(2.0)
+        / F.sqrt(
+            n1d * n2d / F.lit(12.0)
+            * (
+                (F.col("n1") + F.col("n2") + 1).cast("double")
+                - F.col("tie_cubes").cast("double")
+                / (
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    * (F.col("n1") + F.col("n2") - 1).cast("double")
+                )
+            )
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        u2_x2.alias("u2_x2"),
+        "tie_cubes",
+        round_pos(z, 6).alias("z_score"),
+        round_pos(
+            (u1_x2 - u2_x2).cast("double") / (F.lit(2.0) * n1d * n2d), 6
+        ).alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_ab_assign — deterministic experiment assignment + SRM gate (round 12)
+
+
+_AB_VARIANTS = (("A", 50), ("B", 25), ("C", 25))  # name, percent
+
+
+def _ab_oracle() -> str:
+    from ..functions.text import SQL_TOKEN_HASH_WIDE
+
+    h = SQL_TOKEN_HASH_WIDE.format(t="md5(CAST(c_custkey AS VARCHAR))")
+    cases = " ".join(
+        f"WHEN bucket < {sum(p for _, p in _AB_VARIANTS[: i + 1])} THEN '{name}'"
+        for i, (name, _) in enumerate(_AB_VARIANTS)
+    )
+    weights = " ".join(
+        f"WHEN variant = '{name}' THEN {pct}" for name, pct in _AB_VARIANTS
+    )
+    return f"""
+    WITH u AS (
+      SELECT c_custkey, ({h}) % 100 AS bucket FROM customer
+    ), v AS (
+      SELECT c_custkey, CASE {cases} END AS variant FROM u
+    ), cnt AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(CASE {weights} END AS BIGINT) AS pct
+      FROM v GROUP BY variant
+    ), tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM cnt)
+    SELECT c.variant, c.n_users,
+           c.pct * 100 AS expected_bp,
+           CAST(t.total * c.pct AS BIGINT) AS expected_x100,
+           CAST((100 * c.n_users - t.total * c.pct)
+                * (100 * c.n_users - t.total * c.pct)
+                * (100 / c.pct) AS BIGINT) AS chi2_num_scaled,
+           (round(CAST((100 * c.n_users - t.total * c.pct)
+                * (100 * c.n_users - t.total * c.pct)
+                * (100 / c.pct) AS DOUBLE) / (10000.0 * t.total), 6) + 0.0)
+             AS chi2_contrib
+    FROM cnt c, tot t
+    """
+
+
+@register("sample_ab_assign", group="stats-ml", oracle=_ab_oracle())
+def sample_ab_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B/C experiment assignment with the sample-ratio-
+    mismatch (SRM) chi-square gate — the experimentation primitive every
+    event pipeline needs: variant = pure function of the unit id
+    (portable token_hash_wide of md5(custkey) mod 100 against cumulative
+    percent thresholds 50/25/25), so reruns, repartitionings and both
+    engines assign identically; exposure logging is a projection, never
+    a random() call. The SRM check is EXACT integer arithmetic end to
+    end: with weights w of 50/25/25, sum((100n - N*w)^2 * (100/w)) is an
+    integral chi-square numerator (scale LCM 100), and each variant's
+    contribution is that integer over 10^4*N — one IEEE division, then
+    round(6). Flag the experiment when the total over the 3 rows
+    exceeds the chi2(2) critical value. One scan, one 3-group partial
+    agg, a one-row broadcast total — flat at any N."""
+    from ..functions.text import token_hash_wide
+
+    c = table(spark, sf_dir, "customer")
+    bucket = (
+        token_hash_wide(F.md5(F.col("c_custkey").cast("string").cast("binary"))) % 100
+    )
+    variant = F.lit(None).cast("string")
+    acc = 0
+    expr = None
+    for name, pct in _AB_VARIANTS:
+        acc += pct
+        cond = F.col("bucket") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    pct_expr = None
+    for name, pct in _AB_VARIANTS:
+        pct_expr = (
+            F.when(F.col("variant") == name, pct)
+            if pct_expr is None
+            else pct_expr.when(F.col("variant") == name, pct)
+        )
+    cnt = (
+        c.select(bucket.alias("bucket"))
+        .select(expr.alias("variant"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("pct", pct_expr.cast("long"))
+    )
+    tot = cnt.agg(F.sum("n_users").alias("total"))
+    dev = 100 * F.col("n_users") - F.col("total") * F.col("pct")
+    num = (dev * dev * (100 / F.col("pct")).cast("long")).alias("chi2_num_scaled")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_users",
+        (F.col("pct") * 100).alias("expected_bp"),
+        (F.col("total") * F.col("pct")).alias("expected_x100"),
+        num,
+        round_pos(
+            (dev * dev * (100 / F.col("pct")).cast("long")).cast("double")
+            / (F.lit(10000.0) * F.col("total")),
+            6,
+        ).alias("chi2_contrib"),
+    )

@@ -149,3 +149,79 @@ def test_weighted_reservoir_state_is_bounded():
     ids, cents, ips, n = st
     assert len(ids) == len(cents) == len(ips) == _WRES_K
     assert n == 3_000
+
+
+# ---------------------------------------------------------------------------
+# stats_mann_whitney
+
+
+def test_mann_whitney_identities(spark, sf_dir):
+    """U1 + U2 = n1*n2 (doubled: u1_x2 + u2_x2 = 2*n1*n2) is the exact
+    algebraic identity of the rank-sum statistics; the rank-biserial
+    effect size must land in [-1, 1]."""
+    r = REGISTRY["stats_mann_whitney"].spark(spark, sf_dir).collect()[0]
+    assert r.u1_x2 + r.u2_x2 == 2 * r.n1 * r.n2
+    assert -1.0 <= r.rank_biserial <= 1.0
+    assert r.tie_cubes >= 0
+
+
+# ---------------------------------------------------------------------------
+# sample_ab_assign
+
+
+def test_ab_assign_partitions_population(spark, sf_dir):
+    """Every unit lands in exactly one variant, the variants are the
+    declared three, and reruns assign identically (pure function of the
+    unit id)."""
+    from cdc_dedupe_spark.tables import table
+
+    rows = REGISTRY["sample_ab_assign"].spark(spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {"A", "B", "C"}
+    total = table(spark, sf_dir, "customer").count()
+    assert sum(r.n_users for r in rows) == total
+    again = REGISTRY["sample_ab_assign"].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        assert r.expected_x100 == total * r.expected_bp // 100
+        assert r.chi2_contrib >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
+    """novelty_bp is a valid basis-point fraction, and the smallest
+    doc_id is 100% novel by construction (no earlier doc can own any of
+    its spans)."""
+    rows = REGISTRY["text_ngram_novelty"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.novel_spans <= r.n_spans
+        assert 0 <= r.novelty_bp <= 10000
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty_bp == 10000
+
+
+# ---------------------------------------------------------------------------
+# ann_matryoshka_prefix
+
+
+def test_matryoshka_funnel_contract(spark, sf_dir):
+    """Structural funnel contract (recall itself depends on the
+    embeddings being MRL-trained, which the random test vectors are
+    not — exact VALUES are pinned by the oracle parity): k rows out,
+    ranked by exact full-dim cosine descending with vec_id tie-break,
+    cos_full computed by the SAME exact kernel as the brute-force query
+    wherever both rank a vector, and at least one true top-5 neighbor
+    survives the prefix filter even on untrained vectors."""
+    mrl = REGISTRY["ann_matryoshka_prefix"].spark(spark, sf_dir).collect()
+    brute = REGISTRY["sim_cosine_topk"].spark(spark, sf_dir).collect()
+    assert len(mrl) == 5
+    ranked = [(-r.cos_full, r.vec_id) for r in mrl]
+    assert ranked == sorted(ranked)
+    brute_by_id = {r.vec_id: r.cos_r for r in brute}
+    overlap = [r for r in mrl if r.vec_id in brute_by_id]
+    assert len(overlap) >= 1
+    for r in overlap:
+        assert r.cos_full == brute_by_id[r.vec_id]  # same exact kernel
