@@ -670,11 +670,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .repartition(par, "h")
-        .localCheckpoint(eager=False)  # first-owner rollup + join share it
     )
-    first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # first-owner via a window over the h-partitioned span table: the
+    # window's hash requirement matches the repartition, so this is ONE
+    # exchange + an in-partition sort — not the groupBy(h) + self-join
+    # form, which re-shuffles the span table twice (measured 8.5x wall
+    # for 10x docs as a join; 2x as a window — SCALING.md round 12)
+    first = F.min("doc_id").over(Window.partitionBy("h"))
     return (
-        spans.join(first, "h")
+        spans.withColumn("first_doc", first)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
