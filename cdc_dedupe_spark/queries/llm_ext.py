@@ -3162,3 +3162,94 @@ def ann_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_full").desc(), "vec_id")
         .limit(_MRL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_binary_hamming — 1-bit sign signatures + Hamming top-k (round 12)
+
+
+_BH_K = 5
+_BH_HALF = 32  # dims per packed BIGINT half (1<<63 overflows DuckDB's shift)
+
+
+def _bh_pack_sql(arr: str, base: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_BH_HALF}), i -> "
+        f"CASE WHEN {arr}[{base} + i] > 0 THEN (1::BIGINT << (i - 1)) "
+        f"ELSE 0::BIGINT END))"
+    )
+
+
+def _bh_pack_spark(base: int) -> str:
+    # Spark SQL arrays are 0-indexed: element i of the 1-based half maps
+    # to embedding[base + i - 1]
+    return (
+        f"aggregate(transform(sequence(1, {_BH_HALF}), i -> "
+        f"CASE WHEN embedding[{base} + i - 1] > CAST(0 AS FLOAT) "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "vec_binary_hamming",
+    group="llm-ext",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             CAST({_bh_pack_sql('embedding', 0)} AS BIGINT) AS sig_lo,
+             CAST({_bh_pack_sql('embedding', _BH_HALF)} AS BIGINT) AS sig_hi
+      FROM embeddings
+    ), p AS (SELECT sig_lo AS plo, sig_hi AS phi FROM s WHERE vec_id = 0)
+    SELECT s.vec_id, s.sig_lo, s.sig_hi,
+           CAST(bit_count(xor(s.sig_lo, p.plo))
+                + bit_count(xor(s.sig_hi, p.phi)) AS BIGINT) AS hamming
+    FROM s, p WHERE s.vec_id <> 0
+    ORDER BY hamming, s.vec_id LIMIT {_BH_K}
+    """,
+)
+def vec_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit vector quantization + Hamming-distance search — the
+    cheapest point on the compression spectrum after [[vec_quantize_int8]]
+    (8 bits/dim) and [[vec_pq_encode]] (1 byte/subvector): each 64-dim
+    embedding collapses to its SIGN PATTERN, packed into two BIGINT
+    halves of 32 bits each (a single 1<<63 overflows DuckDB's checked
+    shift, and two halves keep every shift <= 31 — identical semantics
+    both engines). For unit-ish vectors the expected angle relates
+    monotonically to the sign-agreement count (the SimHash estimate —
+    [[dedup_simhash]] is the text-side sibling), so Hamming top-k is a
+    64x-smaller-index ANN prefilter: 16 bytes/vector, distance = two
+    XORs + two popcounts, no multiplies. Plan: signatures are map-side
+    HOF packing (the scan never shuffles), the probe is a one-row
+    broadcast, top-k lands in TakeOrderedAndProject with (hamming,
+    vec_id) ties — deterministic, exact-hash. At 100 TB the signature
+    table is the thing you'd materialize: 100 TB of fp32 becomes
+    ~780 GB of signatures, scannable per query."""
+    e = table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id",
+        F.expr(_bh_pack_spark(0)).alias("sig_lo"),
+        F.expr(_bh_pack_spark(_BH_HALF)).alias("sig_hi"),
+    )
+    probe = F.broadcast(
+        sigs.filter(F.col("vec_id") == 0).select(
+            F.col("sig_lo").alias("plo"), F.col("sig_hi").alias("phi")
+        )
+    )
+    return (
+        sigs.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            "sig_lo",
+            "sig_hi",
+            (
+                F.bit_count(F.expr("sig_lo ^ plo"))
+                + F.bit_count(F.expr("sig_hi ^ phi"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BH_K)
+    )

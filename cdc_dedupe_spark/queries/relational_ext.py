@@ -1617,3 +1617,88 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_curve — cumulative revenue per user by signup cohort (round 12)
+
+
+@register(
+    "cohort_ltv_curve",
+    group="relational-ext",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events
+    ), fd AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    ), sz AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM fd GROUP BY cohort_day
+    ), r AS (
+      SELECT f.cohort_day, d.day - f.cohort_day AS age_days,
+             CAST(SUM(d.cents) AS BIGINT) AS cents
+      FROM d JOIN fd f ON d.user_id = f.user_id
+      GROUP BY f.cohort_day, d.day - f.cohort_day
+    ), c AS (
+      SELECT cohort_day, age_days,
+             CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age_days)
+                  AS BIGINT) AS cum_cents
+      FROM r
+    )
+    SELECT c.cohort_day, c.age_days, sz.cohort_users, c.cum_cents,
+           c.cum_cents // sz.cohort_users AS ltv_cents_per_user
+    FROM c JOIN sz ON sz.cohort_day = c.cohort_day
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve by signup cohort — the revenue companion of
+    [[cohort_retention]]: users cohorted by their first-activity day,
+    purchase cents rolled up to (cohort, age-in-days), then a running
+    sum per cohort gives cumulative revenue at each age, divided by
+    cohort size for per-user LTV (truncating integer cents — exact both
+    engines). Shape at scale: ONE user_id shuffle builds first-day +
+    joins it back (the events table never joins itself), the (cohort,
+    age) rollup collapses raw events before the window, and the
+    cumulative runs over the tiny |cohorts|x|ages| table (<= days^2
+    rows). Cohort sizes re-aggregate the small first-day table, not
+    raw events."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    fd = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint(eager=False)  # join-back + cohort sizes share it
+    )
+    sz = fd.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_users"))
+    r = (
+        ev.join(fd, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.select(
+        "cohort_day", "age_days", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return c.join(F.broadcast(sz), "cohort_day").select(
+        "cohort_day",
+        "age_days",
+        "cohort_users",
+        "cum_cents",
+        F.expr("cum_cents div cohort_users").alias("ltv_cents_per_user"),
+    )

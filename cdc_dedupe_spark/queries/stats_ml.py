@@ -2039,3 +2039,150 @@ def sample_ab_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_ab_cuped — variance-reduced experiment readout (round 12)
+
+
+def _cuped_oracle() -> str:
+    from ..functions.text import SQL_TOKEN_HASH_WIDE
+
+    h = SQL_TOKEN_HASH_WIDE.format(t="md5(CAST(user_id AS VARCHAR))")
+    cases = " ".join(
+        f"WHEN bucket < {sum(p for _, p in _AB_VARIANTS[: i + 1])} THEN '{name}'"
+        for i, (name, _) in enumerate(_AB_VARIANTS)
+    )
+    theta = (
+        "(CAST(CAST(m.n AS HUGEINT) * m.sxy - CAST(m.sx AS HUGEINT) * m.sy AS DOUBLE)"
+        " / CAST(CAST(m.n AS HUGEINT) * m.sxx - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE))"
+    )
+    num = "CAST(CAST(m.n AS HUGEINT) * m.sxy - CAST(m.sx AS HUGEINT) * m.sy AS DOUBLE)"
+    denx = "CAST(CAST(m.n AS HUGEINT) * m.sxx - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE)"
+    deny = "CAST(CAST(m.n AS HUGEINT) * m.syy - CAST(m.sy AS HUGEINT) * m.sy AS DOUBLE)"
+    return f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events
+    ), b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM d),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN day < b.mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN day >= b.mid THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM d, b GROUP BY user_id
+    ), v AS (
+      SELECT x, y, CASE {cases} END AS variant
+      FROM (SELECT x, y, ({h}) % 100 AS bucket FROM u)
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM v
+    ), g AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sxv, CAST(SUM(y) AS BIGINT) AS syv
+      FROM v GROUP BY variant
+    )
+    SELECT g.variant, g.n_users, g.syv AS post_cents,
+           (round(CAST(g.syv AS DOUBLE) / g.n_users, 6) + 0.0) AS mean_post,
+           (round(CAST(g.syv AS DOUBLE) / g.n_users
+                  - {theta} * (CAST(g.sxv AS DOUBLE) / g.n_users
+                               - CAST(m.sx AS DOUBLE) / m.n), 6) + 0.0) AS mean_adj,
+           (round({theta}, 6) + 0.0) AS theta,
+           (round(({num} * {num}) / ({denx} * {deny}), 6) + 0.0) AS rho2
+    FROM g, m
+    """
+
+
+@register("stats_ab_cuped", group="stats-ml", oracle=_cuped_oracle())
+def stats_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13)
+    — the analysis half of [[sample_ab_assign]]: per-user PRE-period
+    spend (days before the corpus midpoint) is the covariate, POST-
+    period spend the metric; theta = cov(x,y)/var(x) is fit POOLED from
+    six exact BIGINT moments (the [[ml_linreg_normal]] moment pattern —
+    cross products through DECIMAL(38,0)/HUGEINT, one partial-agg
+    shuffle over per-user rows), and each variant's adjusted mean
+    y_v - theta*(x_v - x_pooled) removes the pre-period variance
+    component, shrinking the experiment's CI by a factor of 1 - rho^2
+    (rho^2 emitted from the same moments). Variant assignment is the
+    sample_ab_assign hash — a pure function of user_id, identical both
+    engines. Shape at scale: one user_id shuffle builds per-user (x, y),
+    everything after runs over |variants| + 1 tiny rows; the day
+    midpoint is a one-row broadcast, never a second corpus pass."""
+    from ..functions.text import token_hash_wide
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    b = ev.agg(
+        ((F.min("day") + F.max("day") + 1).cast("long") / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents")).otherwise(0)).alias("y"),
+        )
+    )
+    bucket = (
+        token_hash_wide(F.md5(F.col("user_id").cast("string").cast("binary"))) % 100
+    )
+    expr = None
+    acc = 0
+    for name, pct in _AB_VARIANTS:
+        acc += pct
+        cond = F.col("bucket") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    v = u.select(
+        "x", "y", bucket.alias("bucket")
+    ).select("x", "y", expr.alias("variant")).localCheckpoint(eager=False)
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    g = v.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    num = (_dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy")).cast("double")
+    denx = (_dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")).cast("double")
+    deny = (_dec(F.col("n")) * F.col("syy") - _dec(F.col("sy")) * F.col("sy")).cast("double")
+    theta = num / denx
+    return g.crossJoin(F.broadcast(m)).select(
+        "variant",
+        "n_users",
+        F.col("syv").alias("post_cents"),
+        round_pos(F.col("syv").cast("double") / F.col("n_users"), 6).alias("mean_post"),
+        round_pos(
+            F.col("syv").cast("double") / F.col("n_users")
+            - theta
+            * (
+                F.col("sxv").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("mean_adj"),
+        round_pos(theta, 6).alias("theta"),
+        round_pos((num * num) / (denx * deny), 6).alias("rho2"),
+    )

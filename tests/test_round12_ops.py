@@ -225,3 +225,86 @@ def test_matryoshka_funnel_contract(spark, sf_dir):
     assert len(overlap) >= 1
     for r in overlap:
         assert r.cos_full == brute_by_id[r.vec_id]  # same exact kernel
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_curve
+
+
+def test_cohort_ltv_monotone_and_consistent(spark, sf_dir):
+    """Cumulative LTV is non-decreasing in age within a cohort, and the
+    sum of every cohort's final cumulative cents equals total purchase
+    revenue."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.tables import table
+
+    rows = REGISTRY["cohort_ltv_curve"].spark(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    final_total = 0
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.age_days)
+        cums = [r.cum_cents for r in curve]
+        assert cums == sorted(cums)
+        final_total += cums[-1]
+    want = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert final_total == want
+
+
+# ---------------------------------------------------------------------------
+# vec_binary_hamming
+
+
+def test_binary_hamming_signature_semantics(spark, sf_dir):
+    """Each signature bit is exactly sign(dim) of the source embedding,
+    and the reported Hamming distance equals the recomputed XOR popcount
+    against the probe's signature."""
+    from cdc_dedupe_spark.tables import table
+
+    rows = REGISTRY["vec_binary_hamming"].spark(spark, sf_dir).collect()
+    assert len(rows) == 5
+    emb = {
+        r.vec_id: r.embedding
+        for r in table(spark, sf_dir, "embeddings")
+        .filter("vec_id IN (0, " + ",".join(str(r.vec_id) for r in rows) + ")")
+        .collect()
+    }
+
+    def pack(vec):
+        lo = sum(1 << i for i in range(32) if vec[i] > 0)
+        hi = sum(1 << i for i in range(32) if vec[32 + i] > 0)
+        return lo, hi
+
+    plo, phi = pack(emb[0])
+    for r in rows:
+        lo, hi = pack(emb[r.vec_id])
+        assert (r.sig_lo, r.sig_hi) == (lo, hi)
+        assert r.hamming == bin((lo ^ plo)).count("1") + bin((hi ^ phi)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# stats_ab_cuped
+
+
+def test_cuped_reduces_to_post_mean_and_shares_assignment(spark, sf_dir):
+    """The adjusted means must average (weighted by variant size) to the
+    pooled post mean shifted by nothing — sum_v n_v*(adj_v - post_v) =
+    -theta * sum_v n_v*(x_v - x_pooled) = 0 — and variant sizes must
+    match sample_ab_assign's hash-partition property (every user in
+    exactly one variant)."""
+    rows = REGISTRY["stats_ab_cuped"].spark(spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {"A", "B", "C"}
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1  # pooled fit, same on every row
+    # weighted adjustment sums to ~zero (floats rounded to 6dp => loose tol)
+    drift = sum(r.n_users * (r.mean_adj - r.mean_post) for r in rows)
+    total = sum(r.n_users for r in rows)
+    assert abs(drift) / total < 1e-3
+    assert all(r.rho2 >= 0.0 for r in rows)
