@@ -1076,3 +1076,120 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("event_type", "rk", "event_id", "cents", "ip", "n_seen")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_topk_spacesaving — bounded-state heavy hitters (round 12)
+
+
+_SS_K = 64  # counters per shard
+
+_SS_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("user_id", LongType()),
+        StructField("count_hat", LongType()),
+        StructField("err_max", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+_SS_STATE = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _ss_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Space-Saving fold (Metwally et al., ICDT 2005): at most k
+    counters per shard, ever. A new key evicts the minimum counter and
+    inherits its count (recorded as that key's max overestimate err).
+    Guarantees regardless of order: count_hat in [true, true + n/k],
+    and every key with true count > n/k is PRESENT. Which near-minimum
+    keys survive does depend on arrival order — hence the query's
+    declared rows-only contract (like [[stream_bloom_dedupe]]); the
+    guarantees themselves are pinned by unit test."""
+    if state.exists:
+        keys, counts, errs, n = state.get
+        table = {k: (c, e) for k, c, e in zip(keys, counts, errs)}
+    else:
+        table, n = {}, 0
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            n += 1
+            if uid in table:
+                c, e = table[uid]
+                table[uid] = (c + 1, e)
+            elif len(table) < _SS_K:
+                table[uid] = (1, 0)
+            else:
+                # evict the minimum counter; tie-break on key for a
+                # deterministic replay (arrival order still matters)
+                mk = min(table, key=lambda t: (table[t][0], t))
+                mc, _ = table.pop(mk)
+                table[uid] = (mc + 1, mc)
+    items = sorted(table.items(), key=lambda t: (-t[1][0], t[0]))
+    state.update(
+        (
+            [k for k, _ in items],
+            [c for _, (c, _) in items],
+            [e for _, (_, e) in items],
+            n,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(items),
+            "user_id": [k for k, _ in items],
+            "count_hat": [c for _, (c, _) in items],
+            "err_max": [e for _, (_, e) in items],
+            "n_seen": [n] * len(items),
+        }
+    )
+
+
+@register("stream_topk_spacesaving", group="streaming", oracle=None)
+def stream_topk_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with HARD-bounded state — Space-Saving /
+    Misra-Gries, the deterministic-guarantee counterpart of the batch
+    [[agg_cms_heavy_hitters]] sketch and the last point on the repo's
+    bounded-state spectrum (exact dropDuplicates / TTL'd watermark /
+    bloom / HLL registers / min-k reservoir / five-int CUSUM / k
+    counters here): per shard at most k=64 (key, count, err) counters
+    EVER, any throughput. Every emitted count_hat overestimates the
+    true count by at most err_max <= n/k, and any key whose true
+    frequency exceeds n/k is guaranteed present — the audit columns a
+    downstream consumer needs (n_seen, err_max) ride along. Summaries
+    of disjoint shards merge by counter addition + re-trim (the
+    fleet-union shape). WHICH near-threshold keys survive depends on
+    arrival order => declared rows-only (the same honest contract as
+    stream_bloom_dedupe); the frequency guarantee, the state bound and
+    merge correctness are pinned in tests/test_round12_ops.py. At
+    100 TB: shard = hash(user) % 8 spreads counters across state
+    partitions; k scales with the n/k error target, never with
+    cardinality."""
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", (F.col("user_id") % 8).alias("shard")
+    )
+    folded = stream.groupBy("shard").applyInPandasWithState(
+        _ss_fold,
+        outputStructType=_SS_OUT,
+        stateStructType=_SS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_topk_spacesaving", output_mode="update")
+    from pyspark.sql import Window as _W
+
+    mx = F.max("n_seen").over(_W.partitionBy("shard"))
+    return (
+        out.withColumn("_mx", mx)
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("shard", "user_id", "count_hat", "err_max", "n_seen")
+    )

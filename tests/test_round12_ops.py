@@ -308,3 +308,74 @@ def test_cuped_reduces_to_post_mean_and_shares_assignment(spark, sf_dir):
     total = sum(r.n_users for r in rows)
     assert abs(drift) / total < 1e-3
     assert all(r.rho2 >= 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# stream_topk_spacesaving
+
+
+def _ss_run(stream_ids, state=None, chunks=1):
+    from cdc_dedupe_spark.queries.streaming import _ss_fold
+
+    st = _FakeGroupState(state)
+    step = max(1, len(stream_ids) // chunks)
+    batches = [stream_ids[i : i + step] for i in range(0, len(stream_ids), step)]
+    out = None
+    for b in batches:
+        out = list(_ss_fold((0,), iter([pd.DataFrame({"user_id": b})]), st))[0]
+    return st.get, out
+
+
+def test_spacesaving_guarantees():
+    """The Space-Saving invariants that hold at ANY arrival order:
+    (1) at most k counters; (2) count_hat in [true, true + n/k];
+    (3) every key with true count > n/k is present; (4) err_max <= n/k."""
+    from collections import Counter
+
+    from cdc_dedupe_spark.queries.streaming import _SS_K
+
+    rng = random.Random(42)
+    # zipf-ish: a few heavy keys over a long uniform tail wider than k
+    stream = [rng.randrange(1, 10) for _ in range(5_000)] + [
+        rng.randrange(10, 2_000) for _ in range(5_000)
+    ]
+    rng.shuffle(stream)
+    true = Counter(stream)
+    n = len(stream)
+    (keys, counts, errs, n_state), out = _ss_run(stream, chunks=7)
+    assert n_state == n
+    assert len(keys) <= _SS_K
+    bound = n // _SS_K
+    got = dict(zip(keys, counts))
+    for k, c in got.items():
+        assert true[k] <= c <= true[k] + bound, (k, c, true[k])
+    for k, e in zip(keys, errs):
+        assert 0 <= e <= bound
+    for k, cnt in true.items():
+        if cnt > bound:
+            assert k in got, f"guaranteed heavy hitter {k} (count {cnt}) missing"
+
+
+def test_spacesaving_state_is_bounded_and_merges():
+    """State stays <= k counters across batches, and two shard summaries
+    merge by counter addition + re-trim while preserving the combined
+    frequency guarantee."""
+    from collections import Counter
+
+    from cdc_dedupe_spark.queries.streaming import _SS_K
+
+    rng = random.Random(7)
+    s1 = [rng.randrange(1, 500) for _ in range(4_000)]
+    s2 = [rng.randrange(1, 500) for _ in range(4_000)]
+    (k1, c1, e1, n1), _ = _ss_run(s1, chunks=3)
+    (k2, c2, e2, n2), _ = _ss_run(s2, chunks=2)
+    assert len(k1) <= _SS_K and len(k2) <= _SS_K
+    merged: dict = {}
+    for keys, counts in ((k1, c1), (k2, c2)):
+        for k, c in zip(keys, counts):
+            merged[k] = merged.get(k, 0) + c
+    trimmed = dict(sorted(merged.items(), key=lambda t: (-t[1], t[0]))[:_SS_K])
+    true = Counter(s1 + s2)
+    bound = n1 // _SS_K + n2 // _SS_K
+    for k, c in trimmed.items():
+        assert true[k] <= c <= true[k] + bound
