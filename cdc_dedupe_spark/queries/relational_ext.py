@@ -1702,3 +1702,104 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_cents",
         F.expr("cum_cents div cohort_users").alias("ltv_cents_per_user"),
     )
+
+
+_FUNNEL_W_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "events_funnel_windowed",
+    group="relational-ext",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             MIN(ts_us) FILTER (WHERE event_type = 'signup') AS s_us
+      FROM e GROUP BY user_id
+    ), c AS (
+      SELECT u.user_id, u.s_us, MIN(e.ts_us) AS c_us
+      FROM u JOIN e ON e.user_id = u.user_id
+       AND e.event_type = 'click'
+       AND e.ts_us > u.s_us AND e.ts_us <= u.s_us + {_FUNNEL_W_US}
+      GROUP BY u.user_id, u.s_us
+    ), p AS (
+      SELECT c.user_id, MIN(e.ts_us) AS p_us
+      FROM c JOIN e ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts_us > c.c_us AND e.ts_us <= c.c_us + {_FUNNEL_W_US}
+      GROUP BY c.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(u.s_us) AS BIGINT) AS n_signup,
+           CAST(COUNT(c.c_us) AS BIGINT) AS n_click_7d,
+           CAST(COUNT(p.p_us) AS BIGINT) AS n_purchase_7d,
+           CAST(COALESCE(COUNT(p.p_us) * 10000 // NULLIF(COUNT(u.s_us), 0), 0) AS BIGINT)
+             AS conv_bp
+    FROM u
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a BOUNDED attribution window — the
+    production form of [[funnel_conversion]]: a click only counts if it
+    lands within 7 days of the user's first signup, a purchase only
+    within 7 days of that FIRST qualifying click (strictly after each
+    anchor, matching the funnel_conversion `>` chain). Unbounded funnels
+    overcount conversions on long-lived users; every growth stack bounds
+    the window.
+
+    The per-step "earliest event after an anchor derived from the
+    previous step" is three CHAINED conditional-min window functions
+    over the SAME user_id partitioning — each step's predicate consumes
+    the previous window's column, Catalyst stacks the Window nodes on
+    one exchange, and nothing ever self-joins the event log (the oracle
+    does it the join way; the Spark plan shuffles events exactly once).
+    Final funnel counts are a single-row rollup of the per-user step
+    flags. At 100 TB: one hash exchange on user_id, then O(users) rows
+    into a 5-number summary; window depth is funnel length, not data."""
+    w = Window.partitionBy("user_id")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s_us = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w)
+    staged = e.withColumn("s_us", s_us)
+    c_us = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") > F.col("s_us"))
+            & (F.col("ts_us") <= F.col("s_us") + _FUNNEL_W_US),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_us", c_us)
+    p_us = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("c_us"))
+            & (F.col("ts_us") <= F.col("c_us") + _FUNNEL_W_US),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_us", p_us)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("s_us").alias("s_us"),
+        F.max("c_us").alias("c_us"),
+        F.max("p_us").alias("p_us"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s_us").isNotNull().cast("long")).alias("n_signup"),
+        F.sum(F.col("c_us").isNotNull().cast("long")).alias("n_click_7d"),
+        F.sum(F.col("p_us").isNotNull().cast("long")).alias("n_purchase_7d"),
+    ).select(
+        "n_users",
+        "n_signup",
+        "n_click_7d",
+        "n_purchase_7d",
+        F.expr(
+            "coalesce(n_purchase_7d * 10000 div nullif(n_signup, 0), 0)"
+        ).cast("long").alias("conv_bp"),
+    )

@@ -22,7 +22,7 @@ sqrt / ln happens in IEEE doubles through an identical op chain, then
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -2185,4 +2185,245 @@ def stats_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_adj"),
         round_pos(theta, 6).alias("theta"),
         round_pos((num * num) / (denx * deny), 6).alias("rho2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_anova_oneway — one-way ANOVA F test across event types
+
+
+@register(
+    "stats_anova_oneway",
+    group="stats-ml",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+      FROM events GROUP BY event_type
+    ), g AS (
+      SELECT event_type, n, sx, sxx,
+             CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / CAST(n AS DOUBLE) AS t
+      FROM m
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(sx) AS BIGINT) AS gx,
+             CAST(SUM(sxx) AS BIGINT) AS gxx,
+             list_reduce(
+               list_prepend(0.0, list(t ORDER BY event_type)),
+               (a, b) -> a + b
+             ) AS tsum
+      FROM g
+    ), e AS (
+      SELECT k, n_total,
+             tsum - CAST(CAST(gx AS HUGEINT) * gx AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS ssb,
+             CAST(gxx AS DOUBLE) - tsum AS ssw
+      FROM tot
+    )
+    SELECT k, n_total,
+           (round(ssb, 4) + 0.0) AS ss_between,
+           (round(ssw, 4) + 0.0) AS ss_within,
+           (round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) + 0.0) AS f_stat,
+           (round(ssb / (ssb + ssw), 6) + 0.0) AS eta_sq
+    FROM e
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of the cents value across the five event
+    types — does ANY group mean differ — completing the hypothesis-test
+    family next to the two-group mean shift ([[stats_two_sample]]), the
+    distribution shift ([[stats_ks_two_sample]]) and the rank shift
+    ([[stats_mann_whitney]]). The corpus collapses to three exact BIGINT
+    moments per group (n, Σx, Σx²) in ONE partial-agg shuffle; each
+    group's Σx²ᵍ/nᵍ term is one HUGEINT/DECIMAL(38,0)-exact product cast
+    to double and ONE division, and the cross-group sum — the only
+    order-sensitive float reduction — folds in sorted event_type order
+    via sorted-collect + aggregate() (the [[ts_ewma_hourly]] discipline),
+    so SSB, SSW, F and eta² are the identical IEEE op chain both engines.
+
+    At 100 TB this is |groups| × 3 scalars over one exchange — the
+    variance decomposition is free; the fold is O(k) on one row."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        table(spark, sf_dir, "events")
+        .select("event_type", cents.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    t = (_dec(F.col("sx")) * F.col("sx")).cast("double") / F.col("n").cast("double")
+    g = m.withColumn("t", t)
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("sx").alias("gx"),
+        F.sum("sxx").alias("gxx"),
+        F.array_sort(F.collect_list(F.struct("event_type", "t"))).alias("terms"),
+    )
+    tsum = F.aggregate(
+        F.transform(F.col("terms"), lambda s: s["t"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    e = tot.select(
+        "k",
+        "n_total",
+        (
+            tsum
+            - (_dec(F.col("gx")) * F.col("gx")).cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("ssb"),
+        (F.col("gxx").cast("double") - tsum).alias("ssw"),
+    )
+    return e.select(
+        "k",
+        "n_total",
+        round_pos(F.col("ssb"), 4).alias("ss_between"),
+        round_pos(F.col("ssw"), 4).alias("ss_within"),
+        round_pos(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        round_pos(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump — exact best-split decision stump (the GBDT primitive)
+
+
+@register(
+    "ml_decision_stump",
+    group="stats-ml",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM events
+    ), r AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM e GROUP BY cents
+    ), c AS (
+      SELECT cents,
+             CAST(SUM(n) OVER w AS BIGINT) AS n_left,
+             CAST(SUM(pos) OVER w AS BIGINT) AS pos_left
+      FROM r
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(pos) AS BIGINT) AS pos_all FROM r
+    ), cand AS (
+      SELECT c.cents, c.n_left, c.pos_left,
+             tot.n_all - c.n_left AS n_right,
+             tot.pos_all - c.pos_left AS pos_right,
+             tot.n_all AS n_all, tot.pos_all AS pos_all
+      FROM c, tot
+      WHERE c.n_left < tot.n_all
+    ), s AS (
+      SELECT *,
+             CAST(CAST(pos_left AS HUGEINT) * (n_left - pos_left) AS DOUBLE)
+               / CAST(n_left AS DOUBLE)
+             + CAST(CAST(pos_right AS HUGEINT) * (n_right - pos_right) AS DOUBLE)
+               / CAST(n_right AS DOUBLE) AS wimp
+      FROM cand
+    )
+    SELECT cents AS split_cents, n_left, pos_left, n_right, pos_right,
+           (round(2.0 * wimp / CAST(n_all AS DOUBLE), 6) + 0.0) AS gini_children,
+           (round(2.0 * (CAST(CAST(pos_all AS HUGEINT) * (n_all - pos_all) AS DOUBLE)
+                         / CAST(n_all AS DOUBLE)) / CAST(n_all AS DOUBLE), 6) + 0.0)
+             AS gini_parent,
+           (round(2.0 * (CAST(CAST(pos_all AS HUGEINT) * (n_all - pos_all) AS DOUBLE)
+                         / CAST(n_all AS DOUBLE)) / CAST(n_all AS DOUBLE)
+                  - 2.0 * wimp / CAST(n_all AS DOUBLE), 6) + 0.0) AS gini_gain
+    FROM s
+    ORDER BY wimp, cents
+    LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split decision stump on the cents value predicting the
+    purchase label — the base learner of every gradient-boosted tree and
+    the histogram-split kernel inside LightGBM/XGBoost, run as a pure
+    DataFrame plan: candidate thresholds are the DISTINCT value rollup
+    (the [[stats_ks_two_sample]] value-domain discipline — cumulative
+    class counts run over ≤|domain| rollup rows, never raw rows), the
+    weighted Gini impurity of each split folds to 2·(pLqL/nL + pRqR/nR)/n
+    with EXACT HUGEINT/DECIMAL(38,0) count products and one division per
+    side (identical IEEE chain both engines), and the argmin is a single
+    min(struct(wimp, cents)) — deterministic ties to the smallest
+    threshold.
+
+    Shape at scale: one map-side-combined rollup shuffle on the value
+    key; the cumulative window runs over the bounded value domain (a
+    fixed-width histogram at 100 TB — exactly what the GBDT engines do);
+    totals ride as a one-row broadcast. Output is ONE row at any n."""
+    ev = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    r = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = r.select(
+        "cents",
+        F.sum("n").over(wc).alias("n_left"),
+        F.sum("pos").over(wc).alias("pos_left"),
+    )
+    tot = r.agg(
+        F.sum("n").alias("n_all"), F.sum("pos").alias("pos_all")
+    )
+    cand = (
+        c.join(F.broadcast(tot))
+        .where(F.col("n_left") < F.col("n_all"))
+        .select(
+            "cents",
+            "n_left",
+            "pos_left",
+            (F.col("n_all") - F.col("n_left")).alias("n_right"),
+            (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+            "n_all",
+            "pos_all",
+        )
+    )
+    wimp = (
+        (_dec(F.col("pos_left")) * (F.col("n_left") - F.col("pos_left"))).cast("double")
+        / F.col("n_left").cast("double")
+        + (_dec(F.col("pos_right")) * (F.col("n_right") - F.col("pos_right"))).cast("double")
+        / F.col("n_right").cast("double")
+    )
+    s = cand.withColumn("wimp", wimp)
+    best = s.agg(
+        F.min(
+            F.struct(
+                "wimp", "cents", "n_left", "pos_left", "n_right", "pos_right",
+                "n_all", "pos_all",
+            )
+        ).alias("b")
+    ).select("b.*")
+    gini_parent = (
+        2.0
+        * (
+            (_dec(F.col("pos_all")) * (F.col("n_all") - F.col("pos_all"))).cast("double")
+            / F.col("n_all").cast("double")
+        )
+        / F.col("n_all").cast("double")
+    )
+    gini_children = 2.0 * F.col("wimp") / F.col("n_all").cast("double")
+    return best.select(
+        F.col("cents").alias("split_cents"),
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        round_pos(gini_children, 6).alias("gini_children"),
+        round_pos(gini_parent, 6).alias("gini_parent"),
+        round_pos(gini_parent - gini_children, 6).alias("gini_gain"),
     )

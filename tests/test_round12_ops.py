@@ -379,3 +379,138 @@ def test_spacesaving_state_is_bounded_and_merges():
     bound = n1 // _SS_K + n2 // _SS_K
     for k, c in trimmed.items():
         assert true[k] <= c <= true[k] + bound
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2_history
+
+
+def test_scd2_versions_chain(spark, sf_dir):
+    """SCD-2 invariants: per entity the version numbers are 1..n with no
+    gaps, exactly ONE current version (the max), and every closed
+    version's valid_to equals the next version's valid_from — the
+    validity intervals tile the entity's timeline with no holes or
+    overlaps."""
+    rows = REGISTRY["cdc_scd2_history"].spark(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1)), uid
+        currents = [r for r in vs if r.is_current == 1]
+        assert len(currents) == 1 and currents[0].version == len(vs), uid
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us, (uid, a.version)
+            assert a.duration_us == a.valid_to_us - a.valid_from_us >= 0
+        assert vs[-1].valid_to_us == -1 and vs[-1].duration_us == -1
+
+
+def test_scd2_covers_every_event(spark, sf_dir):
+    """One version row per change event — nothing merged, nothing
+    dropped (history preservation is the SCD-2 contract)."""
+    from cdc_dedupe_spark.tables import table
+
+    n_events = table(spark, sf_dir, "events").count()
+    n_versions = REGISTRY["cdc_scd2_history"].spark(spark, sf_dir).count()
+    assert n_versions == n_events
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_windowed
+
+
+def test_funnel_windowed_monotone_and_bounded(spark, sf_dir):
+    """Step counts can only shrink down the funnel, the bounded-window
+    counts can never exceed the unbounded funnel's, and conv_bp is the
+    exact integer ratio of the emitted counts."""
+    row = REGISTRY["events_funnel_windowed"].spark(spark, sf_dir).collect()[0]
+    assert row.n_users >= row.n_signup >= row.n_click_7d >= row.n_purchase_7d >= 0
+    if row.n_signup:
+        assert row.conv_bp == row.n_purchase_7d * 10000 // row.n_signup
+    # NOTE: n_click_7d is NOT bounded by funnel_conversion's
+    # n_signup_click — the unbounded funnel compares the FIRST click
+    # against the first signup, while the windowed funnel admits any
+    # later click inside the window; only the signup stage is shared.
+    unbounded = REGISTRY["funnel_conversion"].spark(spark, sf_dir).collect()[0]
+    assert row.n_signup == unbounded.n_signup
+
+
+# ---------------------------------------------------------------------------
+# stats_anova_oneway
+
+
+def test_anova_matches_pure_python(spark, sf_dir):
+    """Independent float implementation of the variance decomposition
+    (grand/group means, not the moments form) agrees to 1e-9 relative —
+    guards against a moments-algebra slip the oracle twin (same algebra)
+    could mirror."""
+    from cdc_dedupe_spark.tables import table
+
+    row = REGISTRY["stats_anova_oneway"].spark(spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(round(r.value * 100))
+    allv = [x for vs in groups.values() for x in vs]
+    gm = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum(
+        (x - sum(vs) / len(vs)) ** 2 for vs in groups.values() for x in vs
+    )
+    assert row.k == len(groups) and row.n_total == len(allv)
+    assert abs(row.ss_between - ssb) <= 1e-6 * max(1.0, abs(ssb))
+    assert abs(row.ss_within - ssw) <= 1e-6 * max(1.0, abs(ssw))
+    k, n = row.k, row.n_total
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(row.f_stat - f) <= 1e-6 * max(1.0, abs(f))
+    assert 0.0 <= row.eta_sq <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump
+
+
+def test_stump_is_argmin_over_all_thresholds(spark, sf_dir):
+    """Brute-force every candidate threshold in python: the emitted
+    split must achieve the global minimum weighted Gini (ties to the
+    smallest threshold), and the gain must be non-negative (a split can
+    never be worse than the parent at the optimum: the parent's
+    impurity is achievable in the limit and every candidate's children
+    partition the parent)."""
+    from cdc_dedupe_spark.tables import table
+
+    row = REGISTRY["ml_decision_stump"].spark(spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events").select("event_type", "value").collect()
+    pts = sorted(
+        (round(r.value * 100), 1 if r.event_type == "purchase" else 0) for r in ev
+    )
+    n_all = len(pts)
+    pos_all = sum(y for _, y in pts)
+    best = None
+    nl = pl = 0
+    i = 0
+    cents_sorted = sorted({c for c, _ in pts})
+    by_c = {}
+    for c, y in pts:
+        a = by_c.setdefault(c, [0, 0])
+        a[0] += 1
+        a[1] += y
+    for c in cents_sorted:
+        nl += by_c[c][0]
+        pl += by_c[c][1]
+        if nl >= n_all:
+            continue
+        nr, pr = n_all - nl, pos_all - pl
+        w = pl * (nl - pl) / nl + pr * (nr - pr) / nr
+        key = (w, c)
+        if best is None or key < best[0]:
+            best = (key, (c, nl, pl, nr, pr))
+    (bw, bc), (c, nl, pl, nr, pr) = best[0], best[1]
+    assert (row.split_cents, row.n_left, row.pos_left, row.n_right, row.pos_right) == (
+        c, nl, pl, nr, pr,
+    )
+    assert row.gini_gain >= 0.0
+    # emitted gini_children is round(..., 6): half-ulp tolerance 5e-7
+    assert abs(row.gini_children - 2.0 * bw / n_all) <= 5e-7
