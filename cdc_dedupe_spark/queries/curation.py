@@ -688,3 +688,71 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("novelty_bp", F.expr("novel_spans * 10000 div n_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_systematic — every k-th document in content-hash order (round 12)
+
+
+_SYS_K = 20  # sampling interval: keep ranks 1, K+1, 2K+1, ...
+_SYS_BKT_DIV = 1 << 52  # 60-bit md5 prefix div 2^52 -> <=256 ordered buckets
+
+
+@register(
+    "sample_systematic",
+    group="curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank
+      FROM t
+    )
+    SELECT doc_id, lang, rank
+    FROM r WHERE (rank - 1) % {_SYS_K} = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling — every {_SYS_K}-th document along the md5
+    content-hash order (the textbook survey design: one fixed start,
+    fixed stride; hash order makes the frame a pure function of content,
+    so the sample is rerun/partitioning/engine-stable like
+    [[sample_stratified]] and avoids the periodicity artifact that kills
+    systematic sampling on naturally-ordered frames). Completes the
+    sampling family: uniform ([[sample_reservoir_topk]]), stratified,
+    weighted ([[sample_priority_weighted]]), balanced
+    ([[sample_class_balance]]), diverse ([[sample_kcenter_diverse]]).
+
+    The global rank over hash order is the two-phase scan
+    ([[doc_global_shuffle_shard]]'s machinery with COUNT for SUM): the
+    hash's top bits form ~256 ORDERED buckets, phase 1 counts per
+    bucket map-side, phase 2 prefix-sums the tiny bucket table, phase 3
+    is a within-bucket row_number — no SinglePartition window at any
+    corpus size; the stride filter is map-side arithmetic on the rank."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).withColumn("bkt", F.expr(f"h div {_SYS_BKT_DIV}"))
+    bcnt = t.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boffs = bcnt.select(
+        "bkt", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("boff")
+    )
+    ww = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    ranked = (
+        t.join(F.broadcast(boffs), "bkt")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("boff") + F.row_number().over(ww)).cast("long").alias("rank"),
+        )
+    )
+    return ranked.where((F.col("rank") - 1) % _SYS_K == 0).select(
+        "doc_id", "lang", "rank"
+    )

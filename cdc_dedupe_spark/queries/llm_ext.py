@@ -3253,3 +3253,173 @@ def vec_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(_BH_K)
     )
+
+
+# --- graph_2hop_reach — 2-hop neighborhood census (round 12) -----------------
+
+
+_REACH2_ORACLE = f"""
+    WITH knn AS (SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+      FROM knn
+    ),
+    sym AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY 1),
+    h2 AS (
+      SELECT DISTINCT a.src, b.dst
+      FROM sym a JOIN sym b ON b.src = a.dst AND b.dst <> a.src
+      WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = a.src AND s.dst = b.dst)
+    ),
+    n2 AS (SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_two_hop FROM h2 GROUP BY 1)
+    SELECT e.vec_id,
+           COALESCE(deg.degree, 0) AS degree,
+           COALESCE(n2.n_two_hop, 0) AS n_two_hop,
+           COALESCE(deg.degree, 0) + COALESCE(n2.n_two_hop, 0) AS n_reach2
+    FROM embeddings e
+    LEFT JOIN deg USING (vec_id) LEFT JOIN n2 USING (vec_id)
+    """
+
+
+@register("graph_2hop_reach", group="llm-ext", oracle=_REACH2_ORACLE)
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop neighborhood census over the shared k-NN graph (round
+    12): per node, its 1-hop degree, the number of STRICTLY-2-hop nodes
+    (reachable through a neighbor, not adjacent, not self) and the total
+    2-ball size — the expansion profile that tells a semantic-dedup
+    review how fast cluster influence spreads (low 2-hop growth = tight
+    near-dup pockets the CC pass will collapse; high growth = hub
+    contamination), the BFS-frontier companion of
+    [[graph_triangle_count]]'s closure view on the same edges.
+
+    Algorithm: symmetric adjacency from the canonical undirected edges,
+    one wedge equi-join (a.dst = b.src) for 2-hop candidates — O(n·k²)
+    rows from a k-NN build, never O(n²) — then a hash ANTI join against
+    the adjacency drops 1-hop shortcuts (the graph_link_predict
+    discipline) and a distinct + count per source. All shuffles are on
+    high-cardinality node keys; the edge build reuses the shared LSH
+    checkpoint. At 100 TB the same plan is iterated BFS with lineage
+    truncation per hop — 2 hops is two joins, never a driver loop."""
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    und = (
+        _knn_edges(spark, sf_dir)
+        .select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)  # wedge join + anti join + degree share it
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    a, b = sym.alias("a"), sym.alias("b")
+    cand = (
+        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("b.dst") != F.col("a.src")))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )
+    strict2 = cand.join(sym, ["src", "dst"], "left_anti")
+    n2 = strict2.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_two_hop"))
+    return (
+        nodes.join(deg, nodes.vec_id == deg.src, "left")
+        .drop("src")
+        .join(n2, nodes.vec_id == n2.src, "left")
+        .drop("src")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce("n_two_hop", F.lit(0).cast("long")).alias("n_two_hop"),
+            (
+                F.coalesce("degree", F.lit(0).cast("long"))
+                + F.coalesce("n_two_hop", F.lit(0).cast("long"))
+            ).alias("n_reach2"),
+        )
+    )
+
+
+# --- text_keyword_rake — RAKE keyword extraction (round 12) ------------------
+
+
+_RAKE_STOPS = ("the", "a", "of", "and")
+_RAKE_TOPK = 20
+
+
+_RAKE_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), ph AS (
+      SELECT doc_id, word, pos,
+             CASE WHEN word IN {str(tuple(_RAKE_STOPS))} THEN 1 ELSE 0 END AS stop,
+             SUM(CASE WHEN word IN {str(tuple(_RAKE_STOPS))} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+      FROM tk
+    ), nw AS (
+      SELECT doc_id, word, phrase_id,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT) AS phrase_len
+      FROM ph WHERE stop = 0 AND word <> ''
+    ), sc AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(phrase_len) AS BIGINT) AS degree
+      FROM nw GROUP BY word
+    )
+    SELECT word, freq, degree,
+           CAST(degree * 1000000 // freq AS BIGINT) AS score_ppm
+    FROM sc
+    ORDER BY score_ppm DESC, word
+    LIMIT {_RAKE_TOPK}
+    """
+
+
+@register("text_keyword_rake", group="llm-ext", oracle=_RAKE_ORACLE)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: phrases
+    are maximal stopword-free token runs, each word scores degree/freq
+    where degree sums the lengths of every phrase containing it (words
+    that live in LONG content phrases beat equally-frequent words that
+    appear alone) — the classic unsupervised keyword scorer, next to
+    [[text_pmi_bigrams]]' collocation view and [[text_tfidf]]'s per-doc
+    weighting. Scores are exact integer ppm (degree·10⁶ div freq), top-20
+    by (score, word).
+
+    Plan: tokens posexplode map-side; the phrase segmentation is a
+    cumulative stopword count — one window per doc_id partition, then the
+    phrase-length count window CO-PARTITIONS on (doc_id, phrase_id)
+    under the same exchange; per-word totals are one map-side-combined
+    agg on the word key and the top-k is TakeOrderedAndProject. One
+    doc_id exchange + one word-key exchange at any corpus size; the
+    stopword list is a literal (broadcast config at 100 TB)."""
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tk = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .withColumn("stop", F.col("word").isin(*_RAKE_STOPS).cast("long"))
+    )
+    ph = tk.withColumn("phrase_id", F.sum("stop").over(wd))
+    nw = ph.where((F.col("stop") == 0) & (F.col("word") != "")).withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")).cast("long"),
+    )
+    sc = nw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    return (
+        sc.select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("degree * 1000000 div freq").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "word")
+        .limit(_RAKE_TOPK)
+    )

@@ -514,3 +514,94 @@ def test_stump_is_argmin_over_all_thresholds(spark, sf_dir):
     assert row.gini_gain >= 0.0
     # emitted gini_children is round(..., 6): half-ulp tolerance 5e-7
     assert abs(row.gini_children - 2.0 * bw / n_all) <= 5e-7
+
+
+# ---------------------------------------------------------------------------
+# graph_2hop_reach
+
+
+def test_2hop_reach_matches_bfs_on_emitted_edges(spark, sf_dir):
+    """Pure-python BFS over the DECLARED knn edges (ann_knn_graph output)
+    must reproduce degree / strict-2-hop counts — an independent
+    adjacency-set implementation, not the wedge-join algebra."""
+    edges = REGISTRY["ann_knn_graph"].spark(spark, sf_dir).collect()
+    reach = REGISTRY["graph_2hop_reach"].spark(spark, sf_dir).collect()
+    adj = {}
+    for e in edges:
+        u, v = min(e.vec_id, e.nbr_id), max(e.vec_id, e.nbr_id)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in reach:
+        nbrs = adj.get(r.vec_id, set())
+        two = set()
+        for m in nbrs:
+            two |= adj.get(m, set())
+        two -= nbrs
+        two.discard(r.vec_id)
+        assert (r.degree, r.n_two_hop, r.n_reach2) == (
+            len(nbrs), len(two), len(nbrs) + len(two),
+        ), r.vec_id
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_rake
+
+
+def test_rake_matches_pure_python(spark, sf_dir):
+    """Independent phrase segmentation + degree/freq scoring in python
+    reproduces the emitted top-20 exactly (score ties broken by word)."""
+    from cdc_dedupe_spark.queries.llm_ext import _RAKE_STOPS, _RAKE_TOPK
+    from cdc_dedupe_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("text").collect()
+    freq, degree = {}, {}
+    for d in docs:
+        phrase = []
+        for w in d.text.split(" ") + [list(_RAKE_STOPS)[0]]:
+            if w in _RAKE_STOPS or w == "":
+                if w in _RAKE_STOPS or not phrase:
+                    for x in phrase:
+                        freq[x] = freq.get(x, 0) + 1
+                        degree[x] = degree.get(x, 0) + len(phrase)
+                    phrase = []
+                if w == "":
+                    # empty tokens are dropped but do NOT break the phrase
+                    continue
+            else:
+                phrase.append(w)
+    scored = sorted(
+        ((degree[w] * 1000000 // freq[w], w) for w in freq),
+        key=lambda t: (-t[0], t[1]),
+    )[:_RAKE_TOPK]
+    got = [
+        (r.score_ppm, r.word, r.freq, r.degree)
+        for r in REGISTRY["text_keyword_rake"].spark(spark, sf_dir).collect()
+    ]
+    assert [(s, w) for s, w, *_ in got] == scored
+    for s, w, f, dg in got:
+        assert (f, dg) == (freq[w], degree[w])
+
+
+# ---------------------------------------------------------------------------
+# sample_systematic
+
+
+def test_systematic_stride_and_frame(spark, sf_dir):
+    """The sample is exactly every K-th document of the md5-ordered
+    frame: recompute the frame with hashlib and check the selected set,
+    the stride residues, and the size ceil(n/K)."""
+    import hashlib
+
+    from cdc_dedupe_spark.queries.curation import _SYS_K
+    from cdc_dedupe_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    frame = sorted(
+        (int(hashlib.md5(d.text.encode()).hexdigest()[:15], 16), d.doc_id)
+        for d in docs
+    )
+    expect = {doc_id: i + 1 for i, (_, doc_id) in enumerate(frame) if i % _SYS_K == 0}
+    got = REGISTRY["sample_systematic"].spark(spark, sf_dir).collect()
+    assert {r.doc_id: r.rank for r in got} == expect
+    assert all((r.rank - 1) % _SYS_K == 0 for r in got)
+    assert len(got) == (len(docs) + _SYS_K - 1) // _SYS_K
