@@ -2380,6 +2380,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how a 100 TB ANN serving index evaluates: cells prune the
     corpus, codes shrink it 64x, and the query pays 8 integer lookups
     per candidate instead of a 64-dim distance."""
+    return (
+        _ivfpq_scored(spark, sf_dir)
+        .select("vec_id", "adc_d")
+        .orderBy(F.col("adc_d").asc(), "vec_id")
+        .limit(_IVFPQ_TOPK)
+    )
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-PQ candidate scorer: every vector in the probe's coarse
+    cell with BOTH its ADC distance (approximate — 8 integer table
+    lookups) and its exact integer L2² distance to the probe.
+    ann_ivfpq_topk ranks on adc_d; vec_pq_recall_audit compares the two
+    rankings."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sc_df = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
     # IVF coarse cells: the ann_ivf_topk broadcast-argmin machinery.
@@ -2406,6 +2420,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut_row = cb1_row.crossJoin(probe).select(
         "cents",
         "pcell",
+        "pse",
         F.transform(
             "cents",
             lambda c: F.struct(
@@ -2442,14 +2457,114 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )["d"]
 
     adc = sum((adc_term(s) for s in range(1, _PQ_SUBS)), adc_term(0))
-    return (
-        cand.select("vec_id", adc.cast("long").alias("adc_d"))
-        .orderBy(F.col("adc_d").asc(), "vec_id")
-        .limit(_IVFPQ_TOPK)
+    return cand.select(
+        "vec_id",
+        adc.cast("long").alias("adc_d"),
+        il2(F.col("se"), F.col("pse")).cast("long").alias("exact_d"),
     )
 
 
 ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.format(cells=_IVFPQ_CELLS, k=_IVFPQ_TOPK)
+
+
+_PQ_AUDIT_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), {_PQ_SQL_CB1_CTES}, ivf AS (
+      SELECT vec_id AS cid, se AS sce FROM sc WHERE vec_id < {_IVFPQ_CELLS}
+    ), assign AS (
+      SELECT s.vec_id,
+             (SELECT c.cid FROM ivf c
+              ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
+                        i -> (s.se[i] - c.sce[i]) * (s.se[i] - c.sce[i]))) ASC,
+                       c.cid ASC LIMIT 1) AS cell
+      FROM sc s
+    ), probe AS (
+      SELECT a.cell AS pcell, s.se AS pse
+      FROM assign a JOIN sc s USING (vec_id) WHERE a.vec_id = 0
+    ), psub AS (
+      SELECT g.si, p.pse[g.si * {_PQ_SUB_DIM} + 1 : (g.si + 1) * {_PQ_SUB_DIM}] AS sub
+      FROM probe p, (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS si) g
+    ), lut AS (
+      SELECT c.si, c.cid,
+             list_sum(list_transform(generate_series(1, len(c.ce)),
+               i -> (ps.sub[i] - c.ce[i]) * (ps.sub[i] - c.ce[i]))) AS d
+      FROM cb1 c JOIN psub ps ON ps.si = c.si
+    ), enc AS (
+      SELECT vv.vec_id, vv.si,
+             (SELECT c.cid FROM cb1 c WHERE c.si = vv.si
+              ORDER BY {_PQ_SQL_SUBDIST} ASC, c.cid ASC LIMIT 1) AS cid
+      FROM sv vv JOIN assign a ON a.vec_id = vv.vec_id
+      JOIN probe p ON a.cell = p.pcell
+      WHERE vv.vec_id <> 0
+    ), adc AS (
+      SELECT e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_d
+      FROM enc e JOIN lut l ON l.si = e.si AND l.cid = e.cid
+      GROUP BY e.vec_id
+    ), ex AS (
+      SELECT a.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, len(s.se)),
+               i -> (s.se[i] - p.pse[i]) * (s.se[i] - p.pse[i]))) AS BIGINT) AS exact_d
+      FROM assign a JOIN sc s USING (vec_id)
+      JOIN probe p ON a.cell = p.pcell
+      WHERE a.vec_id <> 0
+    ), j AS (
+      SELECT adc.vec_id, adc.adc_d, ex.exact_d FROM adc JOIN ex USING (vec_id)
+    ), te AS (
+      SELECT vec_id FROM j ORDER BY exact_d, vec_id LIMIT {_IVFPQ_TOPK}
+    ), ta AS (
+      SELECT vec_id FROM j ORDER BY adc_d, vec_id LIMIT {_IVFPQ_TOPK}
+    ), ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM te JOIN ta USING (vec_id)
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(exact_d) AS HUGEINT) AS s_exact,
+             CAST(SUM(ABS(adc_d - exact_d)) AS HUGEINT) AS s_absdiff
+      FROM j
+    )
+    SELECT CAST({_IVFPQ_TOPK} AS BIGINT) AS k,
+           st.n_candidates,
+           ov.n_overlap,
+           CAST(ov.n_overlap * 10000 // {_IVFPQ_TOPK} AS BIGINT) AS recall_bp,
+           CAST(st.s_absdiff * 10000 // st.s_exact AS BIGINT) AS adc_err_bp
+    FROM st, ov
+    """
+
+
+@register("vec_pq_recall_audit", group="llm-ext", oracle=_PQ_AUDIT_ORACLE)
+def vec_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality audit — recall@k of the ADC ranking against the
+    EXACT L2² ranking over the SAME probe-cell candidates (round 12):
+    the number every ANN deployment tracks before trusting a compressed
+    index, isolating PQ quantization loss from IVF cell pruning (both
+    rankings see identical candidates — [[vec_ivf_cell_stats]] audits
+    the cell side). Also emits the aggregate ADC distance error in exact
+    basis points (Σ|adc−exact| / Σexact through HUGEINT/DECIMAL(38,0) —
+    sums overflow int64 at corpus scale).
+
+    Plan: ONE shared candidate pass ([[ann_ivfpq_topk]]'s `_ivfpq_scored`
+    — map-side HOFs against one-row broadcasts, embeddings never
+    shuffled) scored with both distances, checkpointed; the two top-k
+    sides are TakeOrderedAndProject over it, the overlap a k-row join,
+    the error sums one partial agg. Output is ONE row at any scale."""
+    j = _ivfpq_scored(spark, sf_dir).localCheckpoint(eager=False)
+    te = j.orderBy(F.col("exact_d").asc(), "vec_id").limit(_IVFPQ_TOPK).select("vec_id")
+    ta = j.orderBy(F.col("adc_d").asc(), "vec_id").limit(_IVFPQ_TOPK).select("vec_id")
+    ov = te.join(ta, "vec_id").agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.col("exact_d").cast("decimal(38,0)")).alias("s_exact"),
+        F.sum(F.abs(F.col("adc_d") - F.col("exact_d")).cast("decimal(38,0)")).alias(
+            "s_absdiff"
+        ),
+    )
+    return st.crossJoin(F.broadcast(ov)).select(
+        F.lit(_IVFPQ_TOPK).cast("long").alias("k"),
+        "n_candidates",
+        "n_overlap",
+        F.expr(f"CAST(n_overlap * 10000 div {_IVFPQ_TOPK} AS BIGINT)").alias("recall_bp"),
+        F.expr("CAST((s_absdiff * 10000) div s_exact AS BIGINT)").alias("adc_err_bp"),
+    )
 
 
 @register(

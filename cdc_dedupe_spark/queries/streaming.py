@@ -1193,3 +1193,160 @@ def stream_topk_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("shard", "user_id", "count_hat", "err_max", "n_seen")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize_state — arbitrary-stateful sessionization (round 12)
+
+
+_SESS_GAP_US = 1_800_000_000  # 30-minute inactivity gap (stream_session_counts)
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_session_events", LongType()),
+        StructField("total_duration_us", LongType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [
+        StructField("open_start", LongType()),
+        StructField("open_last", LongType()),
+        StructField("open_n", LongType()),
+        StructField("closed_sessions", LongType()),
+        StructField("closed_dur", LongType()),
+        StructField("max_n", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+
+def _sess_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful sessionizer: state is ONLY the open session (start, last
+    event, count) plus closed-session summaries — O(1) longs per user
+    forever, never the event history. Order-dependent fold, so all Arrow
+    chunks concat THEN one sort (the _cusum_fold discipline)."""
+    import numpy as np
+
+    (o_start, o_last, o_n, c_sess, c_dur, max_n, n_total) = (
+        state.get if state.exists else (-1, -1, 0, 0, 0, 0, 0)
+    )
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
+        ts = pdf["ts_us"].to_numpy(dtype="int64")
+        n_total += len(ts)
+        brk = np.empty(len(ts), dtype=bool)
+        brk[0] = o_start < 0 or ts[0] - o_last >= _SESS_GAP_US
+        if len(ts) > 1:
+            brk[1:] = np.diff(ts) >= _SESS_GAP_US
+        starts = np.flatnonzero(brk)  # segment start indices (may be empty)
+        if len(starts) == 0:
+            # whole batch extends the open session
+            o_last, o_n = int(ts[-1]), o_n + len(ts)
+        else:
+            # 1) events before the first break extend the open session,
+            #    which then CLOSES (a break follows it)
+            if o_start >= 0:
+                head = int(starts[0])
+                o_last, o_n = (int(ts[head - 1]), o_n + head) if head else (o_last, o_n)
+                c_sess += 1
+                c_dur += o_last - o_start
+                max_n = max(max_n, o_n)
+            # 2) interior segments close in-batch
+            ends = np.append(starts[1:], len(ts))
+            for s, e in zip(starts[:-1], ends[:-1]):
+                c_sess += 1
+                c_dur += int(ts[e - 1] - ts[s])
+                max_n = max(max_n, int(e - s))
+            # 3) the last segment becomes the new open session
+            s = int(starts[-1])
+            o_start, o_last, o_n = int(ts[s]), int(ts[-1]), len(ts) - s
+    state.update((o_start, o_last, o_n, c_sess, c_dur, max_n, n_total))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_sessions": c_sess + (1 if o_start >= 0 else 0),
+                "n_events": n_total,
+                "max_session_events": max(max_n, o_n),
+                "total_duration_us": c_dur + (o_last - o_start if o_start >= 0 else 0),
+            }
+        ]
+    )
+
+
+@register(
+    "stream_sessionize_state",
+    group="streaming",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e FROM events
+    ), m AS (
+      SELECT user_id, e,
+             CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                    OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) >= {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), g AS (
+      SELECT user_id, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    ), s AS (
+      SELECT user_id, sid, COUNT(*) AS n, MAX(e) - MIN(e) AS dur
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur) AS BIGINT) AS total_duration_us
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization with BOUNDED per-user state —
+    the arbitrary-stateful twin of [[stream_session_counts]]'s
+    session_window: applyInPandasWithState keeps ONLY the open session
+    (start, last event, count) and closed-session rollups (7 BIGINTs per
+    user forever, never the event history), folds each batch in (ts,
+    event_id) order (concat-then-sort, the [[stream_cusum_alert]]
+    chunk-order discipline) and closes sessions when the 30-minute gap
+    elapses INSIDE the fold — the per-user session summary every
+    product-analytics stream maintains continuously where the
+    session_window operator only supports append emission.
+
+    The batch oracle is the classic lag+cumsum islands rollup — session
+    membership is a pure function of the sorted per-user timeline, so
+    the final emitted state hash-matches EXACTLY regardless of
+    micro-batch splits (each split closes the same sessions the islands
+    see). At 100 TB: one shuffle on user_id, O(users) state rows,
+    Arrow-batched folds; the state never grows with throughput."""
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _sess_fold,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_sessionize_state", output_mode="update")
+    last = F.max_by(
+        F.struct("n_sessions", "n_events", "max_session_events", "total_duration_us"),
+        F.col("n_events"),
+    ).alias("m")
+    return (
+        out.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id", "m.n_sessions", "m.n_events",
+            "m.max_session_events", "m.total_duration_us",
+        )
+    )

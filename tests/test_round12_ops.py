@@ -605,3 +605,94 @@ def test_systematic_stride_and_frame(spark, sf_dir):
     assert {r.doc_id: r.rank for r in got} == expect
     assert all((r.rank - 1) % _SYS_K == 0 for r in got)
     assert len(got) == (len(docs) + _SYS_K - 1) // _SYS_K
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize_state
+
+
+def _sess_run(batches, state=None):
+    from cdc_dedupe_spark.queries.streaming import _sess_fold
+
+    st = _FakeGroupState(state)
+    out = None
+    for chunks in batches:
+        out = list(
+            _sess_fold(
+                (1,),
+                iter([pd.DataFrame(c, columns=["ts_us", "event_id"]) for c in chunks]),
+            st)
+        )[0]
+    return st.get, out.iloc[0].to_dict()
+
+
+def test_sessionize_fold_batch_split_invariance():
+    """Splitting the ordered stream at ANY micro-batch boundary — and
+    shuffling the Arrow chunks WITHIN a batch — must yield the same final
+    state and summary as one big batch (the property that makes the
+    streaming rollup hash-match the batch islands oracle)."""
+    gap = 1_800_000_000
+    rng = random.Random(7)
+    ts, t = [], 0
+    for _ in range(400):
+        t += rng.randrange(1, 3 * gap)
+        ts.append(t)
+    rows = [(t, i) for i, t in enumerate(ts)]
+    st_one, out_one = _sess_run([[rows]])
+    # split into 5 ordered micro-batches, each delivered as shuffled chunks
+    cuts = sorted(rng.sample(range(1, len(rows)), 4))
+    batches = []
+    for a, b in zip([0] + cuts, cuts + [len(rows)]):
+        seg = rows[a:b]
+        mid = len(seg) // 2
+        chunks = [seg[mid:], seg[:mid]]  # out-of-order chunks within batch
+        batches.append([c for c in chunks if c])
+    st_many, out_many = _sess_run(batches)
+    assert st_one == st_many
+    assert out_one == out_many
+    assert st_one[6] == len(rows)  # n_total
+
+
+def test_sessionize_fold_matches_python_islands():
+    """Independent islands implementation agrees on every summary field,
+    including the open (last) session."""
+    gap = 1_800_000_000
+    rng = random.Random(11)
+    ts, t = [], 0
+    for _ in range(300):
+        t += rng.randrange(1, 2 * gap)
+        ts.append(t)
+    _, out = _sess_run([[[(t, i) for i, t in enumerate(ts)]]])
+    sessions = [[ts[0]]]
+    for a, b in zip(ts, ts[1:]):
+        if b - a >= gap:
+            sessions.append([])
+        sessions[-1].append(b)
+    assert out["n_sessions"] == len(sessions)
+    assert out["n_events"] == len(ts)
+    assert out["max_session_events"] == max(len(s) for s in sessions)
+    assert out["total_duration_us"] == sum(s[-1] - s[0] for s in sessions)
+
+
+def test_sessionize_state_is_bounded():
+    """State is seven BIGINTs regardless of event count."""
+    rows = [(i * 1000, i) for i in range(5000)]
+    st, _ = _sess_run([[rows]])
+    assert len(st) == 7 and all(isinstance(x, int) for x in st)
+
+
+# ---------------------------------------------------------------------------
+# vec_pq_recall_audit
+
+
+def test_pq_audit_consistency_with_declared_topk(spark, sf_dir):
+    """The audit's ADC side is the DECLARED ann_ivfpq_topk ranking, so
+    n_overlap/recall must be consistent with it, bounded by k, and the
+    error must be non-negative."""
+    audit = REGISTRY["vec_pq_recall_audit"].spark(spark, sf_dir).collect()[0]
+    topk = REGISTRY["ann_ivfpq_topk"].spark(spark, sf_dir).collect()
+    assert audit.k == len(topk)
+    assert 0 <= audit.n_overlap <= audit.k
+    assert audit.recall_bp == audit.n_overlap * 10000 // audit.k
+    assert audit.adc_err_bp >= 0
+    assert audit.n_candidates >= audit.k
