@@ -371,3 +371,79 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nxt").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_current"),
         F.when(F.col("nxt").isNull(), F.lit(-1)).otherwise(F.col("nxt") - F.col("valid_from_us")).alias("duration_us"),
     )
+
+
+@register(
+    "cdc_tombstone_lifecycle",
+    group="cdc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+      FROM events
+    ), l AS (
+      SELECT user_id, ts_us, event_id, is_del,
+             LAG(is_del) OVER w AS prev_del,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_last
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ops,
+           CAST(SUM(is_del) AS BIGINT) AS n_deletes,
+           CAST(SUM(CASE WHEN prev_del = 1 AND is_del = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrections,
+           CAST(1 - MAX(CASE WHEN rn_last = 1 THEN is_del END) AS BIGINT) AS is_live,
+           MIN(ts_us) AS first_op_us,
+           MAX(ts_us) AS last_op_us
+    FROM l GROUP BY user_id
+    """,
+)
+def cdc_tombstone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware entity lifecycle — the delete-handling dimension of
+    the CDC read model ([[cdc_upsert_latest]] ignores deletes; Debezium
+    emits them as tombstone records, here `event_type = 'error'` stands
+    in as the delete op per FIXTURES.md's routing): per entity, op and
+    delete counts, RESURRECTION count (a delete followed by any
+    non-delete — the compaction hazard case: a consumer that dropped
+    state on the tombstone must rebuild it), and whether the entity is
+    live after its last operation. A compacted sink (Kafka log
+    compaction, an upsert table) keeps exactly the is_live = 1 rows.
+
+    One user_id exchange: the lag window and the last-op row_number
+    share the partitioning with the final groupBy (Catalyst stacks all
+    three on one shuffle), and every aggregate is a plain conditional
+    count — O(entities) output rows, no self-join of the changelog."""
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (F.col("event_type") == "error").cast("long").alias("is_del"),
+    )
+    l = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "is_del",
+        F.lag("is_del").over(wl).alias("prev_del"),
+        F.row_number().over(wr).alias("rn_last"),
+    )
+    return l.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.sum("is_del").cast("long").alias("n_deletes"),
+        F.sum(
+            ((F.col("prev_del") == 1) & (F.col("is_del") == 0)).cast("long")
+        ).alias("n_resurrections"),
+        (1 - F.max(F.when(F.col("rn_last") == 1, F.col("is_del"))))
+        .cast("long")
+        .alias("is_live"),
+        F.min("ts_us").alias("first_op_us"),
+        F.max("ts_us").alias("last_op_us"),
+    )

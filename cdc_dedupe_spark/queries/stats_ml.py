@@ -2427,3 +2427,194 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_pos(gini_parent, 6).alias("gini_parent"),
         round_pos(gini_parent - gini_children, 6).alias("gini_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_retention_churn — weekly growth accounting (round 12)
+
+
+_WEEK_US = 604_800_000_000
+
+
+@register(
+    "events_retention_churn",
+    group="stats-ml",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_US} AS BIGINT) AS week
+      FROM events
+    ), lagd AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS first_week,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+             LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      FROM wk
+    ), gmax AS (SELECT MAX(week) AS max_week FROM wk),
+    act AS (
+      SELECT week,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(COUNT(*) FILTER (WHERE week = first_week) AS BIGINT) AS n_new,
+             CAST(COUNT(*) FILTER (WHERE prev_week = week - 1) AS BIGINT) AS n_retained,
+             CAST(COUNT(*) FILTER (WHERE week > first_week
+                                     AND (prev_week IS NULL OR prev_week < week - 1))
+                  AS BIGINT) AS n_resurrected
+      FROM lagd GROUP BY week
+    ), ch AS (
+      SELECT week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM lagd, gmax
+      WHERE week < gmax.max_week
+        AND (next_week IS NULL OR next_week > week + 1)
+      GROUP BY week + 1
+    )
+    SELECT act.week, act.n_active, act.n_new, act.n_retained, act.n_resurrected,
+           COALESCE(ch.n_churned, 0) AS n_churned
+    FROM act LEFT JOIN ch ON ch.week = act.week
+    """,
+)
+def events_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new/retained/resurrected/churned
+    decomposition every growth team reports (n_new + n_retained +
+    n_resurrected = n_active by construction; churn for week w counts
+    users active in w−1 but not w, right-censored at the corpus edge so
+    the final week never reports phantom churn). The classification is a
+    pure function of each user's distinct-week timeline: raw events
+    collapse ONCE to the (user, week) incidence table (the
+    [[events_active_users]] discipline), three window functions share
+    the user_id partitioning (min / lag / lead — one exchange), and the
+    two rollups are week-keyed partial aggs over the tiny incidence
+    table joined week-on-week.
+
+    At 100 TB: the only raw-data exchange is the DISTINCT incidence
+    collapse; everything after runs over O(users·weeks-active) rows and
+    the final join is over O(weeks) rows."""
+    wk = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("week")
+    lagd = wk.select(
+        "user_id",
+        "week",
+        F.min("week").over(wu).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_week"),
+        F.lead("week").over(wo).alias("next_week"),
+    ).localCheckpoint(eager=False)  # act + churn + gmax share the build
+    gmax = lagd.agg(F.max("week").alias("max_week"))
+    act = lagd.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum((F.col("week") == F.col("first_week")).cast("long")).alias("n_new"),
+        # when() not bare cast: a week whose rows ALL have NULL prev_week
+        # (the first week) must sum to 0, not NULL
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - 1, F.lit(1)).otherwise(0)
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            (
+                (F.col("week") > F.col("first_week"))
+                & (F.col("prev_week").isNull() | (F.col("prev_week") < F.col("week") - 1))
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    ch = (
+        lagd.crossJoin(F.broadcast(gmax))
+        .where(
+            (F.col("week") < F.col("max_week"))
+            & (F.col("next_week").isNull() | (F.col("next_week") > F.col("week") + 1))
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        act.join(ch, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0).cast("long")).alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_stl_trend — centered moving-average trend + residual (round 12)
+
+
+_STL_HALF_US = 12 * 3_600_000_000  # ±12 hours around each bucket
+
+
+@register(
+    "ts_stl_trend",
+    group="stats-ml",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, bucket_us, n_events,
+             CAST(SUM(n_events) OVER w AS BIGINT) AS tsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS tcnt
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+                   RANGE BETWEEN {_STL_HALF_US} PRECEDING AND {_STL_HALF_US} FOLLOWING)
+    )
+    SELECT event_type, bucket_us, n_events,
+           CAST(tsum * 1000 // tcnt AS BIGINT) AS trend_milli,
+           CAST(n_events * 1000 - tsum * 1000 // tcnt AS BIGINT) AS resid_milli
+    FROM t
+    """,
+)
+def ts_stl_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style trend extraction, step 1: the centered ±12-hour moving
+    average of the hourly event rate per type (a RANGE frame over the
+    bucket TIMELINE, so calendar gaps shrink the window rather than
+    leaking neighbors in — the time-accurate form ROWS frames get wrong
+    on sparse series), plus the detrended residual — the input
+    [[ts_seasonality_profile]]'s hour-of-day indices explain and
+    [[events_anomaly_mad]] flags. Trend is exact truncating milli-units
+    (Σ·1000 div count), so every row hashes bit-identically cross-engine
+    — no float averaging anywhere.
+
+    One raw-events shuffle (the shared (type, hour) rollup), then the
+    RANGE window runs per type over O(buckets) rollup rows. At 100 TB
+    the rollup is ~9k rows/type/year — the window never touches raw
+    events."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rangeBetween(-_STL_HALF_US, _STL_HALF_US)
+    )
+    t = c.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        F.sum("n_events").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tcnt"),
+    )
+    return t.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        F.expr("tsum * 1000 div tcnt").cast("long").alias("trend_milli"),
+        F.expr("n_events * 1000 - tsum * 1000 div tcnt").cast("long").alias(
+            "resid_milli"
+        ),
+    )

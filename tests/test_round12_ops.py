@@ -696,3 +696,86 @@ def test_pq_audit_consistency_with_declared_topk(spark, sf_dir):
     assert audit.recall_bp == audit.n_overlap * 10000 // audit.k
     assert audit.adc_err_bp >= 0
     assert audit.n_candidates >= audit.k
+
+
+# ---------------------------------------------------------------------------
+# events_retention_churn
+
+
+def test_churn_growth_accounting_identity(spark, sf_dir):
+    """new + retained + resurrected = active every week; churn matches an
+    independent python recompute over the per-user week sets; the final
+    corpus week reports no churn (right-censoring)."""
+    from cdc_dedupe_spark.tables import table
+
+    rows = REGISTRY["events_retention_churn"].spark(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    weeks = {}
+    for r in ev:
+        import calendar
+
+        us = int(calendar.timegm(r.ts.timetuple())) * 1_000_000 + r.ts.microsecond
+        weeks.setdefault(r.user_id, set()).add(us // 604_800_000_000)
+    gmax = max(w for ws in weeks.values() for w in ws)
+    churn = {}
+    for ws in weeks.values():
+        for w in ws:
+            if w < gmax and w + 1 not in ws:
+                churn[w + 1] = churn.get(w + 1, 0) + 1
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active, r
+        assert r.n_churned == churn.get(r.week, 0), r
+    assert max(r.week for r in rows) == gmax
+
+
+# ---------------------------------------------------------------------------
+# ts_stl_trend
+
+
+def test_stl_trend_window_is_time_accurate(spark, sf_dir):
+    """Python recompute of the ±12 h RANGE mean per bucket (truncating
+    milli-units) matches every row — pins the frame against the
+    ROWS-frame bug class on sparse series."""
+    rows = REGISTRY["ts_stl_trend"].spark(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.bucket_us, r.n_events))
+    half = 12 * 3_600_000_000
+    for r in rows:
+        win = [
+            n for b, n in by_type[r.event_type] if abs(b - r.bucket_us) <= half
+        ]
+        trend = sum(win) * 1000 // len(win)
+        assert r.trend_milli == trend, (r.event_type, r.bucket_us)
+        assert r.resid_milli == r.n_events * 1000 - trend
+
+
+# ---------------------------------------------------------------------------
+# cdc_tombstone_lifecycle
+
+
+def test_tombstone_lifecycle_fold(spark, sf_dir):
+    """Per-entity python fold over the ordered change log reproduces
+    delete/resurrection counts and liveness."""
+    from cdc_dedupe_spark.tables import table
+
+    got = {
+        r.user_id: r
+        for r in REGISTRY["cdc_tombstone_lifecycle"].spark(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    logs = {}
+    for r in ev:
+        logs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type == "error"))
+    for uid, log in logs.items():
+        log.sort()
+        n_del = sum(1 for *_, d in log if d)
+        res = sum(1 for (_, _, a), (_, _, b) in zip(log, log[1:]) if a and not b)
+        r = got[uid]
+        assert (r.n_ops, r.n_deletes, r.n_resurrections, r.is_live) == (
+            len(log), n_del, res, 0 if log[-1][2] else 1,
+        ), uid
