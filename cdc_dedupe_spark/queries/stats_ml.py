@@ -2618,3 +2618,301 @@ def ts_stl_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_seasonal — seasonally-adjusted robust anomaly flags (round 12)
+
+
+@register(
+    "events_anomaly_seasonal",
+    group="stats-ml",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), h AS (
+      SELECT *, (bucket_us // 3600000000) % 24 AS hod FROM c
+    ), hm AS (
+      SELECT event_type, hod,
+             CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT) AS expected_milli
+      FROM h GROUP BY 1, 2
+    ), r AS (
+      SELECT h.event_type, h.bucket_us, h.n_events, hm.expected_milli,
+             h.n_events * 1000 - hm.expected_milli AS resid_milli
+      FROM h JOIN hm USING (event_type, hod)
+    ), med AS (
+      SELECT event_type, median(resid_milli) AS med FROM r GROUP BY 1
+    ), mad AS (
+      SELECT r.event_type, median(abs(r.resid_milli - m.med)) AS mad
+      FROM r JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT r.event_type, r.bucket_us, r.n_events, r.expected_milli,
+           CAST(r.resid_milli AS BIGINT) AS resid_milli,
+           (m.med + 0.0) AS med, (d.mad + 0.0) AS mad,
+           CAST(CASE WHEN d.mad > 0 AND abs(r.resid_milli - m.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM r JOIN med m USING (event_type) JOIN mad d ON d.event_type = r.event_type
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust anomaly flags — [[events_anomaly_mad]]
+    after removing the diurnal cycle: each hourly bucket is scored
+    against its OWN hour-of-day mean (exact truncating milli-units, the
+    [[ts_seasonality_profile]] decomposition), and the median/MAD gate
+    runs on the RESIDUALS — so a quiet 3 a.m. hour that would look
+    anomalously low against the all-day median, and a busy 2 p.m. hour
+    that would mask a real dip, are both judged against the right
+    baseline. The practical form: raw-level MAD flags fire on the
+    seasonality itself; residual MAD fires on genuine deviations.
+
+    Exactness: residuals are exact integers; median interpolation is
+    (a+b)/2 of integers (dyadic — bit-identical cross-engine), MAD the
+    same on |int − dyadic|. ONE raw-events shuffle (the shared hourly
+    rollup, checkpointed); hod means, medians and MADs are all rollup-
+    sized aggregates broadcast back. At 100 TB nothing after the rollup
+    touches raw rows."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn("hod", F.expr("bucket_us div 3600000000 % 24"))
+        .localCheckpoint(eager=False)  # hod means + medians + output share it
+    )
+    hm = c.groupBy("event_type", "hod").agg(
+        F.expr("sum(n_events) * 1000 div count(*)").cast("long").alias("expected_milli")
+    )
+    r = c.join(F.broadcast(hm), ["event_type", "hod"]).select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        "expected_milli",
+        (F.col("n_events") * 1000 - F.col("expected_milli")).alias("resid_milli"),
+    ).localCheckpoint(eager=False)
+    med = r.groupBy("event_type").agg(F.median("resid_milli").alias("med"))
+    dev = r.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("resid_milli") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        r.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "bucket_us",
+            "n_events",
+            "expected_milli",
+            F.col("resid_milli").cast("long").alias("resid_milli"),
+            (F.col("med") + F.lit(0.0)).alias("med"),
+            (F.col("mad") + F.lit(0.0)).alias("mad"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("resid_milli") - F.col("med")) > 3 * F.col("mad"))
+            )
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_theilsen_slope — robust trend slope over the bucket rollup (round 12)
+
+
+@register(
+    "stats_theilsen_slope",
+    group="stats-ml",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM c a JOIN c b ON a.event_type = b.event_type AND a.x < b.x
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             median(slope) AS sen
+      FROM p GROUP BY 1
+    ), i AS (
+      SELECT c.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             median(CAST(c.y AS DOUBLE) - s.sen * CAST(c.x AS DOUBLE)) AS icpt
+      FROM c JOIN s USING (event_type) GROUP BY 1
+    )
+    SELECT s.event_type, i.n_buckets, s.n_pairs,
+           (round(s.sen, 6) + 0.0) AS sen_slope_per_hour,
+           (round(i.icpt, 4) + 0.0) AS sen_intercept
+    FROM s JOIN i USING (event_type)
+    """,
+)
+def stats_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator of the hourly event rate per type
+    — the median of all pairwise slopes (and the median-residual
+    intercept), immune to the outlier buckets that drag OLS
+    ([[ml_linreg_normal]]) around; the robust-regression companion of
+    [[events_anomaly_mad]]'s median/MAD scoring. Each pairwise slope is
+    ONE double division of exact integers (identical multiset both
+    engines), and median interpolation of doubles is (a+b)/2 —
+    bit-identical.
+
+    Scale stance: the pair join is O(buckets²) PER TYPE over the O(B)
+    hourly rollup — quadratic in the TIME DOMAIN (a year of hours =
+    ~38M pairs, tractable), NEVER in the data; raw events pay one
+    rollup shuffle. For decade-scale series the standard move is the
+    repeated-median or sampled-pairs variant — the rollup input and the
+    median machinery are unchanged."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts) div 3600000000").alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)  # pair join (both sides) + intercept reuse
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.median("slope").alias("sen"),
+    )
+    i = (
+        c.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            (F.col("y").cast("double") - F.col("sen") * F.col("x").cast("double")).alias(
+                "res"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.median("res").alias("icpt"),
+        )
+    )
+    return s.join(i, "event_type").select(
+        "event_type",
+        "n_buckets",
+        "n_pairs",
+        round_pos(F.col("sen"), 6).alias("sen_slope_per_hour"),
+        round_pos(F.col("icpt"), 4).alias("sen_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_power_mde — experiment power / minimum detectable effect (round 12)
+
+
+_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_Z_BETA = 0.8416212335729143  # power = 0.80
+
+
+@register(
+    "stats_power_mde",
+    group="stats-ml",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+    ), v AS (
+      SELECT event_type, n, s1,
+             (n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * (n - 1)) AS var_c
+      FROM m
+    ), w AS (
+      SELECT a.n AS n1, b.n AS n2,
+             a.s1::DOUBLE / a.n AS m1, b.s1::DOUBLE / b.n AS m2,
+             a.var_c AS v1, b.var_c AS v2
+      FROM (SELECT * FROM v WHERE event_type = 'click') a,
+           (SELECT * FROM v WHERE event_type = 'purchase') b
+    )
+    SELECT n1, n2,
+           (round(m1 - m2, 4) + 0.0) AS mean_diff_cents,
+           (round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(v1 / n1 + v2 / n2), 4) + 0.0)
+             AS mde_cents,
+           CAST(CASE WHEN m1 <> m2 THEN ceil(
+                 ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA}) * (v1 + v2)
+                 / ((m1 - m2) * (m1 - m2)))
+           END AS BIGINT) AS n_per_arm_for_observed
+    FROM w
+    """,
+)
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning from observed moments — the minimum
+    detectable effect at the CURRENT sample sizes ((z_α/2 + z_β)·SE,
+    two-sided α = 0.05, power 0.80) and the per-arm n required to detect
+    the OBSERVED mean difference — the readout every A/B platform pairs
+    with its t-test ([[stats_two_sample]] reports whether the difference
+    is significant; this reports what the experiment COULD detect). All
+    inputs are the same exact BIGINT moments (n, Σx, Σx² in cents) in
+    one partial-agg shuffle; z constants are fixed literals; the MDE /
+    n-required chains are single deterministic IEEE pipelines both
+    engines. NULL n-required for a zero observed difference rather than
+    a division blow-up.
+
+    At 100 TB: six scalars cross one exchange; the plan is moment
+    collection, the statistics are free."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", cents.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .withColumn(
+            "var_c",
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+        )
+    )
+    a = m.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"),
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        F.col("var_c").alias("v1"),
+    )
+    b = m.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"),
+        (F.col("s1").cast("double") / F.col("n")).alias("m2"),
+        F.col("var_c").alias("v2"),
+    )
+    zsum = F.lit(_Z_ALPHA + _Z_BETA)
+    w = a.crossJoin(F.broadcast(b))
+    return w.select(
+        "n1",
+        "n2",
+        round_pos(F.col("m1") - F.col("m2"), 4).alias("mean_diff_cents"),
+        round_pos(
+            zsum * F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")), 4
+        ).alias("mde_cents"),
+        F.when(
+            F.col("m1") != F.col("m2"),
+            F.ceil(
+                zsum * zsum * (F.col("v1") + F.col("v2"))
+                / ((F.col("m1") - F.col("m2")) * (F.col("m1") - F.col("m2")))
+            ),
+        ).cast("long").alias("n_per_arm_for_observed"),
+    )

@@ -779,3 +779,80 @@ def test_tombstone_lifecycle_fold(spark, sf_dir):
         assert (r.n_ops, r.n_deletes, r.n_resurrections, r.is_live) == (
             len(log), n_del, res, 0 if log[-1][2] else 1,
         ), uid
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_seasonal
+
+
+def test_anomaly_seasonal_baseline_and_flags(spark, sf_dir):
+    """expected_milli is the exact hod-mean of the emitted buckets, the
+    per-type residuals are centered enough that flags are a strict
+    subset of |resid - med| > 3*MAD, and every (type, bucket) of the raw
+    rollup appears exactly once."""
+    rows = REGISTRY["events_anomaly_seasonal"].spark(spark, sf_dir).collect()
+    assert rows
+    assert len({(r.event_type, r.bucket_us) for r in rows}) == len(rows)
+    by_hod = {}
+    for r in rows:
+        key = (r.event_type, (r.bucket_us // 3_600_000_000) % 24)
+        by_hod.setdefault(key, []).append(r)
+    for key, rs in by_hod.items():
+        exp = sum(x.n_events for x in rs) * 1000 // len(rs)
+        for r in rs:
+            assert r.expected_milli == exp, key
+            assert r.resid_milli == r.n_events * 1000 - exp
+    for r in rows:
+        want = int(r.mad > 0 and abs(r.resid_milli - r.med) > 3 * r.mad)
+        assert r.is_anomaly == want
+
+
+# ---------------------------------------------------------------------------
+# stats_theilsen_slope
+
+
+def test_theilsen_matches_pure_python(spark, sf_dir):
+    """Brute-force pairwise-slope median in python agrees (slope to the
+    rounded output, pair count exactly)."""
+    import statistics
+
+    from cdc_dedupe_spark.tables import table
+
+    rows = REGISTRY["stats_theilsen_slope"].spark(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    import calendar
+
+    buckets = {}
+    for r in ev:
+        us = int(calendar.timegm(r.ts.timetuple())) * 1_000_000 + r.ts.microsecond
+        key = (r.event_type, us // 3_600_000_000)
+        buckets[key] = buckets.get(key, 0) + 1
+    for r in rows:
+        pts = sorted(
+            (x, y) for (t, x), y in buckets.items() if t == r.event_type
+        )
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        ]
+        assert r.n_pairs == len(slopes) and r.n_buckets == len(pts)
+        assert abs(r.sen_slope_per_hour - statistics.median(slopes)) <= 5e-7
+
+
+# ---------------------------------------------------------------------------
+# stats_power_mde
+
+
+def test_power_mde_consistency(spark, sf_dir):
+    """MDE must be positive; if the observed |diff| >= MDE then the
+    required n per arm cannot exceed the current min arm size by more
+    than rounding (the defining inversion of the power formula)."""
+    r = REGISTRY["stats_power_mde"].spark(spark, sf_dir).collect()[0]
+    assert r.mde_cents > 0
+    assert r.n1 > 1 and r.n2 > 1
+    if r.n_per_arm_for_observed is not None:
+        # inversion sanity: detecting a SMALLER diff needs MORE samples
+        assert (abs(r.mean_diff_cents) >= r.mde_cents) == (
+            r.n_per_arm_for_observed <= max(r.n1, r.n2)
+        ) or abs(abs(r.mean_diff_cents) - r.mde_cents) < 1e-2
