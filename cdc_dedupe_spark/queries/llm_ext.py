@@ -3538,3 +3538,66 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "word")
         .limit(_RAKE_TOPK)
     )
+
+
+# --- ml_knn_classify — k-NN label prediction over the shared graph ----------
+
+
+_KNNC_ORACLE = f"""
+    WITH knn AS (SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})),
+    votes AS (
+      SELECT k.vec_id, e.label AS lbl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM knn k JOIN embeddings e ON e.vec_id = k.nbr_id
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT vec_id, lbl AS pred_label
+      FROM votes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY n_votes DESC, lbl) = 1
+    )
+    SELECT CAST(e.label AS BIGINT) AS true_label,
+           CAST(p.pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN embeddings e USING (vec_id)
+    GROUP BY 1, 2
+    """
+
+
+@register("ml_knn_classify", group="llm-ext", oracle=_KNNC_ORACLE)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the shared approximate-NN graph (round
+    12): each vector is predicted as the majority label of its LSH-bucket
+    top-3 cosine neighbors (ties to the smallest label — a min(struct)
+    argmax, the [[agg_mode_group]] discipline), scored as a label
+    confusion matrix — the lazy-learner baseline every embedding-quality
+    audit runs ([[ml_nb_classify]] is the parametric twin on text; if
+    k-NN can't recover the labels, the embedding space is the problem).
+
+    Plan: the edge list (O(n·k) rows, shared [[ann_knn_graph]] build)
+    joins the label column on the NEIGHBOR key, votes partial-agg to
+    (vec_id, label), the argmax is one more partial agg on vec_id, and
+    the confusion rollup is |labels|²-bounded. The embedding vectors
+    themselves never shuffle — only ids and labels."""
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    edges = _knn_edges(spark, sf_dir).select("vec_id", "nbr_id")
+    votes = (
+        edges.join(
+            labels.select(F.col("vec_id").alias("nbr_id"), F.col("label").alias("lbl")),
+            "nbr_id",
+        )
+        .groupBy("vec_id", "lbl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    pred = votes.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("n_votes")).alias("neg"), F.col("lbl").alias("lbl")))[
+            "lbl"
+        ].alias("pred_label")
+    )
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

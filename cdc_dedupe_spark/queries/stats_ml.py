@@ -2916,3 +2916,110 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).cast("long").alias("n_per_arm_for_observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary — power-iterated stationary distribution (round 12)
+
+
+_MKV_SCALE = 1_000_000
+
+
+@register(
+    "events_markov_stationary",
+    group="stats-ml",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_type
+      FROM e
+    ), n AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(SUM(n_ij) AS BIGINT) AS tot FROM n GROUP BY 1
+    ), k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM tot),
+    pi0 AS (
+      SELECT from_type AS state, CAST({_MKV_SCALE} // k.k AS BIGINT) AS pi
+      FROM tot, k
+    ), pi1 AS (
+      SELECT n.to_type AS state,
+             CAST(SUM(p.pi * n.n_ij // t.tot) AS BIGINT) AS pi
+      FROM n JOIN pi0 p ON p.state = n.from_type
+             JOIN tot t ON t.from_type = n.from_type
+      GROUP BY 1
+    ), pi2 AS (
+      SELECT n.to_type AS state,
+             CAST(SUM(p.pi * n.n_ij // t.tot) AS BIGINT) AS pi
+      FROM n JOIN pi1 p ON p.state = n.from_type
+             JOIN tot t ON t.from_type = n.from_type
+      GROUP BY 1
+    )
+    SELECT p0.state, p0.pi AS pi0_ppm, p1.pi AS pi1_ppm, p2.pi AS pi2_ppm
+    FROM pi0 p0 JOIN pi1 p1 USING (state) JOIN pi2 p2 USING (state)
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — two
+    unrolled power iterations π ← πP from uniform over the
+    [[events_path_transitions]] transition table, all in exact scaled
+    integers (term = πᵢ·nᵢⱼ div totᵢ, truncating per term then exact
+    BIGINT sums — the [[graph_pagerank]] integer-iteration discipline):
+    where user attention CONVERGES, the long-run state occupancy that
+    funnel snapshots miss. Emits π after 0/1/2 iterations so the
+    convergence rate itself is visible.
+
+    Plan: ONE raw shuffle (the user_id lead window), then every
+    iteration is a |types|²-row join against the O(types) π broadcast —
+    at 100 TB the chain solve costs literally nothing beyond the
+    transition rollup; more iterations are more tiny joins, never new
+    scans."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+        .localCheckpoint(eager=False)  # both iterations + totals reuse it
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n_ij").alias("tot"))
+    k = tot.agg(F.count(F.lit(1)).alias("k"))
+    pi0 = tot.crossJoin(F.broadcast(k)).select(
+        F.col("from_type").alias("state"),
+        F.expr(f"{_MKV_SCALE} div k").cast("long").alias("pi"),
+    )
+
+    def step(pi: DataFrame) -> DataFrame:
+        return (
+            t.join(F.broadcast(pi), t.from_type == pi.state)
+            .join(F.broadcast(tot), "from_type")
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr("pi * n_ij div tot").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("long").alias("pi"))
+        )
+
+    pi1 = step(pi0)
+    pi2 = step(pi1)
+    return (
+        pi0.select("state", F.col("pi").alias("pi0_ppm"))
+        .join(pi1.select("state", F.col("pi").alias("pi1_ppm")), "state")
+        .join(pi2.select("state", F.col("pi").alias("pi2_ppm")), "state")
+    )

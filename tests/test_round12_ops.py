@@ -856,3 +856,58 @@ def test_power_mde_consistency(spark, sf_dir):
         assert (abs(r.mean_diff_cents) >= r.mde_cents) == (
             r.n_per_arm_for_observed <= max(r.n1, r.n2)
         ) or abs(abs(r.mean_diff_cents) - r.mde_cents) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# ml_knn_classify
+
+
+def test_knn_classify_votes_match_edges(spark, sf_dir):
+    """Recompute the majority vote in python from the DECLARED edge list;
+    the confusion matrix must agree cell-for-cell and cover every vector
+    that has at least one neighbor."""
+    from cdc_dedupe_spark.tables import table
+
+    edges = REGISTRY["ann_knn_graph"].spark(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    votes = {}
+    for e in edges:
+        votes.setdefault(e.vec_id, {}).setdefault(labels[e.nbr_id], 0)
+        votes[e.vec_id][labels[e.nbr_id]] += 1
+    conf = {}
+    for vid, vs in votes.items():
+        pred = min(vs.items(), key=lambda t: (-t[1], t[0]))[0]
+        key = (labels[vid], pred)
+        conf[key] = conf.get(key, 0) + 1
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in REGISTRY["ml_knn_classify"].spark(spark, sf_dir).collect()
+    }
+    assert got == conf
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary
+
+
+def test_markov_iterations_conserve_mass(spark, sf_dir):
+    """Each power iteration conserves probability mass up to the
+    truncation loss (<= one ppm unit per matrix cell), and iterating
+    moves pi toward the chain's fixed point: ||pi2 - pi1||_1 <=
+    ||pi1 - pi0||_1 (contraction of the stochastic matrix)."""
+    rows = REGISTRY["events_markov_stationary"].spark(spark, sf_dir).collect()
+    k = len(rows)
+    assert k >= 2
+    cells = k * k
+    for tot in (
+        sum(r.pi0_ppm for r in rows),
+        sum(r.pi1_ppm for r in rows),
+        sum(r.pi2_ppm for r in rows),
+    ):
+        assert 1_000_000 - cells - k <= tot <= 1_000_000
+    d01 = sum(abs(r.pi1_ppm - r.pi0_ppm) for r in rows)
+    d12 = sum(abs(r.pi2_ppm - r.pi1_ppm) for r in rows)
+    assert d12 <= d01 + cells  # contraction, truncation slack
