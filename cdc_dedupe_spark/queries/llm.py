@@ -530,3 +530,63 @@ def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("n_chunks"), dup.alias("dup_chunks"))
         .withColumn("dup_frac_bp", F.expr("dup_chunks * 10000 div n_chunks"))
     )
+
+
+@register(
+    "multimodal_dedup_exact",
+    group="llm",
+    oracle="""
+    WITH t AS (
+      -- DuckDB md5 takes VARCHAR (hashes its UTF-8 bytes) = Spark's
+      -- md5(cast(text as binary)); octet_length gives the byte count
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), g AS (
+      SELECT h,
+             MIN(doc_id) AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(n_bytes) AS n_bytes,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM t GROUP BY h
+    )
+    SELECT keeper_id, n_copies, n_bytes, n_sources,
+           CAST((n_copies - 1) * n_bytes AS BIGINT) AS reclaimable_bytes
+    FROM g
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-addressed dedup over the OPAQUE binary payload —
+    the CAS-store ingest shape (object storage, backup, media lake):
+    md5 the raw bytes map-side, keep the lowest doc_id per digest, and
+    report copy count, per-copy size, how many SOURCES the same bytes
+    arrived from (cross-source exact dup = mirror/repost detection),
+    and the bytes a dedupe store reclaims. The byte-level exact
+    complement of [[multimodal_payload_chunks]]' chunk-level profile
+    and [[dedup_exact_hash]]'s text twin — works on any modality, no
+    decode.
+
+    ONE partial-agg shuffle of (16-byte digest) keys — payloads never
+    leave the scan; at 100 TB this is exactly how a blob-ingest dedupe
+    tier runs (hash at the edge, shuffle digests, keep winners)."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    )
+    g = t.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return g.select(
+        "keeper_id",
+        "n_copies",
+        "n_bytes",
+        "n_sources",
+        ((F.col("n_copies") - 1) * F.col("n_bytes")).cast("long").alias(
+            "reclaimable_bytes"
+        ),
+    )

@@ -911,3 +911,32 @@ def test_markov_iterations_conserve_mass(spark, sf_dir):
     d01 = sum(abs(r.pi1_ppm - r.pi0_ppm) for r in rows)
     d12 = sum(abs(r.pi2_ppm - r.pi1_ppm) for r in rows)
     assert d12 <= d01 + cells  # contraction, truncation slack
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_exact
+
+
+def test_cas_dedup_accounting(spark, sf_dir):
+    """Digest groups partition the corpus: keeper count == distinct
+    payloads, copies sum to corpus size, and a python hashlib recompute
+    agrees on every group."""
+    import hashlib
+
+    from cdc_dedupe_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    groups = {}
+    for d in docs:
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        g = groups.setdefault(h, [set(), []])
+        g[0].add(d.source)
+        g[1].append(d.doc_id)
+    got = REGISTRY["multimodal_dedup_exact"].spark(spark, sf_dir).collect()
+    assert len(got) == len(groups)
+    assert sum(r.n_copies for r in got) == len(docs)
+    by_keeper = {r.keeper_id: r for r in got}
+    for srcs, ids in groups.values():
+        r = by_keeper[min(ids)]
+        assert (r.n_copies, r.n_sources) == (len(ids), len(srcs))
+        assert r.reclaimable_bytes == (len(ids) - 1) * r.n_bytes
