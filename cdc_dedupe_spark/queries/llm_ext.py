@@ -2393,9 +2393,20 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell with BOTH its ADC distance (approximate — 8 integer table
     lookups) and its exact integer L2² distance to the probe.
     ann_ivfpq_topk ranks on adc_d; vec_pq_recall_audit compares the two
-    rankings."""
+    rankings.
+
+    The scaled vectors are spread to full parallelism before the two
+    HOF-heavy map passes (coarse argmin over all vectors; 8x subspace
+    argmin PQ encode over the probe cell's candidates) — the pre-explode
+    spread discipline (SCALING.md): a one-file corpus otherwise runs
+    both at the scan's 2-partition parallelism (measured 3.9x wall for
+    10x vectors before, ~1.5x after; at 100 TB the multi-file scan
+    parallelizes on its own and the exchange is noise)."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sc_df = e.select("vec_id", iscale(F.col("embedding")).alias("se"))
+    sc_df = e.repartition(par, "vec_id").select(
+        "vec_id", iscale(F.col("embedding")).alias("se")
+    )
     # IVF coarse cells: the ann_ivf_topk broadcast-argmin machinery.
     ivf_row = sc_df.filter(F.col("vec_id") < _IVFPQ_CELLS).agg(
         F.array_sort(
@@ -3514,8 +3525,15 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tk = (
         table(spark, sf_dir, "documents")
+        # pre-explode spread (the _span_profile discipline, SCALING.md):
+        # the doc_id hash exchange moves raw documents (cheap), the ~50x
+        # token explode then runs at full parallelism instead of the
+        # one-file scan's partitioning, and BOTH doc windows reuse the
+        # partitioning — measured 21x wall for 10x docs before, 1.9x after
+        .repartition(par, "doc_id")
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
         .withColumn("stop", F.col("word").isin(*_RAKE_STOPS).cast("long"))
     )
