@@ -3619,3 +3619,86 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --- ml_score_lift_deciles — score-vs-gate calibration curve (round 12) -----
+
+
+# Composed oracle: decile the LM fluency score's value domain, join the
+# quality gate's keep flag, report keep rate per decile. Reuses both
+# queries' oracles as CTEs (the [[graph_cc_sizes]] composition pattern).
+_LIFT_ORACLE = f"""
+    WITH lm AS ({_LMBG_ORACLE}),
+    gate AS ({{_QG_ORACLE}}),
+    j AS (
+      SELECT lm.doc_id, lm.lm_score_ppm, gate.keep
+      FROM lm JOIN gate USING (doc_id)
+    ), v AS (
+      SELECT lm_score_ppm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(keep) AS BIGINT) AS n_keep
+      FROM j GROUP BY 1
+    ), c AS (
+      SELECT *,
+             CAST(SUM(n) OVER (ORDER BY lm_score_ppm
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM v
+    )
+    SELECT CAST((cum - n) * 10 // total AS BIGINT) AS decile,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_keep) AS BIGINT) AS n_keep,
+           CAST(SUM(n_keep) * 10000 // SUM(n) AS BIGINT) AS keep_bp,
+           MIN(lm_score_ppm) AS score_min,
+           MAX(lm_score_ppm) AS score_max
+    FROM c GROUP BY 1
+    """
+
+
+def _lift_oracle() -> str:
+    from .registry import REGISTRY as _R
+
+    return _LIFT_ORACLE.format(_QG_ORACLE=_R["pipeline_quality_gate"].oracle)
+
+
+@register("ml_score_lift_deciles", group="llm-ext", oracle=_lift_oracle())
+def ml_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration / lift curve: the corpus sliced into DECILES of
+    the bigram-LM fluency score ([[text_lm_bigram]]) with the
+    quality-gate pass rate ([[pipeline_quality_gate]]) per slice — the
+    reliability diagram every score-based curation pipeline draws before
+    trusting a threshold (a monotone keep-rate curve means the cheap LM
+    score predicts the expensive gate; a flat one means it's noise).
+    Decile boundaries come from the score's VALUE-DOMAIN rollup — a
+    cumulative window over O(distinct scores) rows (bounded by the ppm
+    scale, the [[stats_ks_two_sample]] discipline), never a global sort
+    of documents; ties share a decile deterministically (the first
+    occurrence's 0-based rank div n/10).
+
+    Composed from two declared queries (their plans fuse: the corpus
+    scans twice — once per signal — then joins on doc_id); exact
+    integer keep rates in bp."""
+    lm = text_lm_bigram(spark, sf_dir).select("doc_id", "lm_score_ppm")
+    gate = pipeline_quality_gate(spark, sf_dir).select("doc_id", "keep")
+    j = lm.join(gate, "doc_id")
+    v = j.groupBy("lm_score_ppm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("keep").cast("long").alias("n_keep")
+    )
+    wc = Window.orderBy("lm_score_ppm").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = v.select(
+        "lm_score_ppm",
+        "n",
+        "n_keep",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return (
+        c.groupBy(F.expr("(cum - n) * 10 div total").cast("long").alias("decile"))
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("n_keep").cast("long").alias("n_keep"),
+            F.expr("sum(n_keep) * 10000 div sum(n)").cast("long").alias("keep_bp"),
+            F.min("lm_score_ppm").alias("score_min"),
+            F.max("lm_score_ppm").alias("score_max"),
+        )
+    )

@@ -495,3 +495,76 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty")
     )
+
+
+@register(
+    "sort_shipping_priority",
+    group="relational",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_cbp,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000 AS order_epoch_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, order_epoch_day, o.o_orderpriority
+    ORDER BY revenue_cbp DESC, order_epoch_day, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def sort_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) re-expressed on the synthetic star
+    schema: the top-10 highest-revenue orders from BUILDING-segment
+    customers that were placed before the cutoff but have line items
+    still shipping after it — the classic three-table
+    filter→join→agg→top-k whose PLAN is the point: both date predicates
+    and the segment filter push into the parquet scans (PushedFilters),
+    the customer side broadcasts after its filter, and the top-10 is
+    TakeOrderedAndProject — no global sort. Revenue is exact
+    cent·basis-point integers (Σ cents·(100−disc_bp)), so the hash needs
+    no float discipline at all; ties break by (order date, key).
+
+    At 100 TB: the lineitem scan is the only big input and it arrives
+    pre-pruned by the shipdate predicate; the orders⋈lineitem join is
+    the one real shuffle."""
+    cutoff = "1998-06-01"
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+                "order_epoch_day"
+            ),
+            "o_orderpriority",
+        )
+        .agg(rev.alias("revenue_cbp"))
+        .select("l_orderkey", "revenue_cbp", "order_epoch_day", "o_orderpriority")
+        .orderBy(F.col("revenue_cbp").desc(), "order_epoch_day", "l_orderkey")
+        .limit(10)
+    )

@@ -1803,3 +1803,80 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(n_purchase_7d * 10000 div nullif(n_signup, 0), 0)"
         ).cast("long").alias("conv_bp"),
     )
+
+
+@register(
+    "events_sequence_match",
+    group="relational-ext",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+    ), l AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS l1,
+             LEAD(event_type, 2) OVER w AS l2,
+             LEAD(event_type, 3) OVER w AS l3
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click'
+                 AND (l1 = 'purchase' OR l2 = 'purchase' OR l3 = 'purchase'))
+                AS BIGINT) AS n_matched,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'
+                 AND (l1 = 'purchase' OR l2 = 'purchase' OR l3 = 'purchase'))
+                 * 10000 // NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0), 0)
+                AS BIGINT) AS match_bp
+    FROM l GROUP BY user_id
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (CEP-lite): per user, how many
+    clicks are followed by a purchase within the next THREE events of
+    any kind — the MATCH_RECOGNIZE/funnel-with-distraction-budget shape
+    ([[events_funnel_windowed]] bounds by TIME; this bounds by
+    intervening EVENTS, which is what distinguishes an intent path from
+    a wandering one). Fixed lookahead compiles to three lead() columns
+    on ONE user_id exchange — no self-join, no UDF state machine; a
+    longer pattern is more lead columns, and an unbounded pattern is
+    the [[stream_sessionize_state]] applyInPandasWithState shape.
+
+    O(users) output; exact integer match rate in bp."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    l = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("l1"),
+        F.lead("event_type", 2).over(w).alias("l2"),
+        F.lead("event_type", 3).over(w).alias("l3"),
+    )
+    is_click = F.col("event_type") == "click"
+    hit = is_click & (
+        (F.col("l1") == "purchase")
+        | (F.col("l2") == "purchase")
+        | (F.col("l3") == "purchase")
+    )
+    return (
+        l.groupBy("user_id")
+        .agg(
+            F.sum(is_click.cast("long")).alias("n_clicks"),
+            F.sum(hit.cast("long")).alias("n_matched"),
+        )
+        .select(
+            "user_id",
+            "n_clicks",
+            "n_matched",
+            F.expr("coalesce(n_matched * 10000 div nullif(n_clicks, 0), 0)")
+            .cast("long")
+            .alias("match_bp"),
+        )
+    )

@@ -3023,3 +3023,74 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pi1.select("state", F.col("pi").alias("pi1_ppm")), "state")
         .join(pi2.select("state", F.col("pi").alias("pi2_ppm")), "state")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_rolling_median — trailing robust baseline over the bucket rollup
+
+
+_RMED_WIN_US = 24 * 3_600_000_000  # trailing 24 hours (inclusive of current)
+
+
+@register(
+    "ts_rolling_median",
+    group="stats-ml",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_us, n_events,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+           (median(n_events) OVER w + 0.0) AS roll_med
+    FROM c
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+                 RANGE BETWEEN {_RMED_WIN_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour rolling MEDIAN of the hourly event rate per type
+    — the robust baseline a live anomaly monitor subtracts (the rolling
+    twin of [[events_anomaly_mad]]'s global median and the outlier-proof
+    alternative to [[ts_ewma_hourly]]'s IIR mean, which one burst
+    poisons for hours). The RANGE frame runs over the bucket TIMELINE
+    (calendar gaps shrink the window — the [[ts_stl_trend]] frame
+    discipline); median interpolation is (a+b)/2 of integer counts,
+    dyadic and bit-identical cross-engine.
+
+    One raw shuffle (the shared hourly rollup); the windowed median is
+    O(window log window) per rollup row (Spark rejects median() with a
+    frame, so the frame's values sort in an array — the window is <= 25
+    buckets by construction) and the rollup is O(types · hours) at any
+    corpus size."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rangeBetween(-_RMED_WIN_US, 0)
+    )
+    xs = F.sort_array(F.collect_list("n_events").over(w))
+    m = F.size(xs)
+    h = (m / 2).cast("int")  # floor(m/2); odd middle is h + 1 (1-indexed)
+    med = F.when(
+        m % 2 == 1, F.element_at(xs, h + 1).cast("double")
+    ).otherwise(
+        (F.element_at(xs, h) + F.element_at(xs, h + 1)).cast("double") / 2
+    )
+    return c.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        m.cast("long").alias("n_window"),
+        (med + F.lit(0.0)).alias("roll_med"),
+    )

@@ -940,3 +940,124 @@ def test_cas_dedup_accounting(spark, sf_dir):
         r = by_keeper[min(ids)]
         assert (r.n_copies, r.n_sources) == (len(ids), len(srcs))
         assert r.reclaimable_bytes == (len(ids) - 1) * r.n_bytes
+
+
+# ---------------------------------------------------------------------------
+# sort_shipping_priority
+
+
+def test_q3_revenue_and_filters(spark, sf_dir):
+    """Every emitted order must satisfy both date filters and the
+    segment filter; revenue recomputed in python from the raw tables
+    agrees exactly (cent.bp integers)."""
+    from cdc_dedupe_spark.tables import table
+
+    rows = REGISTRY["sort_shipping_priority"].spark(spark, sf_dir).collect()
+    assert rows and len(rows) <= 10
+    cust = {
+        r.c_custkey
+        for r in table(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+        .collect()
+    }
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate, r.o_orderpriority)
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    ).collect()
+    import datetime
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    rev = {}
+    for l in li:
+        if l.l_shipdate > cutoff and l.l_orderkey in orders:
+            ck, od, _ = orders[l.l_orderkey]
+            if ck in cust and od < cutoff:
+                rev[l.l_orderkey] = rev.get(l.l_orderkey, 0) + round(
+                    l.l_extendedprice * 100
+                ) * (100 - round(l.l_discount * 100))
+    revs = sorted(rev.values(), reverse=True)
+    for r in rows:
+        assert rev[r.l_orderkey] == r.revenue_cbp
+    assert [r.revenue_cbp for r in rows] == revs[: len(rows)]
+
+
+# ---------------------------------------------------------------------------
+# events_sequence_match
+
+
+def test_sequence_match_pure_python(spark, sf_dir):
+    """Per-user python scan over the ordered event list reproduces the
+    click->purchase-within-3 counts."""
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    paths = {}
+    for r in ev:
+        paths.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    got = {
+        r.user_id: (r.n_clicks, r.n_matched, r.match_bp)
+        for r in REGISTRY["events_sequence_match"].spark(spark, sf_dir).collect()
+    }
+    for uid, p in paths.items():
+        p.sort()
+        types = [t for *_, t in p]
+        clicks = sum(1 for t in types if t == "click")
+        matched = sum(
+            1
+            for i, t in enumerate(types)
+            if t == "click" and "purchase" in types[i + 1 : i + 4]
+        )
+        bp = matched * 10000 // clicks if clicks else 0
+        assert got[uid] == (clicks, matched, bp), uid
+
+
+# ---------------------------------------------------------------------------
+# ts_rolling_median
+
+
+def test_rolling_median_trailing_window(spark, sf_dir):
+    """Python recompute of the trailing 24h median per bucket matches
+    (time-accurate RANGE frame, dyadic interpolation)."""
+    import statistics
+
+    rows = REGISTRY["ts_rolling_median"].spark(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.bucket_us, r.n_events))
+    win = 24 * 3_600_000_000
+    for r in rows:
+        vals = [
+            n
+            for b, n in by_type[r.event_type]
+            if r.bucket_us - win <= b <= r.bucket_us
+        ]
+        assert r.n_window == len(vals)
+        assert r.roll_med == float(statistics.median(vals)), (r.event_type, r.bucket_us)
+
+
+# ---------------------------------------------------------------------------
+# ml_score_lift_deciles
+
+
+def test_lift_deciles_partition_and_rates(spark, sf_dir):
+    """Deciles cover every scored doc exactly once, rates are exact, and
+    the decile ranges are disjoint and ordered."""
+    rows = sorted(
+        REGISTRY["ml_score_lift_deciles"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    lm = REGISTRY["text_lm_bigram"].spark(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == len(lm)
+    for r in rows:
+        assert 0 <= r.decile <= 9
+        assert r.keep_bp == r.n_keep * 10000 // r.n_docs
+        assert r.score_min <= r.score_max
+    for a, b in zip(rows, rows[1:]):
+        assert a.score_max < b.score_min
