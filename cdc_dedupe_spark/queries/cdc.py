@@ -447,3 +447,67 @@ def cdc_tombstone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_op_us"),
         F.max("ts_us").alias("last_op_us"),
     )
+
+
+_ASOF_T_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z, mid-corpus
+
+
+@register(
+    "cdc_snapshot_asof",
+    group="cdc",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= {_ASOF_T_US}
+    ), k AS (
+      SELECT *, {SQL_PADDED_ORDER_KEY.format(ts='ts_us', id='event_id')} AS ok
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS version_at_t,
+           arg_max(event_id, ok) AS asof_event_id,
+           arg_max(event_type, ok) AS asof_event_type,
+           arg_max(cents, ok) AS asof_cents,
+           MAX(ts_us) AS last_change_us,
+           CAST({_ASOF_T_US} AS BIGINT) - MAX(ts_us) AS staleness_us
+    FROM k GROUP BY user_id
+    """,
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshot — "the table as of T": each
+    entity's version in force at a FIXED timestamp, the read pattern
+    behind feature-store PIT joins and reproducible-training snapshots
+    ([[cdc_scd2_history]] materializes ALL intervals; this answers one
+    instant and never builds them). The time predicate pushes into the
+    parquet scan (at 100 TB with time-partitioned storage it prunes
+    partitions — the reason this beats filtering the SCD-2 output), and
+    the snapshot itself is the [[cdc_upsert_latest]] max_by fold — ONE
+    partial-agg shuffle of O(entities) rows. Also emits per-entity
+    staleness at T (snapshot-quality monitoring).
+
+    Entities created after T are correctly ABSENT (a PIT join against
+    this snapshot can't leak the future)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .where(F.unix_micros("ts") <= _ASOF_T_US)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("ok", padded_order_key("ts_us", "event_id"))
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("version_at_t"),
+        F.max_by("event_id", "ok").alias("asof_event_id"),
+        F.max_by("event_type", "ok").alias("asof_event_type"),
+        F.max_by("cents", "ok").alias("asof_cents"),
+        F.max("ts_us").alias("last_change_us"),
+        (F.lit(_ASOF_T_US) - F.max("ts_us")).cast("long").alias("staleness_us"),
+    )

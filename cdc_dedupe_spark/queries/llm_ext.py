@@ -3702,3 +3702,96 @@ def ml_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lm_score_ppm").alias("score_max"),
         )
     )
+
+
+# --- dedup_minhash_precision_audit — LSH stage quality audit (round 12) -----
+
+
+_MHP_SH_CTE = """sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
+               i -> substr(substr(text, 1, 200), i, 5))) AS shingles
+      FROM documents
+    )"""
+
+_MHP_ORACLE = f"""
+    WITH mh AS (SELECT doc_a, doc_b, minhash_sim FROM ({_MINHASH_ORACLE})),
+    {_MHP_SH_CTE},
+    j AS (
+      SELECT mh.doc_a, mh.doc_b, mh.minhash_sim,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+             CAST(len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS u
+      FROM mh JOIN sh a ON a.doc_id = mh.doc_a
+              JOIN sh b ON b.doc_id = mh.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE i * 2 >= u) AS BIGINT) AS n_true_half,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE i * 2 >= u) * 10000
+                // NULLIF(COUNT(*), 0), 0) AS BIGINT) AS precision_bp,
+           CAST(COALESCE(SUM(CAST(floor(abs(minhash_sim
+                 - CAST(i AS DOUBLE) / u) * 10000) AS BIGINT))
+                // NULLIF(COUNT(*), 0), 0) AS BIGINT) AS mean_abs_err_bp
+    FROM j
+    """
+
+
+@register("dedup_minhash_precision_audit", group="llm-ext", oracle=_MHP_ORACLE)
+def dedup_minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-stage quality audit — for every MinHash band-collision
+    candidate ([[dedup_minhash_exact]]'s declared pair list), the EXACT
+    5-gram Jaccard of the pair, rolled up to the numbers a dedup
+    deployment tunes bands/rows against: candidate precision at J >= 0.5
+    (exact integer compare, 2·|∩| >= |∪|) and the mean |signature
+    agreement − true Jaccard| in bp — the estimator-vs-truth audit that
+    [[vec_pq_recall_audit]] is for PQ, closing the loop on the dedup
+    estimator family (recall's complement is pinned separately by
+    tests/test_minhash_recall.py's property tests).
+
+    Plan: the candidate pairs (band-bounded, never all-pairs) join the
+    shingle-array table twice on the doc key; intersection/union sizes
+    are integers, one IEEE division + floor per pair, and the audit is
+    a single-row rollup. Shingle arrays ride the join — bounded by the
+    200-char prefix — and only candidate pairs pay it."""
+    pairs = dedup_minhash_exact(spark, sf_dir).select("doc_a", "doc_b", "minhash_sim")
+    sh = table(spark, sf_dir, "documents").select(
+        "doc_id", char_shingles(F.col("text"), n=5, prefix_len=200).alias("shingles")
+    )
+    j = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "minhash_sim",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("i"),
+            (
+                F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+            ).cast("long").alias("u"),
+        )
+    )
+    err = F.floor(
+        F.abs(F.col("minhash_sim") - F.col("i").cast("double") / F.col("u")) * 10000
+    ).cast("long")
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("i") * 2 >= F.col("u")).cast("long")).alias("n_true_half"),
+            F.sum(err).alias("sum_err"),
+        )
+        .select(
+            "n_pairs",
+            "n_true_half",
+            F.expr("coalesce(n_true_half * 10000 div nullif(n_pairs, 0), 0)")
+            .cast("long")
+            .alias("precision_bp"),
+            F.expr("coalesce(sum_err div nullif(n_pairs, 0), 0)")
+            .cast("long")
+            .alias("mean_abs_err_bp"),
+        )
+    )

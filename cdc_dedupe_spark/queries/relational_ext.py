@@ -1880,3 +1880,53 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_bp"),
         )
     )
+
+
+@register(
+    "window_first_last_value",
+    group="relational-ext",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(first_value(cents) OVER w AS BIGINT) AS min_cents_in_prio,
+           CAST(last_value(cents) OVER w AS BIGINT) AS max_cents_in_prio,
+           CAST(nth_value(cents, 2) OVER w AS BIGINT) AS second_cents_in_prio
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an UNBOUNDED frame —
+    the positional window-function surface the declared inventory had
+    not yet exercised (rank/lag/cume families are covered; these pull
+    VALUES from frame endpoints — the "compare every row to its group's
+    extremes" idiom). Frame is explicitly unbounded-both-ways: the
+    default last_value frame (ends at CURRENT ROW) is the classic
+    silent-wrong-answer; order ties break on the unique key so the
+    second element is deterministic.
+
+    One exchange on the partition key; integer cents, no float surface
+    at all."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.first("cents").over(w).cast("long").alias("min_cents_in_prio"),
+        F.last("cents").over(w).cast("long").alias("max_cents_in_prio"),
+        F.nth_value("cents", 2).over(w).cast("long").alias("second_cents_in_prio"),
+    )

@@ -1061,3 +1061,74 @@ def test_lift_deciles_partition_and_rates(spark, sf_dir):
         assert r.score_min <= r.score_max
     for a, b in zip(rows, rows[1:]):
         assert a.score_max < b.score_min
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_precision_audit
+
+
+def test_minhash_audit_bounds(spark, sf_dir):
+    """Audit invariants: candidate precision is a valid bp fraction of
+    emitted pairs, the mean signature error is bounded by 10000 bp, and
+    the pair count equals the declared candidate list's."""
+    r = REGISTRY["dedup_minhash_precision_audit"].spark(spark, sf_dir).collect()[0]
+    n_cand = REGISTRY["dedup_minhash_exact"].spark(spark, sf_dir).count()
+    assert r.n_pairs == n_cand
+    assert 0 <= r.n_true_half <= r.n_pairs
+    if r.n_pairs:
+        assert r.precision_bp == r.n_true_half * 10000 // r.n_pairs
+    assert 0 <= r.mean_abs_err_bp <= 10000
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_asof
+
+
+def test_snapshot_asof_no_future_leak(spark, sf_dir):
+    """The snapshot equals a python last-wins fold over events at or
+    before T; entities born after T are absent; staleness is
+    non-negative."""
+    import calendar
+
+    from cdc_dedupe_spark.queries.cdc import _ASOF_T_US
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    ).collect()
+    state = {}
+    for r in ev:
+        us = int(calendar.timegm(r.ts.timetuple())) * 1_000_000 + r.ts.microsecond
+        if us <= _ASOF_T_US:
+            cur = state.setdefault(r.user_id, [])
+            cur.append((us, r.event_id, r.event_type, round(r.value * 100)))
+    got = {r.user_id: r for r in REGISTRY["cdc_snapshot_asof"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(state)
+    for uid, versions in state.items():
+        versions.sort()
+        us, eid, et, cents = versions[-1]
+        r = got[uid]
+        assert (r.version_at_t, r.asof_event_id, r.asof_event_type, r.asof_cents) == (
+            len(versions), eid, et, cents,
+        )
+        assert r.staleness_us == _ASOF_T_US - us >= 0
+
+
+# ---------------------------------------------------------------------------
+# window_first_last_value
+
+
+def test_first_last_value_frame_semantics(spark, sf_dir):
+    """min/max in-priority values must equal the true group extremes for
+    every row (the unbounded-frame contract), and nth_value(2) is the
+    second-smallest with the key tie-break."""
+    rows = REGISTRY["window_first_last_value"].spark(spark, sf_dir).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.o_orderpriority, []).append(r)
+    for prio, rs in groups.items():
+        ordered = sorted(rs, key=lambda r: (r.cents, r.o_orderkey))
+        lo, hi, second = ordered[0].cents, ordered[-1].cents, ordered[1].cents
+        for r in rs:
+            assert (r.min_cents_in_prio, r.max_cents_in_prio) == (lo, hi), prio
+            assert r.second_cents_in_prio == second
