@@ -752,3 +752,67 @@ def test_containment_blocks_on_rare_spans(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0
+
+
+def test_funnel_windowed_single_event_exchange(spark, sf_dir):
+    """The three chained conditional-min windows AND the per-user rollup
+    must all reuse ONE user_id hash partitioning (SCALING.md round 12:
+    'window depth is funnel length, not exchanges'). The ONLY other
+    exchange is the final single-row rollup, which moves per-user
+    partial-agg rows (O(users) scalars), never events — pinned by its
+    SinglePartition arrangement sitting above a partial HashAggregate."""
+    plan = plan_of(spark, sf_dir, "events_funnel_windowed")
+    assert n_exchanges(plan) == 2
+    assert "SinglePartition" in plan
+    assert re.search(r"partial_(count|sum)", plan), plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD-2: row_number + lead share the (user_id | ts, event_id)
+    partitioning — the history build is one shuffle, never a changelog
+    self-join."""
+    plan = plan_of(spark, sf_dir, "cdc_scd2_history")
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_tombstone_lifecycle_single_exchange(spark, sf_dir):
+    """Lag window + reverse row_number + groupBy stack on one user_id
+    exchange."""
+    plan = plan_of(spark, sf_dir, "cdc_tombstone_lifecycle")
+    assert n_exchanges(plan) == 1
+
+
+def test_snapshot_asof_pushes_time_predicate(spark, sf_dir):
+    """The as-of T predicate must reach the parquet scan (partition
+    pruning at scale) and the snapshot is one partial-agg exchange."""
+    plan = plan_of(spark, sf_dir, "cdc_snapshot_asof")
+    assert "PushedFilters:" in plan
+    assert n_exchanges(plan) == 1
+    assert re.search(r"partial_(max|count)", plan), plan
+
+
+def test_q3_pushdown_broadcast_topk(spark, sf_dir):
+    """TPC-H Q3 shape: date predicates pushed to both fact scans, the
+    filtered customer side broadcast, top-10 as TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "sort_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan)
+
+
+def test_rake_windows_reuse_preexplode_spread(spark, sf_dir):
+    """RAKE: the pre-explode doc_id repartition must be the ONLY doc-side
+    exchange (both windows reuse it); total exchanges = spread + word
+    rollup (+ the top-k is TakeOrderedAndProject, not a sort)."""
+    plan = plan_of(spark, sf_dir, "text_keyword_rake")
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) == 2
+
+
+def test_sequence_match_single_exchange(spark, sf_dir):
+    """Three lead() columns + the per-user rollup on one exchange — the
+    fixed-lookahead CEP claim."""
+    plan = plan_of(spark, sf_dir, "events_sequence_match")
+    assert n_exchanges(plan) == 1
