@@ -3795,3 +3795,168 @@ def dedup_minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("mean_abs_err_bp"),
         )
     )
+
+
+# --- doc_chunk_overlap — sliding-window chunking with overlap (round 12) ----
+
+
+_OVL_W = 32  # chunk window (tokens)
+_OVL_S = 24  # stride (tokens) -> 8-token overlap
+
+
+@register(
+    "doc_chunk_overlap",
+    group="llm-ext",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           k AS chunk_idx,
+           CAST(k * {_OVL_S} + 1 AS BIGINT) AS tok_start,
+           CAST(least({_OVL_W}, n - k * {_OVL_S}) AS BIGINT) AS n_chunk_tokens,
+           CAST(CASE WHEN k = 0 THEN 0
+                ELSE least({_OVL_W - _OVL_S}, n - k * {_OVL_S}) END AS BIGINT)
+             AS n_overlap_tokens,
+           array_to_string(toks[k * {_OVL_S} + 1 : least(n, k * {_OVL_S} + {_OVL_W})], ' ')
+             AS chunk_text
+    FROM t, (SELECT unnest(generate_series(0, 63)) AS k) ks
+    WHERE k * {_OVL_S} < n
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking WITH OVERLAP — the RAG-ingest standard
+    ([[doc_chunk_tokens]] cuts disjoint context-window chunks for
+    training; retrieval chunking overlaps so an answer spanning a cut
+    is whole in at least one chunk): {w}-token windows at a {s}-token
+    stride (8-token overlap), emitting each chunk's text, its token
+    span, and how many of its leading tokens repeat the previous chunk
+    (the dedup-accounting column — overlapping chunkers inflate token
+    counts and [[doc_global_shuffle_shard]]-style budget planners must
+    subtract it).
+
+    Map-side 1→N row expansion, zero shuffle (pinned with the other
+    map-only text ops): at 100 TB this runs at scan speed; the
+    generate_series cap bounds per-doc expansion the same way the
+    fixed-budget chunker's does."""
+    toks = F.split("text", " ")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    ks = F.sequence(F.lit(0), F.lit(63))
+    e = d.select(
+        "doc_id", "toks", "n", F.explode(ks).alias("k")
+    ).where(F.col("k") * _OVL_S < F.col("n"))
+    start = F.col("k") * _OVL_S + 1
+    return e.select(
+        "doc_id",
+        F.col("k").alias("chunk_idx"),
+        start.cast("long").alias("tok_start"),
+        F.least(F.lit(_OVL_W), F.col("n") - F.col("k") * _OVL_S)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.when(F.col("k") == 0, F.lit(0))
+        .otherwise(F.least(F.lit(_OVL_W - _OVL_S), F.col("n") - F.col("k") * _OVL_S))
+        .cast("long")
+        .alias("n_overlap_tokens"),
+        F.array_join(
+            F.slice(
+                "toks",
+                start,
+                F.least(F.col("n") - F.col("k") * _OVL_S, F.lit(_OVL_W)),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+doc_chunk_overlap.__doc__ = doc_chunk_overlap.__doc__.format(w=_OVL_W, s=_OVL_S)
+
+
+# --- graph_assortativity — degree-mixing coefficient (round 12) --------------
+
+
+_ASSORT_ORACLE = f"""
+    WITH knn AS (SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+      FROM knn
+    ),
+    sym AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.node = s.src JOIN deg db ON db.node = s.dst
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           (round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+             6) + 0.0) AS assortativity
+    FROM m
+    """
+
+
+@register("graph_assortativity", group="llm-ext", oracle=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the k-NN similarity graph — the Pearson
+    correlation of endpoint degrees over all directed edges (Newman's
+    mixing coefficient): positive = hubs link hubs (a dense semantic
+    core the dedup pass will collapse wholesale), negative = hub-spoke
+    (centroids with singleton satellites — the IVF-friendly shape). One
+    number that tells you which dedup topology you have before you run
+    CC; completes the graph-statistics family beside
+    [[graph_triangle_count]]'s local and [[graph_cc_sizes]]' global
+    views.
+
+    Plan: degrees from the symmetric edge list (one partial agg), each
+    edge picks up both endpoint degrees via two id-key joins, then the
+    Pearson moments are ONE exact-BIGINT partial-agg row (the
+    [[stats_corr_matrix]] machinery on edges); HUGEINT/DECIMAL(38,0)
+    numerators, one double chain. O(n·k) edge rows, never vectors."""
+    und = (
+        _knn_edges(spark, sf_dir)
+        .select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = (
+        sym.join(deg.select(F.col("src").alias("a"), F.col("d").alias("x")), F.col("src") == F.col("a"))
+        .join(deg.select(F.col("src").alias("b"), F.col("d").alias("y")), F.col("dst") == F.col("b"))
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (_dec2(F.col("n")) * F.col("sxy") - _dec2(F.col("sx")) * F.col("sy")).cast("double")
+    vx = (_dec2(F.col("n")) * F.col("sxx") - _dec2(F.col("sx")) * F.col("sx")).cast("double")
+    vy = (_dec2(F.col("n")) * F.col("syy") - _dec2(F.col("sy")) * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        round_pos(num / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )
+
+
+def _dec2(c: Column) -> Column:
+    """DECIMAL(38,0) cast (the stats_ml._dec twin, local to llm_ext)."""
+    return c.cast("decimal(38,0)")

@@ -1350,3 +1350,73 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m.max_session_events", "m.total_duration_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_user_features — continuously-current feature-store rows (round 12)
+
+
+_SUF_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "stream_user_features",
+    group="streaming",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+             CAST({" + ".join(
+                 f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                 for t in _SUF_TYPES)} AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS spend_cents,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_seen_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases, n_types, spend_cents, last_seen_us
+    FROM f
+    """,
+)
+def stream_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature store as a STREAM — [[events_user_features]]' snapshot
+    aggregates run as a live complete-mode streaming aggregation, so the
+    per-user feature row is continuously current instead of rebuilt by a
+    nightly batch (the lambda→kappa consolidation story: SAME aggregate
+    shapes, the state store maintains them incrementally). Distinct-type
+    breadth is the sum of five per-type MAX indicators — declarative,
+    order-insensitive, and streaming-legal where countDistinct is not;
+    every aggregate here is commutative, which is exactly what makes the
+    bounded-replay result hash-match the batch oracle with no arrival-
+    order caveat.
+
+    At 100 TB: one streaming shuffle on user_id, O(users) state rows of
+    five BIGINTs each; recency is computed by the CONSUMER against its
+    own clock (the batch twin's corpus watermark is meaningless on an
+    unbounded stream, so the streaming row carries last_seen_us)."""
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    breadth = sum(
+        (
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+            for t in _SUF_TYPES[1:]
+        ),
+        F.max(F.when(F.col("event_type") == _SUF_TYPES[0], 1).otherwise(0)),
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        breadth.cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))),
+            F.lit(0),
+        ).cast("long").alias("spend_cents"),
+        F.max("ts_us").alias("last_seen_us"),
+    )
+    return run_to_memory(agg, "stream_user_features", output_mode="complete")

@@ -1132,3 +1132,90 @@ def test_first_last_value_frame_semantics(spark, sf_dir):
         for r in rs:
             assert (r.min_cents_in_prio, r.max_cents_in_prio) == (lo, hi), prio
             assert r.second_cents_in_prio == second
+
+
+# ---------------------------------------------------------------------------
+# stream_user_features
+
+
+def test_stream_user_features_matches_batch_twin(spark, sf_dir):
+    """The streaming complete-mode rows must agree with the batch
+    events_user_features on every shared column (the lambda->kappa
+    consolidation contract); breadth via indicator-sum == countDistinct."""
+    got = {
+        r.user_id: r
+        for r in REGISTRY["stream_user_features"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: r
+        for r in REGISTRY["events_user_features"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        s = got[uid]
+        assert (s.n_events, s.n_purchases, s.n_types, s.spend_cents) == (
+            b.n_events, b.n_purchases, b.n_types, b.spend_cents,
+        ), uid
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_overlap
+
+
+def test_chunk_overlap_reconstruction(spark, sf_dir):
+    """Chunks tile every document: stride spacing, window bound, overlap
+    accounting (sum of chunk tokens - overlaps == doc tokens), and the
+    chunk text matches a python slice."""
+    from cdc_dedupe_spark.queries.llm_ext import _OVL_S, _OVL_W
+    from cdc_dedupe_spark.tables import table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = REGISTRY["doc_chunk_overlap"].spark(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        total = 0
+        for c in chunks:
+            start0 = c.chunk_idx * _OVL_S
+            want = toks[start0 : start0 + _OVL_W]
+            assert c.chunk_text == " ".join(want)
+            assert c.n_chunk_tokens == len(want) <= _OVL_W
+            total += c.n_chunk_tokens - c.n_overlap_tokens
+        assert total == len(toks), doc_id
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity
+
+
+def test_assortativity_matches_pure_python(spark, sf_dir):
+    """Newman coefficient recomputed from the declared edge list with
+    python floats agrees to the rounded output; value in [-1, 1]."""
+    edges = REGISTRY["ann_knn_graph"].spark(spark, sf_dir).collect()
+    und = {tuple(sorted((e.vec_id, e.nbr_id))) for e in edges}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in und:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    r = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    got = REGISTRY["graph_assortativity"].spark(spark, sf_dir).collect()[0]
+    assert got.n_directed_edges == n
+    assert abs(got.assortativity - r) <= 5e-6
+    assert -1.0 <= got.assortativity <= 1.0
