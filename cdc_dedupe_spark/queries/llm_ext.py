@@ -3960,3 +3960,108 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dec2(c: Column) -> Column:
     """DECIMAL(38,0) cast (the stats_ml._dec twin, local to llm_ext)."""
     return c.cast("decimal(38,0)")
+
+
+# --- text_js_divergence — per-source drift vs the corpus (round 12) ----------
+
+
+_JSD_ORACLE = """
+    WITH tk AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tk WHERE tok <> '' GROUP BY 1, 2
+    ), stot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1
+    ), ct AS (
+      SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t FROM st),
+    terms AS (
+      SELECT st.source,
+             CAST(round((CAST(st.c_st AS DOUBLE) / s.t_s)
+               * ln((CAST(st.c_st AS DOUBLE) / s.t_s)
+                    / ((CAST(st.c_st AS DOUBLE) / s.t_s
+                        + CAST(ct.c_t AS DOUBLE) / tot.t) / 2))
+               * 1000000) AS BIGINT) AS kl_p_unat,
+             CAST(round((CAST(ct.c_t AS DOUBLE) / tot.t)
+               * ln((CAST(ct.c_t AS DOUBLE) / tot.t)
+                    / ((CAST(st.c_st AS DOUBLE) / s.t_s
+                        + CAST(ct.c_t AS DOUBLE) / tot.t) / 2))
+               * 1000000) AS BIGINT) AS kl_q_unat,
+             ct.c_t
+      FROM st JOIN stot s USING (source) JOIN ct USING (tok), tot
+    ), agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(SUM(kl_p_unat) AS BIGINT) AS sum_p,
+             CAST(SUM(kl_q_unat) AS BIGINT) AS sum_q,
+             CAST(SUM(c_t) AS BIGINT) AS covered
+      FROM terms GROUP BY source
+    )
+    SELECT a.source, s.t_s AS n_tokens, a.n_vocab,
+           CAST((a.sum_p + a.sum_q
+                 + CAST(round(ln(2.0) * 1000000
+                     * (CAST(tot.t - a.covered AS DOUBLE) / tot.t)) AS BIGINT))
+                // 2 AS BIGINT) AS jsd_unat
+    FROM agg a JOIN stot s USING (source), tot
+    """
+
+
+@register("text_js_divergence", group="llm-ext", oracle=_JSD_ORACLE)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each SOURCE's unigram distribution
+    from the whole corpus — the source-drift monitor a curation pipeline
+    runs per ingest (a source whose JSD jumps changed its content mix;
+    JSD is symmetric and bounded by ln 2, unlike raw KL). Each
+    p·ln(p/m) term is snapped ONCE to an exact BIGINT micro-nat (the
+    [[ml_nb_classify]] discipline) so per-source sums are exact integer
+    arithmetic; the corpus-side mass of tokens ABSENT from the source
+    folds to the closed form ln 2·(1 − Σq_present) — one double chain —
+    instead of exploding |vocab| rows per source.
+
+    Shuffles: one (source, token) rollup, a token-key join against the
+    Heaps'-bounded corpus counts (broadcastable), one source rollup.
+    Never raw text after the first scan."""
+    tk = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    st = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    st = st.localCheckpoint(eager=False)  # source totals + corpus counts + terms
+    stot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").alias("t"))
+    j = (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c_st").cast("double") / F.col("t_s")
+    q = F.col("c_t").cast("double") / F.col("t")
+    m = (p + q) / 2
+    terms = j.select(
+        "source",
+        F.round(p * F.log(p / m) * 1000000).cast("long").alias("kl_p_unat"),
+        F.round(q * F.log(q / m) * 1000000).cast("long").alias("kl_q_unat"),
+        "c_t",
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("kl_p_unat").alias("sum_p"),
+        F.sum("kl_q_unat").alias("sum_q"),
+        F.sum("c_t").alias("covered"),
+    )
+    import math
+
+    return (
+        agg.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("t_s").cast("long").alias("n_tokens"),
+            "n_vocab",
+            F.expr(
+                f"CAST((sum_p + sum_q + CAST(round({math.log(2.0)!r} * 1000000"
+                " * (CAST(t - covered AS DOUBLE) / t)) AS BIGINT)) div 2 AS BIGINT)"
+            ).alias("jsd_unat"),
+        )
+    )

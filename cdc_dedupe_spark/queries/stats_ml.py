@@ -3094,3 +3094,144 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.cast("long").alias("n_window"),
         (med + F.lit(0.0)).alias("roll_med"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_profile — behavioral diversity per user (round 12)
+
+
+@register(
+    "events_entropy_profile",
+    group="stats-ml",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n FROM c GROUP BY 1
+    ), t AS (
+      SELECT c.user_id, u.n,
+             CAST(round(
+               (CAST(c.n_t AS DOUBLE) / u.n)
+               * ln(CAST(c.n_t AS DOUBLE) / u.n) * 1000000) AS BIGINT) AS term_unat
+      FROM c JOIN u USING (user_id)
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(-SUM(term_unat) AS BIGINT) AS entropy_unat
+    FROM t GROUP BY user_id
+    """,
+)
+def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (0 = single-action bots, ln 5 ≈ 1.609 = uniform
+    explorers) that feeds bot detection and engagement models next to
+    [[events_user_features]]' count features. Each −p·ln p term is
+    snapped ONCE to an exact BIGINT micro-nat (the [[ml_nb_classify]]
+    log discipline), so the per-user sum is exact integer arithmetic —
+    order-free, no float-reduction caveat at any group size.
+
+    One user_id-keyed rollup shuffle (|users|·|types| rows), the
+    per-user totals reuse its partitioning, terms are map-side. O(users)
+    output."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    wu = Window.partitionBy("user_id")
+    t = c.select(
+        "user_id",
+        F.sum("n_t").over(wu).alias("n"),
+        "n_t",
+    ).select(
+        "user_id",
+        "n",
+        F.round(
+            (F.col("n_t").cast("double") / F.col("n"))
+            * F.log(F.col("n_t").cast("double") / F.col("n"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("term_unat"),
+    )
+    return t.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (-F.sum("term_unat")).cast("long").alias("entropy_unat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_gini_spend — revenue concentration (round 12)
+
+
+@register(
+    "stats_gini_spend",
+    group="stats-ml",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), v AS (
+      SELECT spend, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY spend
+    ), w AS (
+      SELECT spend, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM v
+    ), m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(spend * c) AS BIGINT) AS total,
+             CAST(SUM(spend * (2 * c * cum + c * (c + 1))) AS BIGINT) AS two_s
+      FROM w
+    )
+    SELECT n AS n_users, total AS total_cents,
+           (round(CAST(two_s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  - CAST(n + 1 AS DOUBLE) / n, 6) + 0.0) AS gini
+    FROM m
+    """,
+)
+def stats_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of purchase spend across users — the revenue-
+    concentration number behind "whales vs long tail" decisions (0 =
+    perfectly even, →1 = one user is the business). Computed WITHOUT a
+    global sort: ranks come from the spend VALUE-DOMAIN rollup (the
+    [[stats_ks_two_sample]] discipline) — for a distinct value with
+    count c after cum cheaper users, Σranks = c·cum + c(c+1)/2, so
+    G = 2·Σᵢ rankᵢ·xᵢ/(n·Σx) − (n+1)/n folds to exact BIGINT sums over
+    the tiny rollup, one double chain at the end.
+
+    Two rollup shuffles (user spend, then value domain), a cumulative
+    window over O(distinct spends) rows, one output row at any scale."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend"))
+    )
+    v = s.groupBy("spend").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("spend").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "spend", "c", F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("cum")
+    )
+    m = w.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("spend") * F.col("c")).alias("total"),
+        F.sum(
+            F.col("spend")
+            * (2 * F.col("c") * F.col("cum") + F.col("c") * (F.col("c") + 1))
+        ).alias("two_s"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("total").alias("total_cents"),
+        round_pos(
+            F.col("two_s").cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -1219,3 +1219,76 @@ def test_assortativity_matches_pure_python(spark, sf_dir):
     assert got.n_directed_edges == n
     assert abs(got.assortativity - r) <= 5e-6
     assert -1.0 <= got.assortativity <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_profile
+
+
+def test_entropy_profile_bounds_and_python(spark, sf_dir):
+    """Entropy in [0, ln(n_types)] micro-nats (+1 ulp rounding slack per
+    term) and equal to a python recompute with identical snapping."""
+    import math
+
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    mix = {}
+    for r in ev:
+        mix.setdefault(r.user_id, {}).setdefault(r.event_type, 0)
+        mix[r.user_id][r.event_type] += 1
+    got = {
+        r.user_id: r
+        for r in REGISTRY["events_entropy_profile"].spark(spark, sf_dir).collect()
+    }
+    for uid, counts in mix.items():
+        n = sum(counts.values())
+        want = -sum(
+            round((c / n) * math.log(c / n) * 1000000) for c in counts.values()
+        )
+        r = got[uid]
+        assert (r.n_events, r.n_types, r.entropy_unat) == (n, len(counts), want)
+        assert -len(counts) <= r.entropy_unat <= math.log(len(counts)) * 1e6 + len(counts)
+
+
+# ---------------------------------------------------------------------------
+# stats_gini_spend
+
+
+def test_gini_matches_sorted_rank_formula(spark, sf_dir):
+    """Classic sorted-rank Gini in python (G = 2*sum(i*x_i)/(n*sum x)
+    - (n+1)/n over ascending x with averaged tie handling via the
+    value-domain identity) agrees with the rollup form."""
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").where("event_type = 'purchase'").select(
+        "user_id", "value"
+    ).collect()
+    spend = {}
+    for r in ev:
+        spend[r.user_id] = spend.get(r.user_id, 0) + round(r.value * 100)
+    xs = sorted(spend.values())
+    n, total = len(xs), sum(xs)
+    two_s = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+    g = two_s / (n * total) - (n + 1) / n
+    r = REGISTRY["stats_gini_spend"].spark(spark, sf_dir).collect()[0]
+    assert (r.n_users, r.total_cents) == (n, total)
+    assert abs(r.gini - g) <= 5e-7
+    assert 0.0 <= r.gini < 1.0
+
+
+# ---------------------------------------------------------------------------
+# text_js_divergence
+
+
+def test_jsd_bounds_and_self_divergence(spark, sf_dir):
+    """JSD is bounded by ln 2 micro-nats (+ per-term rounding slack) and
+    non-negative up to the same slack; sources with more tokens diverge
+    less from the corpus they dominate (sanity, not exact law —
+    asserted only for the extreme pair)."""
+    rows = REGISTRY["text_js_divergence"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        slack = r.n_vocab + 2
+        assert -slack <= r.jsd_unat <= 693148 + slack, r
+        assert r.n_vocab <= r.n_tokens
