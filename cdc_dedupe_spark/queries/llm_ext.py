@@ -4065,3 +4065,178 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd_unat"),
         )
     )
+
+
+# --- ml_kmeans_elbow — inertia vs k in one corpus pass (round 12) ------------
+
+
+_ELBOW_KS = (2, 4, 8)
+
+
+def _elbow_arm_sql(k: int) -> str:
+    return f"""
+      SELECT {k} AS k, s.vec_id,
+             (SELECT min(list_sum(list_transform(generate_series(1, len(s.se)),
+                      i -> (s.se[i] - c.se[i]) * (s.se[i] - c.se[i]))))
+              FROM sc c WHERE c.vec_id < {k}) AS d
+      FROM sc s"""
+
+
+# DuckDB's SUM over the per-vector mins widens to HUGEINT; emit only the
+# truncating per-vector mean, which fits BIGINT at any corpus size.
+_ELBOW_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), a AS ({" UNION ALL ".join(_elbow_arm_sql(k) for k in _ELBOW_KS)})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_inertia
+    FROM a GROUP BY k
+    """
+
+
+@register("ml_kmeans_elbow", group="llm-ext", oracle=_ELBOW_ORACLE)
+def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means elbow diagnostic — mean quantization inertia at k = 2, 4,
+    8 seed centroids from ONE corpus pass: every vector computes its
+    nearest-seed L2² for ALL THREE k values map-side (the k=8 argmin
+    subsumes the smaller scans; 14 distance kernels per vector total)
+    and the answer is a 3-row aggregate — the "which k is worth
+    training" readout that precedes [[ml_kmeans_train]] and sizes the
+    [[ann_ivf_topk]] cell count ([[vec_ivf_cell_stats]] audits the
+    chosen k after the build; this compares candidates before it).
+    Mean inertia is a truncating integer division of exact BIGINT sums
+    (HUGEINT-safe in the oracle).
+
+    Zero shuffles of vectors: seeds are one broadcast row per k, the
+    final agg moves 3 partial rows per task. The seed-centroid rule
+    (vec_id < k) is the family's deterministic convention."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sc_df = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")  # HOF pass at full parallelism (SCALING.md)
+        .select("vec_id", iscale(F.col("embedding")).alias("se"))
+    )
+    seeds_row = sc_df.filter(F.col("vec_id") < max(_ELBOW_KS)).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("se").alias("ce")))
+        ).alias("seeds")
+    )
+    withd = sc_df.crossJoin(F.broadcast(seeds_row))
+
+    def min_d(k: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.slice("seeds", 1, k), lambda c: il2(F.col("se"), c["ce"])
+            )
+        )
+
+    arms = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).cast("long").alias("k"), min_d(k).alias("d"))
+                for k in _ELBOW_KS
+            ]
+        )
+    )
+    return (
+        withd.select(arms.alias("a"))
+        .select("a.k", "a.d")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            # DECIMAL(38,0) sum: per-vector d is ~1e14, so a BIGINT sum
+            # overflows past ~1e5 vectors x large k — the oracle's HUGEINT
+            F.expr("CAST(sum(CAST(d AS DECIMAL(38,0))) div count(*) AS BIGINT)").alias(
+                "mean_inertia"
+            ),
+        )
+    )
+
+
+# --- dedup_lsh_tuning_curve — measured vs theoretical S-curve (round 12) ----
+
+
+_LSH_TUNE_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
+               i -> substr(substr(text, 1, 200), i, 5))) AS shingles
+      FROM documents
+    ), uni AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))), 4) + 0.0)
+               AS jaccard_r
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+    ), mh AS (
+      SELECT DISTINCT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+    ), j AS (
+      SELECT CAST(floor(u.jaccard_r * 10) AS BIGINT) AS bucket,
+             CASE WHEN mh.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM uni u LEFT JOIN mh ON mh.doc_a = u.doc_a AND mh.doc_b = u.doc_b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_collided,
+           CAST(SUM(hit) * 10000 // COUNT(*) AS BIGINT) AS collide_bp,
+           CAST(round((1.0 - pow(1.0 - pow((2.0 * bucket + 1.0) / 20.0, 4), 2))
+                * 10000) AS BIGINT) AS theory_bp
+    FROM j GROUP BY bucket
+    """
+
+
+@register("dedup_lsh_tuning_curve", group="llm-ext", oracle=_LSH_TUNE_ORACLE)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH S-curve — for the banded candidate universe
+    ([[dedup_ngram_jaccard]]'s exact-Jaccard pairs), the fraction that
+    the 2-band × 4-row LSH ([[dedup_minhash_exact]]) actually collides,
+    bucketed by true Jaccard decile, next to the analytic collision
+    probability 1 − (1 − s⁴)² at the bucket midpoint — the curve every
+    LSH deployment plots to pick bands × rows (too flat: missed dups;
+    too early: candidate explosion). [[dedup_minhash_precision_audit]]
+    scores the candidates LSH DID emit; this measures what it emits as
+    a function of similarity.
+
+    Plan: the exact-pair universe (banded, never all-pairs) LEFT joins
+    the collision pair list on the (doc_a, doc_b) key, then an O(11)-row
+    rollup; the theory column is arithmetic on the bucket id. At scale
+    both pair lists are the declared queries' own outputs — the audit
+    adds one hash join and a tiny aggregate."""
+    uni = _ngram_pair_scores(spark, sf_dir).select("doc_a", "doc_b", "jaccard_r")
+    mh = (
+        dedup_minhash_exact(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = uni.join(mh, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("jaccard_r") * 10).cast("long").alias("bucket"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    theory = F.round(
+        (
+            1.0
+            - F.pow(
+                1.0 - F.pow((2.0 * F.col("bucket") + 1.0) / 20.0, 4.0), 2.0
+            )
+        )
+        * 10000
+    ).cast("long")
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_collided"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_collided",
+            F.expr("n_collided * 10000 div n_pairs").cast("long").alias("collide_bp"),
+            theory.alias("theory_bp"),
+        )
+    )

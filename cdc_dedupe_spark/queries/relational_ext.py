@@ -1930,3 +1930,66 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents").over(w).cast("long").alias("max_cents_in_prio"),
         F.nth_value("cents", 2).over(w).cast("long").alias("second_cents_in_prio"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    group="relational-ext",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT cents, w,
+             CAST(SUM(w) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(w) OVER () AS BIGINT) AS tot
+      FROM v
+    )
+    SELECT CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 4 * cum >= tot THEN cents END) AS w_p25_cents,
+           MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS w_median_cents,
+           MIN(CASE WHEN 4 * cum >= 3 * tot THEN cents END) AS w_p75_cents
+    FROM c
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quartiles of the price distribution, weight = quantity —
+    "the median unit SOLD", not the median line item (a line with 50
+    units counts 50×): the inventory/revenue planning number plain
+    percentiles get wrong. Lower weighted quantile by the exact integer
+    rule k·cum >= j·W over the value-domain rollup cumulative (the
+    [[agg_quantile_2pass]] family, weights instead of counts) — no
+    global sort, no interpolation, no float anywhere.
+
+    One rollup shuffle + a cumulative window over O(distinct cents)
+    rows + a one-row pick."""
+    v = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("qty").alias("w"))
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = v.select(
+        "cents",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return c.agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        F.min(F.when(4 * F.col("cum") >= F.col("tot"), F.col("cents"))).alias(
+            "w_p25_cents"
+        ),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))).alias(
+            "w_median_cents"
+        ),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("cents"))).alias(
+            "w_p75_cents"
+        ),
+    )

@@ -1292,3 +1292,74 @@ def test_jsd_bounds_and_self_divergence(spark, sf_dir):
         slack = r.n_vocab + 2
         assert -slack <= r.jsd_unat <= 693148 + slack, r
         assert r.n_vocab <= r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median
+
+
+def test_weighted_median_expansion_equivalence(spark, sf_dir):
+    """The weighted quartiles equal plain quartiles of the weight-
+    EXPANDED multiset (the defining property), computed in python."""
+    from cdc_dedupe_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    expanded = []
+    for r in li:
+        expanded += [round(r.l_extendedprice * 100)] * int(round(r.l_quantity))
+    expanded.sort()
+    W = len(expanded)
+
+    def lower_q(j, k):  # smallest v with k*cum >= j*W
+        # equals element at ceil(j*W/k) in 1-indexed expanded order
+        idx = -(-j * W // k)
+        return expanded[idx - 1]
+
+    r = REGISTRY["agg_weighted_median"].spark(spark, sf_dir).collect()[0]
+    assert r.total_weight == W
+    assert r.w_p25_cents == lower_q(1, 4)
+    assert r.w_median_cents == lower_q(1, 2)
+    assert r.w_p75_cents == lower_q(3, 4)
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_elbow
+
+
+def test_elbow_inertia_monotone_in_k(spark, sf_dir):
+    """More seed centroids can only LOWER the per-vector min distance,
+    so mean inertia must be non-increasing in k (nested seed sets:
+    seeds(2) subset of seeds(4) subset of seeds(8))."""
+    rows = sorted(
+        REGISTRY["ml_kmeans_elbow"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [2, 4, 8]
+    assert len({r.n_vecs for r in rows}) == 1
+    assert rows[0].mean_inertia >= rows[1].mean_inertia >= rows[2].mean_inertia >= 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_tuning_curve
+
+
+def test_lsh_curve_monotone_and_consistent(spark, sf_dir):
+    """Collision rate must be a valid fraction per bucket, the measured
+    curve must rise from the lowest to the highest populated bucket
+    (the S-curve's defining trend), and exact duplicates (bucket 10)
+    must always collide."""
+    rows = sorted(
+        REGISTRY["dedup_lsh_tuning_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_collided <= r.n_pairs
+        assert r.collide_bp == r.n_collided * 10000 // r.n_pairs
+        assert 0 <= r.theory_bp <= 10000
+    assert rows[-1].collide_bp >= rows[0].collide_bp
+    top = [r for r in rows if r.bucket == 10]
+    if top:
+        assert top[0].collide_bp == 10000
