@@ -3235,3 +3235,217 @@ def stats_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km — Kaplan–Meier time-to-second-event (round 12)
+
+
+_KM_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_survival_km",
+    group="stats-ml",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+    ), f AS (
+      SELECT user_id,
+             MIN(ts_us) AS t1,
+             CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM e GROUP BY user_id
+    ), s AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t2
+      FROM e JOIN f ON f.user_id = e.user_id AND e.ts_us > f.t1
+      GROUP BY e.user_id
+    ), horizon AS (SELECT MAX(ts_us) AS t_end FROM e),
+    obs AS (
+      SELECT f.user_id,
+             CASE WHEN s.t2 IS NOT NULL
+                  THEN (s.t2 - f.t1) // {_KM_DAY_US}
+                  ELSE (h.t_end - f.t1) // {_KM_DAY_US} END AS t_days,
+             CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM f LEFT JOIN s ON s.user_id = f.user_id, horizon h
+    ), agg AS (
+      SELECT t_days,
+             CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d, leaving,
+             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+               - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM agg
+    ), km AS (
+      SELECT t_days, d, n_risk,
+             CAST(SUM(CASE WHEN d > 0 AND d < n_risk THEN
+               CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000) AS BIGINT)
+               ELSE 0 END) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS log_s_unat,
+             MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+      FROM risk
+    )
+    SELECT t_days, d AS n_events, n_risk,
+           CASE WHEN hit_zero = 1 THEN NULL ELSE log_s_unat END AS log_s_unat,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE (round(exp(CAST(log_s_unat AS DOUBLE) / 1000000), 6) + 0.0)
+           END AS survival_r
+    FROM km WHERE d > 0
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-SECOND-event (days) — the
+    churn-analysis estimator: users whose second event never arrives are
+    RIGHT-CENSORED at the corpus horizon instead of dropped (dropping
+    them is the classic retention-inflation bug; KM is the fix). Each
+    hazard factor ln(1 − d/n) snaps ONCE to an exact BIGINT micro-nat
+    (the [[ml_nb_classify]] log discipline), so the cumulative
+    log-survival is an exact integer window sum — the product of
+    survival fractions without an order-sensitive float product; the
+    displayed S(t) is one exp per row.
+
+    Plan: two user_id-key aggregates (first/second event) + the horizon
+    as a one-row broadcast; the risk-set arithmetic runs entirely over
+    the O(distinct gap days) rollup (value-domain discipline). At 100 TB
+    the curve costs two exchanges of O(users) rows."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    f = e.groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+    s = (
+        e.join(f, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    horizon = e.agg(F.max("ts_us").alias("t_end"))
+    obs = (
+        f.join(s, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.expr(f"(t2 - t1) div {_KM_DAY_US}"),
+            )
+            .otherwise(F.expr(f"(t_end - t1) div {_KM_DAY_US}"))
+            .alias("t_days"),
+            F.col("t2").isNotNull().cast("long").alias("is_event"),
+        )
+        .localCheckpoint(eager=False)  # total + rollup share it
+    )
+    agg = obs.groupBy("t_days").agg(
+        F.sum("is_event").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    wb = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    risk = agg.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "d",
+        (
+            F.col("n_total") - F.coalesce(F.sum("leaving").over(wb), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # d == n_risk means the curve hits exactly zero (everyone still at
+    # risk is an event): ln(0) is out of domain, so the zero crossing is
+    # carried as a flag — NULL log-survival, S = 0.0 from there on.
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(
+            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+            * 1000000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    hit_zero = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wc)
+    km = risk.select(
+        "t_days",
+        "d",
+        "n_risk",
+        F.sum(term).over(wc).cast("long").alias("raw_log_s"),
+        hit_zero.alias("hit_zero"),
+    )
+    return km.where(F.col("d") > 0).select(
+        "t_days",
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.when(F.col("hit_zero") == 1, F.lit(None).cast("long"))
+        .otherwise(F.col("raw_log_s"))
+        .alias("log_s_unat"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(round_pos(F.exp(F.col("raw_log_s").cast("double") / 1000000), 6))
+        .alias("survival_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_benford_test — first-digit law fraud screen (round 12)
+
+
+@register(
+    "stats_benford_test",
+    group="stats-ml",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           CAST(c.n * 10000 // t.total AS BIGINT) AS observed_bp,
+           CAST(round(ln(1.0 + 1.0 / c.digit) / ln(10.0) * 10000) AS BIGINT)
+             AS benford_bp,
+           (round(pow(CAST(c.n AS DOUBLE) / t.total
+                      - ln(1.0 + 1.0 / c.digit) / ln(10.0), 2)
+                  / (ln(1.0 + 1.0 / c.digit) / ln(10.0)) * t.total, 6) + 0.0)
+             AS chi2_term
+    FROM c, t
+    """,
+)
+def stats_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals — the classic
+    forensic-accounting / synthetic-data smell test (organic financial
+    amounts follow P(d) = log₁₀(1 + 1/d); fabricated ones usually
+    don't): per leading digit of the cents amount, observed share vs
+    the Benford expectation and the per-digit chi-square contribution
+    (sum them for the 8-df test statistic — emitted per digit so the
+    deviating digit is visible, not just the aggregate). Counts are
+    exact integers; expectations and chi² terms are one identical
+    double chain per digit.
+
+    Map-side digit extraction + a 9-row aggregate with a one-row total
+    broadcast: the cheapest fraud screen any 100 TB ledger can run."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("n * 10000 div total").cast("long").alias("observed_bp"),
+        F.round(benford * 10000).cast("long").alias("benford_bp"),
+        round_pos(
+            F.pow(F.col("n").cast("double") / F.col("total") - benford, F.lit(2.0))
+            / benford
+            * F.col("total"),
+            6,
+        ).alias("chi2_term"),
+    )

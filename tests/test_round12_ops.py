@@ -1363,3 +1363,76 @@ def test_lsh_curve_monotone_and_consistent(spark, sf_dir):
     top = [r for r in rows if r.bucket == 10]
     if top:
         assert top[0].collide_bp == 10000
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km
+
+
+def test_km_matches_pure_python(spark, sf_dir):
+    """Independent KM implementation (float products, not log sums)
+    agrees to rounding; the curve is non-increasing and starts <= 1."""
+    import math
+
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    import calendar
+
+    times = {}
+    for r in ev:
+        us = int(calendar.timegm(r.ts.timetuple())) * 1_000_000 + r.ts.microsecond
+        times.setdefault(r.user_id, []).append(us)
+    horizon = max(u for v in times.values() for u in v)
+    obs = []
+    day = 86_400_000_000
+    for v in times.values():
+        v.sort()
+        if len(v) >= 2:
+            obs.append(((v[1] - v[0]) // day, 1))
+        else:
+            obs.append(((horizon - v[0]) // day, 0))
+    rows = sorted(
+        REGISTRY["events_survival_km"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    n_risk = len(obs)
+    s = 1.0
+    by_t = {}
+    for t in sorted({t for t, _ in obs}):
+        d = sum(1 for tt, e in obs if tt == t and e)
+        leaving = sum(1 for tt, _ in obs if tt == t)
+        if d:
+            by_t[t] = (d, n_risk, s * (n_risk - d) / n_risk if d < n_risk else 0.0)
+            s = by_t[t][2]
+        n_risk -= leaving
+    assert [(r.t_days, r.n_events, r.n_risk) for r in rows] == [
+        (t, d, n) for t, (d, n, _) in sorted(by_t.items())
+    ]
+    prev = 1.0
+    for r in rows:
+        want = by_t[r.t_days][2]
+        # micro-nat snapping per term: tolerance ~ n_terms ulps
+        assert abs(r.survival_r - want) <= 5e-5, (r.t_days, r.survival_r, want)
+        assert r.survival_r <= prev + 1e-9
+        prev = r.survival_r
+
+
+# ---------------------------------------------------------------------------
+# stats_benford_test
+
+
+def test_benford_shares_and_terms(spark, sf_dir):
+    """Digits 1..9 partition the orders, observed shares sum to ~1, the
+    Benford expectations match the closed form, and chi2 terms are
+    non-negative."""
+    import math
+
+    rows = REGISTRY["stats_benford_test"].spark(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert r.observed_bp == r.n * 10000 // total
+        assert r.benford_bp == round(math.log10(1 + 1 / r.digit) * 10000)
+        assert r.chi2_term >= 0.0
+    assert 10000 - 9 <= sum(r.observed_bp for r in rows) <= 10000
