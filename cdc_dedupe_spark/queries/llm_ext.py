@@ -4240,3 +4240,89 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             theory.alias("theory_bp"),
         )
     )
+
+
+# --- text_burstiness — token overdispersion profile (round 12) ---------------
+
+
+_BURST_MIN_DOCS = 10
+_BURST_TOPK = 20
+
+
+_BURST_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk WHERE tok <> '' GROUP BY 1, 2
+    ), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    m AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM dt GROUP BY tok
+    )
+    SELECT tok, df, s1 AS total_count,
+           (round((CAST(nd.n_docs AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(nd.n_docs AS DOUBLE) * s1), 6) + 0.0) AS burstiness
+    FROM m, nd
+    WHERE df >= {_BURST_MIN_DOCS}
+    ORDER BY burstiness DESC, tok
+    LIMIT {_BURST_TOPK}
+    """
+
+
+@register("text_burstiness", group="llm-ext", oracle=_BURST_ORACLE)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness — the variance-to-mean ratio (index of
+    dispersion) of per-document counts, zeros included: content words
+    BURST (appear many times in few docs — VMR >> 1), function words
+    spread Poisson-like (VMR ≈ 1). The corpus-linguistics signal behind
+    keyword weighting that raw frequency misses ([[text_keyword_rake]]
+    scores within-phrase roles; this scores cross-document clumping).
+    Top-{k} bursty tokens with document frequency >= {mind}.
+
+    Zeros never materialize: with D docs, Σc and Σc² over PRESENT
+    (doc, token) rows give VMR = (D·Σc² − (Σc)²)/(D·Σc) exactly — the
+    moments fold zeros in algebraically. One (doc, token) rollup, one
+    token rollup, exact BIGINT moments, one double chain per token,
+    TakeOrderedAndProject."""
+    dt = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # doc total + token moments share it
+    )
+    nd = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    m = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return (
+        m.where(F.col("df") >= _BURST_MIN_DOCS)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "df",
+            F.col("s1").cast("long").alias("total_count"),
+            round_pos(
+                (
+                    F.col("n_docs").cast("double") * F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1")
+                )
+                / (F.col("n_docs").cast("double") * F.col("s1")),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "tok")
+        .limit(_BURST_TOPK)
+    )
+
+
+text_burstiness.__doc__ = text_burstiness.__doc__.format(
+    k=_BURST_TOPK, mind=_BURST_MIN_DOCS
+)

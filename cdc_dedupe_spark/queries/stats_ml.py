@@ -3449,3 +3449,74 @@ def stats_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_lorenz_curve — spend share by population decile (round 12)
+
+
+@register(
+    "events_lorenz_curve",
+    group="stats-ml",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), v AS (
+      SELECT spend, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(spend) AS BIGINT) AS mass
+      FROM s GROUP BY spend
+    ), w AS (
+      SELECT spend, c, mass,
+             CAST(COALESCE(SUM(c) OVER o, 0) AS BIGINT) AS cum_before,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(mass) OVER () AS BIGINT) AS total
+      FROM v WINDOW o AS (ORDER BY spend ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(cum_before * 10 // n AS BIGINT) AS decile,
+           CAST(SUM(c) AS BIGINT) AS n_users,
+           CAST(SUM(mass) AS BIGINT) AS spend_cents,
+           CAST(SUM(mass) * 10000 // MAX(total) AS BIGINT) AS share_bp
+    FROM w GROUP BY 1
+    """,
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of purchase spend — spend share per population
+    decile ordered poorest→richest, the distribution [[stats_gini_spend]]
+    summarizes to one number, emitted as the curve itself (the
+    "bottom 50% hold X%, top 10% hold Y%" readout). Deciles come from
+    the spend VALUE-DOMAIN rollup's cumulative count (the tie-stable
+    first-occurrence rank, never a global user sort); shares are exact
+    integer bp.
+
+    Two rollup shuffles + a cumulative window over O(distinct spends)
+    rows; ≤10 output rows at any scale."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend"))
+    )
+    v = s.groupBy("spend").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("spend").alias("mass"),
+    )
+    wb = Window.orderBy("spend").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy()
+    w = v.select(
+        "spend",
+        "c",
+        "mass",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum("mass").over(wt).alias("total"),
+    )
+    return (
+        w.groupBy(F.expr("cum_before * 10 div n").cast("long").alias("decile"))
+        .agg(
+            F.sum("c").cast("long").alias("n_users"),
+            F.sum("mass").cast("long").alias("spend_cents"),
+            F.expr("sum(mass) * 10000 div max(total)").cast("long").alias("share_bp"),
+        )
+    )

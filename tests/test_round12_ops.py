@@ -1436,3 +1436,55 @@ def test_benford_shares_and_terms(spark, sf_dir):
         assert r.benford_bp == round(math.log10(1 + 1 / r.digit) * 10000)
         assert r.chi2_term >= 0.0
     assert 10000 - 9 <= sum(r.observed_bp for r in rows) <= 10000
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness
+
+
+def test_burstiness_zero_folding_identity(spark, sf_dir):
+    """The moments form must equal the literal VMR over per-doc counts
+    WITH zeros materialized (python recompute) for every emitted token."""
+    from cdc_dedupe_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts = {}
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                counts.setdefault(w, {}).setdefault(d.doc_id, 0)
+                counts[w][d.doc_id] += 1
+    n_docs = len(docs)
+    rows = REGISTRY["text_burstiness"].spark(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        per_doc = list(counts[r.tok].values()) + [0] * (n_docs - len(counts[r.tok]))
+        mean = sum(per_doc) / n_docs
+        var = sum((x - mean) ** 2 for x in per_doc) / n_docs
+        assert abs(r.burstiness - var / mean) <= 5e-7, r.tok
+        assert r.df == len(counts[r.tok]) and r.total_count == sum(per_doc)
+        if prev is not None:
+            assert r.burstiness <= prev + 1e-9
+        prev = r.burstiness
+
+
+# ---------------------------------------------------------------------------
+# events_lorenz_curve
+
+
+def test_lorenz_consistency_with_gini(spark, sf_dir):
+    """Shares sum to ~10000 bp, users partition, the curve is convex-ish
+    (later deciles hold at least the per-user share of earlier ones),
+    and total spend matches stats_gini_spend."""
+    rows = sorted(
+        REGISTRY["events_lorenz_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    g = REGISTRY["stats_gini_spend"].spark(spark, sf_dir).collect()[0]
+    assert sum(r.n_users for r in rows) == g.n_users
+    assert sum(r.spend_cents for r in rows) == g.total_cents
+    assert 10000 - len(rows) <= sum(r.share_bp for r in rows) <= 10000
+    # monotone per-user mean spend across deciles (the sort-order law)
+    means = [r.spend_cents / r.n_users for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
