@@ -756,3 +756,70 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where((F.col("rank") - 1) % _SYS_K == 0).select(
         "doc_id", "lang", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_dedup_survivorship — which source wins the keeper (round 12)
+
+
+@register(
+    "doc_dedup_survivorship",
+    group="curation",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ), g AS (
+      SELECT h, MIN(doc_id) AS keeper_id FROM t GROUP BY h
+    ), j AS (
+      SELECT t.source,
+             CASE WHEN t.doc_id = g.keeper_id THEN 1 ELSE 0 END AS is_keeper,
+             CASE WHEN t.doc_id <> g.keeper_id
+                   AND t.source <> k.source THEN 1 ELSE 0 END AS lost_cross
+      FROM t JOIN g USING (h)
+      JOIN t k ON k.doc_id = g.keeper_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_keeper) AS BIGINT) AS n_keepers,
+           CAST(SUM(is_keeper) * 10000 // COUNT(*) AS BIGINT) AS keeper_bp,
+           CAST(SUM(lost_cross) AS BIGINT) AS n_lost_cross_source
+    FROM j GROUP BY source
+    """,
+)
+def doc_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship bias audit — per SOURCE, how many documents
+    survive exact dedup as the keeper and how many are dropped in favor
+    of ANOTHER source's copy: min-doc-id keeper rules (every dedup here
+    uses one) silently bias the surviving mix toward whichever source
+    was ingested first, and this is the readout that catches it before
+    [[mix_sources_temperature]] re-weights an already-skewed corpus
+    ([[source_scorecard]] profiles near-dup rates; this profiles who
+    WINS the ties).
+
+    Plan: one digest-key rollup for keepers, a join back on the digest,
+    and a second tiny join to fetch the keeper's source (both sides of
+    the digest join are (hash, id, source) triples — text never
+    shuffles); O(sources) output."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    ).localCheckpoint(eager=False)  # both join sides + keeper rollup
+    g = t.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    ksrc = t.select(F.col("doc_id").alias("keeper_id"), F.col("source").alias("ksource"))
+    j = (
+        t.join(g, "h")
+        .join(ksrc, "keeper_id")
+        .select(
+            "source",
+            (F.col("doc_id") == F.col("keeper_id")).cast("long").alias("is_keeper"),
+            (
+                (F.col("doc_id") != F.col("keeper_id"))
+                & (F.col("source") != F.col("ksource"))
+            ).cast("long").alias("lost_cross"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_keeper").cast("long").alias("n_keepers"),
+        F.expr("sum(is_keeper) * 10000 div count(*)").cast("long").alias("keeper_bp"),
+        F.sum("lost_cross").cast("long").alias("n_lost_cross_source"),
+    )

@@ -3520,3 +3520,97 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(mass) * 10000 div max(total)").cast("long").alias("share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_skew_kurtosis — higher-moment distribution shape (round 12)
+
+
+@register(
+    "agg_skew_kurtosis",
+    group="stats-ml",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s4
+      FROM events GROUP BY event_type
+    ), c AS (
+      -- central moments via the exact-integer binomial expansions:
+      -- n^2*M2 = n*s2 - s1^2 ; n^3*M3 = n^2*s3 - 3n*s1*s2 + 2*s1^3
+      -- n^4*M4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4
+      SELECT event_type, n,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2n2,
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE) AS m3n3,
+             CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE) AS m4n4
+      FROM m
+    )
+    -- with A = n*SUM(x-mu)^2, B = n^2*SUM(x-mu)^3, C = n^3*SUM(x-mu)^4 the
+    -- n powers cancel exactly: skew = B/A^1.5, kurtosis = C/A^2
+    SELECT event_type, n,
+           (round(m3n3 / pow(m2n2, 1.5), 6) + 0.0) AS skewness,
+           (round(m4n4 / (m2n2 * m2n2) - 3.0, 6) + 0.0) AS excess_kurtosis
+    FROM c
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of the cents value per event type —
+    the higher-moment shape diagnostics (heavy tails break the normality
+    assumptions behind [[stats_two_sample]] and [[stats_power_mde]]; this
+    is the check you run first). All four raw power sums are EXACT
+    integers (Σx⁴ ≈ 10²¹ at sf1 — HUGEINT/DECIMAL(38,0) from the first
+    multiply), central moments come from the exact binomial expansions
+    (n²M₂ = nΣx²−(Σx)² etc.), and only the final normalized ratios are
+    one IEEE chain per group. Spark's own skewness()/kurtosis() stream
+    FLOAT central moments whose partial-merge order is
+    nondeterministic — the moments form is both exact and
+    partial-agg-shuffled like every other sketch here.
+
+    One exchange of |types| × 5 scalars. Width ceiling: the n³Σx⁴ and
+    (Σx)⁴ terms stay inside 38 digits up to n ≈ 10⁹ rows/group at cents
+    scale; past that (true 100 TB groups) the exact form is the same
+    TWO-PASS trick as [[agg_quantile_2pass]] — pass 1 the integer mean,
+    pass 2 exact centered power sums, whose magnitudes shrink by the
+    mean⁴ factor. Both engines overflow LOUDLY (checked arithmetic),
+    never silently."""
+    x = F.round(F.col("value") * 100).cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        table(spark, sf_dir, "events")
+        .select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("x"))).alias("s1"),
+            F.sum(d38(F.col("x")) * F.col("x")).alias("s2"),
+            F.sum(d38(F.col("x")) * F.col("x") * F.col("x")).alias("s3"),
+            F.sum(d38(F.col("x")) * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    m2n2 = (d38(n) * s2 - s1 * s1).cast("double")
+    m3n3 = (d38(n) * n * s3 - 3 * d38(n) * s1 * s2 + 2 * s1 * s1 * s1).cast("double")
+    m4n4 = (
+        d38(n) * n * n * s4
+        - 4 * d38(n) * n * s1 * s3
+        + 6 * d38(n) * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ).cast("double")
+    # n powers cancel: skew = m3n3/m2n2^1.5, kurt = m4n4/m2n2^2 - 3
+    return m.select(
+        "event_type",
+        "n",
+        round_pos(m3n3 / F.pow(m2n2, F.lit(1.5)), 6).alias("skewness"),
+        round_pos(m4n4 / (m2n2 * m2n2) - 3.0, 6).alias("excess_kurtosis"),
+    )

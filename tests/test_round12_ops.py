@@ -1488,3 +1488,64 @@ def test_lorenz_consistency_with_gini(spark, sf_dir):
     # monotone per-user mean spend across deciles (the sort-order law)
     means = [r.spend_cents / r.n_users for r in rows]
     assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
+
+
+# ---------------------------------------------------------------------------
+# agg_skew_kurtosis
+
+
+def test_skew_kurtosis_pure_python(spark, sf_dir):
+    """Literal central-moment recompute in python floats agrees with the
+    exact-integer binomial-expansion form."""
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(round(r.value * 100))
+    got = {r.event_type: r for r in REGISTRY["agg_skew_kurtosis"].spark(spark, sf_dir).collect()}
+    for et, xs in groups.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        r = got[et]
+        assert r.n == n
+        assert abs(r.skewness - m3 / m2 ** 1.5) <= 1e-4
+        assert abs(r.excess_kurtosis - (m4 / m2 ** 2 - 3)) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# doc_dedup_survivorship
+
+
+def test_survivorship_accounting(spark, sf_dir):
+    """Keepers across sources sum to the distinct-payload count, every
+    doc is counted once, and cross-source losses can't exceed total
+    losses; python recompute agrees per source."""
+    import hashlib
+
+    from cdc_dedupe_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    groups = {}
+    for d in docs:
+        groups.setdefault(hashlib.md5(d.text.encode()).hexdigest(), []).append(d)
+    stats = {}
+    for g in groups.values():
+        keeper = min(g, key=lambda d: d.doc_id)
+        for d in g:
+            s = stats.setdefault(d.source, [0, 0, 0])
+            s[0] += 1
+            if d.doc_id == keeper.doc_id:
+                s[1] += 1
+            elif d.source != keeper.source:
+                s[2] += 1
+    got = {r.source: r for r in REGISTRY["doc_dedup_survivorship"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for src, (n, k, lc) in stats.items():
+        r = got[src]
+        assert (r.n_docs, r.n_keepers, r.n_lost_cross_source) == (n, k, lc)
+        assert r.keeper_bp == k * 10000 // n
+    assert sum(r.n_keepers for r in got.values()) == len(groups)
