@@ -50,13 +50,24 @@ def test_staleness_bound_is_structural():
     assert verified, "history module is empty — run scripts/update_rotation.py"
     newest = max(verified)
     sweeps = -(-len(REGISTRY) // WINDOW)  # ceil
-    # Entries with no history at all must be inside the upcoming window.
+    # Entries with no history must fill the window FIRST. When fewer than
+    # 50 exist they must all be inside; when a round adds more than 50 new
+    # queries (round 12 added 40 on top of 13 carried), the correct
+    # structural claim is saturation — the window contains ONLY
+    # never-verified entries, and the leftovers are next round's front
+    # (LRU order keys them at round 0, ahead of everything verified).
     never = [n for n in REGISTRY if DRIVER_LAST_VERIFIED.get(n, 0) == 0]
     window = driver_order()[:WINDOW]
-    assert all(n in window for n in never), (
-        f"never-driver-verified entries outside the window: "
-        f"{[n for n in never if n not in window]}"
-    )
+    if len(never) <= WINDOW:
+        assert all(n in window for n in never), (
+            f"never-driver-verified entries outside the window: "
+            f"{[n for n in never if n not in window]}"
+        )
+    else:
+        assert all(DRIVER_LAST_VERIFIED.get(n, 0) == 0 for n in window), (
+            "window not saturated with never-verified entries while "
+            f"{len(never)} > {WINDOW} exist"
+        )
     # Verified entries: oldest allowed round is newest - sweeps.
     stale = {
         n: DRIVER_LAST_VERIFIED[n]
