@@ -4326,3 +4326,88 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_burstiness.__doc__ = text_burstiness.__doc__.format(
     k=_BURST_TOPK, mind=_BURST_MIN_DOCS
 )
+
+
+# --- ml_score_auc — ROC AUC of the fluency score vs the gate (round 12) -----
+
+
+_AUC_ORACLE = f"""
+    WITH lm AS ({_LMBG_ORACLE}),
+    gate AS ({{_QG_ORACLE}}),
+    j AS (
+      SELECT lm.lm_score_ppm AS v, gate.keep FROM lm JOIN gate USING (doc_id)
+    ), g AS (
+      SELECT v, CAST(SUM(keep) AS BIGINT) AS a,
+             CAST(SUM(1 - keep) AS BIGINT) AS b
+      FROM j GROUP BY v
+    ), w AS (
+      SELECT v, a, b,
+             CAST(COALESCE(SUM(a + b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below
+      FROM g
+    ), m AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n0,
+             CAST(SUM(a * (2 * below + a + b + 1)) AS BIGINT) AS r1_x2
+      FROM w
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           (round(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                  / (2.0 * CAST(n1 AS DOUBLE) * n0), 6) + 0.0) AS auc
+    FROM m
+    """
+
+
+def _auc_oracle() -> str:
+    from .registry import REGISTRY as _R
+
+    return _AUC_ORACLE.format(_QG_ORACLE=_R["pipeline_quality_gate"].oracle)
+
+
+@register("ml_score_auc", group="llm-ext", oracle=_auc_oracle())
+def ml_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the bigram-LM fluency score predicting the quality
+    gate — the threshold-free ranking-quality number behind
+    [[ml_score_lift_deciles]]' curve (AUC 0.5 = the cheap score is
+    noise; the lift curve shows WHERE it separates, AUC says WHETHER).
+    Computed as the Mann–Whitney statistic over the score VALUE-DOMAIN
+    rollup with exact DOUBLED midranks for ties (2·midrank = 2·below +
+    (a+b) + 1 — the [[stats_mann_whitney]] machinery): AUC = (2R₁ −
+    n₁(n₁+1)) / (2n₁n₀), exact BIGINTs until ONE final division. The
+    probabilistic identity AUC = P(score⁺ > score⁻) + ½P(tie) comes
+    free from the midrank treatment — no pair enumeration, ever.
+
+    Value-domain cumulative over O(distinct scores) rows; one output
+    row at any corpus size."""
+    lm = text_lm_bigram(spark, sf_dir).select("doc_id", F.col("lm_score_ppm").alias("v"))
+    gate = pipeline_quality_gate(spark, sf_dir).select("doc_id", "keep")
+    g = (
+        lm.join(gate, "doc_id")
+        .groupBy("v")
+        .agg(
+            F.sum("keep").cast("long").alias("a"),
+            F.sum(1 - F.col("keep")).cast("long").alias("b"),
+        )
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = g.select(
+        "a",
+        "b",
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(wb), F.lit(0)).alias("below"),
+    )
+    m = w.agg(
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n0"),
+        F.sum(
+            F.col("a") * (2 * F.col("below") + F.col("a") + F.col("b") + 1)
+        ).alias("r1_x2"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        round_pos(
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2.0 * F.col("n1").cast("double") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )

@@ -3614,3 +3614,82 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_pos(m3n3 / F.pow(m2n2, F.lit(1.5)), 6).alias("skewness"),
         round_pos(m4n4 / (m2n2 * m2n2) - 3.0, 6).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_mutual_information — type × hour dependence in nats (round 12)
+
+
+@register(
+    "stats_mutual_information",
+    group="stats-ml",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM events GROUP BY 1, 2
+    ), r AS (SELECT event_type, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM cell GROUP BY 1),
+    c AS (SELECT hod, CAST(SUM(n_ij) AS BIGINT) AS n_j FROM cell GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(cell.n_ij AS DOUBLE) / t.n)
+               * ln(CAST(cell.n_ij AS DOUBLE) * t.n
+                    / (CAST(r.n_i AS DOUBLE) * c.n_j))
+               * 1000000) AS BIGINT) AS term_unat,
+             CAST(round(-(CAST(cell.n_ij AS DOUBLE) / t.n)
+               * ln(CAST(cell.n_ij AS DOUBLE) / t.n) * 1000000) AS BIGINT) AS h_unat
+      FROM cell JOIN r USING (event_type) JOIN c USING (hod), t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term_unat) AS BIGINT) AS mi_unat,
+           CAST(SUM(h_unat) AS BIGINT) AS h_joint_unat
+    FROM terms
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    information-theoretic strength of the dependence
+    [[stats_chi2_independence]] tests for significance (chi² says "not
+    independent"; MI says HOW MANY nats of hour knowledge a type label
+    buys — the feature-selection ranking number). Emitted with the joint
+    entropy so normalized MI is one division away. Every p·ln term
+    snaps ONCE to exact BIGINT micro-nats (the [[ml_nb_classify]]
+    discipline) ⇒ exact integer sums, no reduction-order caveat.
+
+    One contingency rollup shuffle; marginals, total and terms all run
+    over the |types|×24 cell table with O(1)-row broadcasts."""
+    cell = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 % 24").alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+        .localCheckpoint(eager=False)  # marginals + total + terms share it
+    )
+    r = cell.groupBy("event_type").agg(F.sum("n_ij").alias("n_i"))
+    c = cell.groupBy("hod").agg(F.sum("n_ij").alias("n_j"))
+    t = cell.agg(F.sum("n_ij").alias("n"))
+    j = (
+        cell.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "hod")
+        .crossJoin(F.broadcast(t))
+    )
+    p = F.col("n_ij").cast("double") / F.col("n")
+    mi_term = F.round(
+        p
+        * F.log(
+            F.col("n_ij").cast("double")
+            * F.col("n")
+            / (F.col("n_i").cast("double") * F.col("n_j"))
+        )
+        * 1000000
+    ).cast("long")
+    h_term = F.round(-p * F.log(p) * 1000000).cast("long")
+    return j.select(mi_term.alias("term_unat"), h_term.alias("h_unat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("term_unat").cast("long").alias("mi_unat"),
+        F.sum("h_unat").cast("long").alias("h_joint_unat"),
+    )

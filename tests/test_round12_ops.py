@@ -1549,3 +1549,63 @@ def test_survivorship_accounting(spark, sf_dir):
         assert (r.n_docs, r.n_keepers, r.n_lost_cross_source) == (n, k, lc)
         assert r.keeper_bp == k * 10000 // n
     assert sum(r.n_keepers for r in got.values()) == len(groups)
+
+
+# ---------------------------------------------------------------------------
+# stats_mutual_information
+
+
+def test_mi_identities(spark, sf_dir):
+    """MI >= 0 (up to per-cell snapping slack), MI <= joint entropy, and
+    a python recompute with identical snapping agrees exactly."""
+    import math
+
+    from cdc_dedupe_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    import calendar
+
+    cells = {}
+    for r in ev:
+        us = int(calendar.timegm(r.ts.timetuple())) * 1_000_000 + r.ts.microsecond
+        key = (r.event_type, (us // 3_600_000_000) % 24)
+        cells[key] = cells.get(key, 0) + 1
+    n = sum(cells.values())
+    ri, cj = {}, {}
+    for (t, h), v in cells.items():
+        ri[t] = ri.get(t, 0) + v
+        cj[h] = cj.get(h, 0) + v
+    mi = sum(
+        round((v / n) * math.log(v * n / (ri[t] * cj[h])) * 1000000)
+        for (t, h), v in cells.items()
+    )
+    hj = sum(round(-(v / n) * math.log(v / n) * 1000000) for v in cells.values())
+    r = REGISTRY["stats_mutual_information"].spark(spark, sf_dir).collect()[0]
+    assert (r.n_cells, r.mi_unat, r.h_joint_unat) == (len(cells), mi, hj)
+    assert r.mi_unat >= -r.n_cells
+    assert r.mi_unat <= r.h_joint_unat
+
+
+# ---------------------------------------------------------------------------
+# ml_score_auc
+
+
+def test_auc_matches_pair_enumeration(spark, sf_dir):
+    """Brute-force P(score+ > score-) + 0.5*P(tie) over all (pos, neg)
+    pairs equals the rank-sum AUC (the defining identity)."""
+    lm = {r.doc_id: r.lm_score_ppm for r in REGISTRY["text_lm_bigram"].spark(spark, sf_dir).collect()}
+    gate = {r.doc_id: r.keep for r in REGISTRY["pipeline_quality_gate"].spark(spark, sf_dir).collect()}
+    pos = [lm[d] for d in lm if gate[d] == 1]
+    neg = [lm[d] for d in lm if gate[d] == 0]
+    wins = ties = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                wins += 1
+            elif p == q:
+                ties += 1
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    r = REGISTRY["ml_score_auc"].spark(spark, sf_dir).collect()[0]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert abs(r.auc - want) <= 5e-7
+    assert 0.0 <= r.auc <= 1.0
