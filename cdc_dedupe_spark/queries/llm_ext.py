@@ -4411,3 +4411,90 @@ def ml_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --- text_heaps_law_curve — vocabulary growth audit (round 12) ---------------
+
+
+_HEAPS_BUCKETS = 10
+
+
+_HEAPS_ORACLE = f"""
+    WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), t AS (
+      SELECT doc_id, tok FROM tk WHERE tok <> ''
+    ), firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok
+    ), vb AS (
+      SELECT CAST(f.first_doc * {_HEAPS_BUCKETS} // nd.n_docs AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_vocab
+      FROM firsts f, nd GROUP BY 1
+    ), tb AS (
+      SELECT CAST(t.doc_id * {_HEAPS_BUCKETS} // nd.n_docs AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM t, nd GROUP BY 1
+    )
+    SELECT tb.bucket,
+           CAST(SUM(tb.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(vb.new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum,
+           CAST(COALESCE(vb.new_vocab, 0) * 1000000
+                // tb.n_tokens AS BIGINT) AS new_vocab_ppm
+    FROM tb LEFT JOIN vb USING (bucket)
+    WINDOW w AS (ORDER BY tb.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@register("text_heaps_law_curve", group="llm-ext", oracle=_HEAPS_ORACLE)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — cumulative distinct vocabulary
+    vs cumulative tokens at ten corpus checkpoints, plus the per-decile
+    NEW-vocab rate (ppm of that decile's tokens): the empirical check
+    behind every "Heaps'-bounded, therefore broadcastable" claim this
+    repo's vocab joins make ([[text_vocab_unk]], [[ml_nb_classify]],
+    [[text_pmi_bigrams]]...). A flattening new-vocab rate certifies the
+    bound; a flat-line rate (vocab ∝ tokens) would mean those broadcasts
+    grow linearly and the plans need rethinking — measure, don't assume.
+
+    Cumulative DISTINCT without a quadratic re-scan: each token
+    attributes to its FIRST document's checkpoint bucket (min(doc_id)
+    per token — the [[text_ngram_novelty]] first-owner trick), so the
+    running vocabulary is a cumulative sum over ten bucket rows. One
+    token-key rollup + one tiny windowed table."""
+    nd_row = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    t = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .localCheckpoint(eager=False)  # firsts + token buckets share it
+    )
+    firsts = t.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    vb = (
+        firsts.crossJoin(F.broadcast(nd_row))
+        .groupBy(
+            F.expr(f"first_doc * {_HEAPS_BUCKETS} div n_docs").cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    tb = (
+        t.crossJoin(F.broadcast(nd_row))
+        .groupBy(
+            F.expr(f"doc_id * {_HEAPS_BUCKETS} div n_docs").cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    j = tb.join(vb, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_vocab", F.lit(0).cast("long")).alias("new_vocab"),
+    )
+    return j.select(
+        "bucket",
+        F.sum("n_tokens").over(wc).cast("long").alias("tokens_cum"),
+        F.sum("new_vocab").over(wc).cast("long").alias("vocab_cum"),
+        F.expr("new_vocab * 1000000 div n_tokens").cast("long").alias("new_vocab_ppm"),
+    )

@@ -3693,3 +3693,116 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_unat").cast("long").alias("mi_unat"),
         F.sum("h_unat").cast("long").alias("h_joint_unat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_runs_test — Wald–Wolfowitz randomness check (round 12)
+
+
+@register(
+    "stats_runs_test",
+    group="stats-ml",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, median(n_events) AS med FROM c GROUP BY 1
+    ), s AS (
+      -- strict above/below; exact-median rows are dropped (the standard
+      -- runs-test convention) BEFORE run counting
+      SELECT c.event_type, c.bucket,
+             CASE WHEN c.n_events > m.med THEN 1 ELSE 0 END AS up
+      FROM c JOIN med m USING (event_type)
+      WHERE c.n_events <> m.med
+    ), l AS (
+      SELECT event_type, up,
+             LAG(up) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+      FROM s
+    ), m2 AS (
+      SELECT event_type,
+             CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(SUM(1 - up) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN prev IS NULL OR up <> prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs
+      FROM l GROUP BY event_type
+    )
+    -- degenerate guard: a one-sided sequence (n1 = 0 or n2 = 0) or a
+    -- zero-variance one (2*n1*n2 <= n1 + n2) has no defined z — NULL,
+    -- identically both engines, instead of a divide-by-zero
+    SELECT event_type, n1, n2, runs,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN (round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) + 0.0) END
+             AS expected_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2
+                THEN (round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) + 0.0)
+           END AS z_runs
+    FROM m2
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the hourly rate per type — is the
+    above/below-median sequence RANDOM, or does it clump (positive
+    serial dependence: too few runs, z << 0 — the regime
+    [[ts_autocorr]] measures parametrically) or oscillate (too many,
+    z >> 0)? The nonparametric randomness gate you run before trusting
+    i.i.d.-assuming statistics downstream. Exact-median rows drop first
+    (the standard convention — median interpolation is dyadic so the
+    comparison is bit-identical cross-engine); run boundaries are one
+    lag over the ordered rollup; expected runs and variance are the
+    closed forms in one IEEE chain.
+
+    One raw shuffle (the shared hourly rollup); everything after runs
+    over O(buckets) rows per type."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=False)  # median + runs share it
+    )
+    med = c.groupBy("event_type").agg(F.median("n_events").alias("med"))
+    s = (
+        c.join(F.broadcast(med), "event_type")
+        .where(F.col("n_events") != F.col("med"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("n_events") > F.col("med")).cast("long").alias("up"),
+        )
+    )
+    wl = Window.partitionBy("event_type").orderBy("bucket")
+    l = s.select("event_type", "up", F.lag("up").over(wl).alias("prev"))
+    m2 = l.groupBy("event_type").agg(
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(1 - F.col("up")).cast("long").alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("up") != F.col("prev")), 1).otherwise(0)
+        ).cast("long").alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    exp_r = 1.0 + 2.0 * n1d * n2d / (n1d + n2d)
+    var_r = (
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+        / ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - 1.0))
+    )
+    ok_e = (F.col("n1") > 0) & (F.col("n2") > 0)
+    ok_z = ok_e & (2 * F.col("n1") * F.col("n2") > F.col("n1") + F.col("n2"))
+    return m2.select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        F.when(ok_e, round_pos(exp_r, 4)).alias("expected_runs"),
+        F.when(ok_z, round_pos((F.col("runs") - exp_r) / F.sqrt(var_r), 6)).alias(
+            "z_runs"
+        ),
+    )

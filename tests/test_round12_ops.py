@@ -1609,3 +1609,67 @@ def test_auc_matches_pair_enumeration(spark, sf_dir):
     assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
     assert abs(r.auc - want) <= 5e-7
     assert 0.0 <= r.auc <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law_curve
+
+
+def test_heaps_curve_totals_and_monotonicity(spark, sf_dir):
+    """The final checkpoint must equal the whole-corpus token and vocab
+    totals, both cumulatives are strictly monotone, and the new-vocab
+    rate falls from the first to the last decile (vocabulary saturates
+    — the Heaps'-bound evidence the query exists to produce)."""
+    from cdc_dedupe_spark.tables import table
+
+    rows = sorted(
+        REGISTRY["text_heaps_law_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    docs = table(spark, sf_dir, "documents").select("text").collect()
+    toks = [w for d in docs for w in d.text.split(" ") if w]
+    assert rows[-1].tokens_cum == len(toks)
+    assert rows[-1].vocab_cum == len(set(toks))
+    for a, b in zip(rows, rows[1:]):
+        assert b.tokens_cum > a.tokens_cum and b.vocab_cum >= a.vocab_cum
+    assert rows[-1].new_vocab_ppm < rows[0].new_vocab_ppm
+
+
+# ---------------------------------------------------------------------------
+# stats_runs_test
+
+
+def test_runs_test_pure_python(spark, sf_dir):
+    """Independent runs count over the ordered above/below sequence
+    (exact-median rows dropped) agrees; n1 + n2 equals the surviving
+    bucket count; z is finite."""
+    import math
+    from cdc_dedupe_spark.tables import table
+    import calendar
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    buckets = {}
+    for r in ev:
+        us = int(calendar.timegm(r.ts.timetuple())) * 1_000_000 + r.ts.microsecond
+        key = (r.event_type, us // 3_600_000_000)
+        buckets[key] = buckets.get(key, 0) + 1
+    got = {r.event_type: r for r in REGISTRY["stats_runs_test"].spark(spark, sf_dir).collect()}
+    import statistics
+
+    by_type = {}
+    for (t, b), n in buckets.items():
+        by_type.setdefault(t, []).append((b, n))
+    for t, pts in by_type.items():
+        pts.sort()
+        med = statistics.median(n for _, n in pts)
+        seq = [1 if n > med else 0 for _, n in pts if n != med]
+        runs = sum(
+            1 for i, u in enumerate(seq) if i == 0 or u != seq[i - 1]
+        )
+        r = got[t]
+        assert (r.n1, r.n2, r.runs) == (sum(seq), len(seq) - sum(seq), runs), t
+        if r.n1 > 0 and r.n2 > 0 and 2 * r.n1 * r.n2 > r.n1 + r.n2:
+            assert math.isfinite(r.z_runs)
+        else:
+            # degenerate sequence: z undefined by contract
+            assert r.z_runs is None
