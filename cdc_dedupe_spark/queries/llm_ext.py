@@ -3999,7 +3999,7 @@ _JSD_ORACLE = """
       FROM terms GROUP BY source
     )
     SELECT a.source, s.t_s AS n_tokens, a.n_vocab,
-           CAST((a.sum_p + a.sum_q
+           CAST(GREATEST(0, a.sum_p + a.sum_q
                  + CAST(round(ln(2.0) * 1000000
                      * (CAST(tot.t - a.covered AS DOUBLE) / tot.t)) AS BIGINT))
                 // 2 AS BIGINT) AS jsd_unat
@@ -4059,9 +4059,16 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("t_s").cast("long").alias("n_tokens"),
             "n_vocab",
+            # greatest(0, ...) on both sides (ADVICE r12): true JSD >= 0, but
+            # each term is independently rounded to micro-nats, so a source
+            # nearly identical to the corpus could sum to a small negative —
+            # where Spark's truncating `div 2` and DuckDB's flooring `// 2`
+            # disagree (-1 div 2 = 0 vs -1 // 2 = -1). Clamping removes the
+            # divergent domain entirely.
             F.expr(
-                f"CAST((sum_p + sum_q + CAST(round({math.log(2.0)!r} * 1000000"
-                " * (CAST(t - covered AS DOUBLE) / t)) AS BIGINT)) div 2 AS BIGINT)"
+                f"CAST(GREATEST(0, sum_p + sum_q + CAST(round({math.log(2.0)!r}"
+                " * 1000000 * (CAST(t - covered AS DOUBLE) / t)) AS BIGINT))"
+                " div 2 AS BIGINT)"
             ).alias("jsd_unat"),
         )
     )
@@ -4352,8 +4359,10 @@ _AUC_ORACLE = f"""
       FROM w
     )
     SELECT n1 AS n_pos, n0 AS n_neg,
-           (round(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
-                  / (2.0 * CAST(n1 AS DOUBLE) * n0), 6) + 0.0) AS auc
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             (round(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                    / (2.0 * CAST(n1 AS DOUBLE) * n0), 6) + 0.0)
+           END AS auc
     FROM m
     """
 
@@ -4402,13 +4411,20 @@ def ml_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a") * (2 * F.col("below") + F.col("a") + F.col("b") + 1)
         ).alias("r1_x2"),
     )
+    # Degenerate-class guard (ADVICE r12): if the gate keeps all docs or
+    # drops all docs, n1·n0 = 0 and the engines disagree on x/0 (NULL vs
+    # NaN) — AUC is undefined there, so both sides return NULL, matching
+    # the stats_runs_test / stats_power_mde denominator discipline.
     return m.select(
         F.col("n1").cast("long").alias("n_pos"),
         F.col("n0").cast("long").alias("n_neg"),
-        round_pos(
-            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
-            / (2.0 * F.col("n1").cast("double") * F.col("n0")),
-            6,
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            round_pos(
+                (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+                / (2.0 * F.col("n1").cast("double") * F.col("n0")),
+                6,
+            ),
         ).alias("auc"),
     )
 

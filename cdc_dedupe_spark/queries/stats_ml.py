@@ -2467,9 +2467,13 @@ _WEEK_US = 604_800_000_000
         AND (next_week IS NULL OR next_week > week + 1)
       GROUP BY week + 1
     )
-    SELECT act.week, act.n_active, act.n_new, act.n_retained, act.n_resurrected,
+    SELECT COALESCE(act.week, ch.week) AS week,
+           COALESCE(act.n_active, 0) AS n_active,
+           COALESCE(act.n_new, 0) AS n_new,
+           COALESCE(act.n_retained, 0) AS n_retained,
+           COALESCE(act.n_resurrected, 0) AS n_resurrected,
            COALESCE(ch.n_churned, 0) AS n_churned
-    FROM act LEFT JOIN ch ON ch.week = act.week
+    FROM act FULL OUTER JOIN ch ON ch.week = act.week
     """,
 )
 def events_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2530,15 +2534,20 @@ def events_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("week") + 1).alias("week"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
     )
+    # FULL outer, not left (ADVICE r12): churn attributed to a gap week —
+    # users active in w, nobody at all active in w+1 — has no act row to
+    # join to, and a left join would silently drop it, breaking the
+    # growth identity active(w-1) = retained(w) + churned(w).
+    zero = F.lit(0).cast("long")
     return (
-        act.join(ch, "week", "left")
+        act.join(ch, "week", "full")
         .select(
             "week",
-            "n_active",
-            "n_new",
-            "n_retained",
-            "n_resurrected",
-            F.coalesce("n_churned", F.lit(0).cast("long")).alias("n_churned"),
+            F.coalesce("n_active", zero).alias("n_active"),
+            F.coalesce("n_new", zero).alias("n_new"),
+            F.coalesce("n_retained", zero).alias("n_retained"),
+            F.coalesce("n_resurrected", zero).alias("n_resurrected"),
+            F.coalesce("n_churned", zero).alias("n_churned"),
         )
     )
 
