@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
-from ._determinism import davg, dsum, sql_davg, sql_dsum
+from ._determinism import davg, dsum, round_pos, sql_davg, sql_dsum
 from .registry import register
 
 
@@ -147,14 +147,133 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", group="relational", oracle=None)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx_count_distinct — value is algorithm-dependent, rows-only
-    check (SURVEY §2B). The point at 100 TB: no exact-distinct shuffle."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts")
+_AAD_RSD = 0.05  # declared rsd of the engine-native HLL++ sketch
+_AAD_BOUND = 3 * _AAD_RSD  # audit bound: |est - exact| <= 3*rsd*exact
+
+def _aad_oracle() -> str:
+    from .sketch import _HLL_M, _HLL_NUM, _HLL_VBITS
+
+    return f"""
+    WITH li AS (SELECT l_returnflag, l_partkey FROM lineitem),
+    h AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM li
+    ), rho AS (
+      SELECT l_returnflag, hv % {_HLL_M} AS reg,
+             CASE WHEN (hv >> 8) = 0 THEN {_HLL_VBITS}
+                  ELSE {_HLL_VBITS + 1} - length(bin(hv >> 8)) END AS r
+      FROM h
+    ), g AS (
+      SELECT f.l_returnflag, gs.reg
+      FROM (SELECT DISTINCT l_returnflag FROM li) f,
+           (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg) gs
+    ), regs AS (
+      SELECT g.l_returnflag, g.reg, COALESCE(MAX(rho.r), 0) AS m
+      FROM g LEFT JOIN rho
+        ON rho.reg = g.reg AND rho.l_returnflag = g.l_returnflag
+      GROUP BY g.l_returnflag, g.reg
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_VBITS} - m)) AS BIGINT)
+               AS s_scaled
+      FROM regs GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+               AS exact_parts
+      FROM li GROUP BY l_returnflag
     )
+    SELECT s.l_returnflag,
+           (round({_HLL_NUM} / s.s_scaled, 1) + 0.0) AS hll_estimate,
+           ex.exact_parts,
+           CAST(1 AS BIGINT) AS engine_within_3rsd
+    FROM s JOIN ex USING (l_returnflag)
+    """
+
+
+@register("agg_approx_distinct", group="relational", oracle=_aad_oracle())
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct parts per return flag, driver-checkable
+    (VERDICT r12 next-step #3 — formerly rows-only). Three columns, all
+    engine-deterministic:
+
+    - ``hll_estimate`` — a REAL estimate from the repo's portable
+      256-register md5-prefix HLL ([[agg_hll_registers]] machinery, here
+      grouped per key), bit-reproducible in DuckDB, so the oracle checks
+      the estimate itself exactly;
+    - ``exact_parts`` — the exact distinct count (the audit column);
+    - ``engine_within_3rsd`` — 1 iff Spark's native
+      ``approx_count_distinct(rsd={rsd})`` (HLL++, the true 100 TB scale
+      path — engine-internal hashing, NOT reproducible in DuckDB) lands
+      within 3·rsd of exact. The oracle asserts the literal 1: if the
+      engine sketch ever drifts outside its declared bound, the driver
+      row goes red instead of the drift passing unchecked.
+
+    At 100 TB you keep only the sketches: both HLLs fold map-side into
+    <=256 (register,max-rho) pairs / one HLL++ buffer per task — the
+    shuffle moves sketches, never values. exact_parts (the only exact-
+    distinct shuffle here) exists BECAUSE this is the audit query; the
+    production form drops it."""
+    from .sketch import _HLL_M, _HLL_NUM, _HLL_VBITS, _hll_rho
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    base = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_AAD_RSD).alias("est"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    hashed = li.select(
+        "l_returnflag",
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).select("l_returnflag", "hv", F.shiftright(F.col("hv"), 8).alias("v"))
+    rho = hashed.select(
+        "l_returnflag",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        _hll_rho(F.col("v")).alias("r"),
+    )
+    spine = (
+        li.select("l_returnflag")
+        .distinct()
+        .crossJoin(spark.range(_HLL_M).select(F.col("id").alias("reg")))
+    )
+    regs = (
+        spine.join(
+            rho.groupBy("l_returnflag", "reg").agg(F.max("r").alias("mx")),
+            ["l_returnflag", "reg"],
+            "left",
+        )
+        .select("l_returnflag", F.coalesce("mx", F.lit(0)).alias("m"))
+    )
+    s = regs.groupBy("l_returnflag").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_VBITS} - m AS INT))")
+        ).alias("s_scaled")
+    )
+    return (
+        base.join(s, "l_returnflag")
+        .select(
+            "l_returnflag",
+            round_pos(F.lit(float(_HLL_NUM)) / F.col("s_scaled"), 1).alias(
+                "hll_estimate"
+            ),
+            F.col("exact_parts").cast("long").alias("exact_parts"),
+            (
+                F.abs(F.col("est") - F.col("exact_parts")).cast("double")
+                <= F.lit(_AAD_BOUND) * F.col("exact_parts").cast("double")
+            )
+            .cast("long")
+            .alias("engine_within_3rsd"),
+        )
+    )
+
+
+agg_approx_distinct.__doc__ = agg_approx_distinct.__doc__.format(rsd=_AAD_RSD)
 
 
 @register(

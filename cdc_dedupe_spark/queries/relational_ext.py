@@ -425,30 +425,93 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", group="relational-ext", oracle=None)
+_APX_ACC = 10000  # approx_percentile accuracy => declared rank error 1/ACC
+# Audit slack: GK guarantees rank error <= n/ACC; the flag allows 2x that
+# plus one absolute row so boundary rounding can never flap the bit.
+_APX_EPS = 2.0 / _APX_ACC
+
+_APX_ORACLE = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (round(quantile_cont(cents, 0.50), 4) + 0.0) AS p50_exact,
+           (round(quantile_cont(cents, 0.95), 4) + 0.0) AS p95_exact,
+           CAST(1 AS BIGINT) AS p50_rank_ok,
+           CAST(1 AS BIGINT) AS p95_rank_ok
+    FROM li GROUP BY l_returnflag
+    """
+
+
+@register("agg_approx_percentile", group="relational-ext", oracle=_APX_ORACLE)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-friendly quantile sketch: approx_percentile (Greenwald-
-    Khanna) over lineitem prices with accuracy 10000 — the sketch family
-    of PAPERS.md's EDBT 2023 quantile-sketch study. Rows-only by design:
-    GK merge order differs between engines, so exact hash parity is the
-    wrong contract; tests/test_properties.py bounds the rank error vs the
-    exact percentile instead. At scale: constant-size sketch per
-    partition, merged map-side — no sort, no full shuffle of values
-    (the exact twin `agg_percentile` costs a per-group sort)."""
-    li = table(spark, sf_dir, "lineitem")
+    """Streaming-friendly quantile sketch, driver-checkable (VERDICT r12
+    next-step #3 — formerly rows-only): approx_percentile (Greenwald-
+    Khanna, accuracy {acc}) over lineitem price cents — the sketch family
+    of PAPERS.md's EDBT 2023 quantile-sketch study. The GK value itself is
+    merge-order-dependent across engines, so the contract is its declared
+    RANK guarantee, not its bits: the query probes each sketch value's
+    rank interval [count(<v), count(<=v)] against the target rank with
+    2/accuracy + 1 row slack and emits ``p50_rank_ok``/``p95_rank_ok`` —
+    the oracle asserts the literal 1, so a sketch drifting outside its
+    declared bound turns the driver row red. ``p50_exact``/``p95_exact``
+    (both engines' identical linear interpolation, the [[agg_percentile]]
+    pairing) are the deterministic value columns.
+
+    At scale: the sketch is a constant-size partial aggregate merged
+    map-side — no sort, no full shuffle of values (the exact columns pay
+    the per-group sort BECAUSE this is the audit query; the production
+    form keeps only the sketch)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(cents, array(0.5, 0.95), {_APX_ACC})").alias("ap"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        round_pos(F.expr("percentile(cents, 0.50)"), 4).alias("p50_exact"),
+        round_pos(F.expr("percentile(cents, 0.95)"), 4).alias("p95_exact"),
+    )
+    probe = li.join(
+        F.broadcast(
+            ap.select(
+                "l_returnflag",
+                F.col("ap")[0].alias("v50"),
+                F.col("ap")[1].alias("v95"),
+            )
+        ),
+        "l_returnflag",
+    )
+    cnt = probe.groupBy("l_returnflag").agg(
+        F.sum((F.col("cents") < F.col("v50")).cast("long")).alias("lt50"),
+        F.sum((F.col("cents") <= F.col("v50")).cast("long")).alias("le50"),
+        F.sum((F.col("cents") < F.col("v95")).cast("long")).alias("lt95"),
+        F.sum((F.col("cents") <= F.col("v95")).cast("long")).alias("le95"),
+    )
+
+    def rank_ok(lt, le, p):  # value's rank interval intersects the bound
+        n = F.col("n_rows").cast("double")
+        lo = F.floor((p - _APX_EPS) * n) - 1
+        hi = F.ceil((p + _APX_EPS) * n) + 1
+        return ((F.col(lt) <= hi) & (F.col(le) >= lo)).cast("long")
+
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
-            ).alias("approx_p")
-        )
+        ap.join(cnt, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round(F.col("approx_p")[0], 2).alias("p50"),
-            F.round(F.col("approx_p")[1], 2).alias("p95"),
+            "n_rows",
+            "p50_exact",
+            "p95_exact",
+            rank_ok("lt50", "le50", 0.50).alias("p50_rank_ok"),
+            rank_ok("lt95", "le95", 0.95).alias("p95_rank_ok"),
         )
     )
+
+
+agg_approx_percentile.__doc__ = agg_approx_percentile.__doc__.format(acc=_APX_ACC)
 
 
 

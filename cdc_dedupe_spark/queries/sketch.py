@@ -1,8 +1,9 @@
 """Sketch operators with EXACT cross-engine oracles — Count-Min and
-HyperLogLog built from the repo's portable integer hash, so unlike
-`agg_approx_distinct` / `agg_approx_percentile` (engine-native sketches,
-rows-only checks) every register and every estimate is bit-reproducible
-in DuckDB. These are the streaming-friendly summaries a 100 TB pipeline
+HyperLogLog built from the repo's portable integer hash, so every
+register and every estimate is bit-reproducible in DuckDB (the
+engine-native sketch queries `agg_approx_distinct` /
+`agg_approx_percentile` borrow this machinery for their audit columns
+since r13). These are the streaming-friendly summaries a 100 TB pipeline
 keeps instead of exact tables: a CMS is a few KB per key-domain, an HLL
 is 256 bytes, and both build with ONE partial-aggregate shuffle.
 

@@ -171,14 +171,27 @@ def _running_count(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
 
-@register("stream_stateful_agg", group="streaming", oracle=None)
+@register(
+    "stream_stateful_agg",
+    group="streaming",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful op (applyInPandasWithState): running event count
     per user — the declarative analogue of the reference's in-flight
     refcount ledger (S5/S17, WatchStream.java:233-242,183-190). State lives
-    in the checkpointed state store, partitioned by key; emits one row per
-    (user, micro-batch) so the output is batch-split dependent => rows-only
-    (tests assert final counts equal the batch groupBy)."""
+    in the checkpointed state store, partitioned by key.
+
+    The stream emits one row per (user, micro-batch), which is batch-split
+    dependent — but the per-key count is MONOTONE, so the max-n emission
+    per key IS the final state under any batch split (the
+    [[stream_cusum_alert]] state-not-emission contract), and the final
+    state of a commutative count fold equals the batch groupBy exactly:
+    the oracle is the plain COUNT(*) per user, checked bit-exact rather
+    than rows-only (VERDICT r12 next-step #2)."""
     stream = events_stream(spark, sf_dir).select("user_id")
     counted = stream.groupBy("user_id").applyInPandasWithState(
         _running_count,
@@ -187,7 +200,8 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(counted, "stream_stateful_agg", output_mode="update")
+    out = run_to_memory(counted, "stream_stateful_agg", output_mode="update")
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 @register(

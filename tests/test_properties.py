@@ -155,58 +155,83 @@ def test_char_shingles_cover_and_bound(spark, text, n):
 
 
 def test_approx_distinct_hll_error_bounded(spark, sf_dir):
-    """agg_approx_distinct is rows-only for the driver (HLL++ estimates are
-    algorithm-dependent); here we bound it empirically (VERDICT r7 #7):
-    the query declares rsd=0.05, and HLL++ is deterministic for a given
-    input, so the estimate must land within a few standard deviations of
-    the exact distinct count — 3*rsd is a deterministic-safe window."""
-    from cdc_dedupe_spark.queries import REGISTRY
+    """agg_approx_distinct now emits its own audit columns (r13): verify
+    them against an INDEPENDENT recomputation — exact_parts must equal
+    the recomputed distinct, the engine bound flag must be 1, and the
+    portable md5-HLL estimate must equal a pure-Python reimplementation
+    of the sketch bit-for-bit (plus, outside the linear-counting regime
+    exact > 2.5m where raw HLL is unbiased, a 5-sd statistical bound)."""
+    import hashlib
 
-    approx = {
-        r.l_returnflag: r.approx_parts
+    from cdc_dedupe_spark.queries import REGISTRY
+    from cdc_dedupe_spark.queries.sketch import _HLL_M, _HLL_NUM, _HLL_VBITS
+
+    rows = {
+        r.l_returnflag: r
         for r in REGISTRY["agg_approx_distinct"].spark(spark, sf_dir).collect()
     }
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    exact = {
-        r.l_returnflag: r.n
+    groups = {
+        r.l_returnflag: (r.n, r.parts)
         for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.collect_set("l_partkey").alias("parts"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
-        assert abs(a - e) <= 3 * 0.05 * e, (
-            f"{flag}: HLL estimate {a} outside 3*rsd of exact {e}"
-        )
+    assert set(rows) == set(groups)
+    for flag, r in rows.items():
+        e, parts = groups[flag]
+        assert r.exact_parts == e, (flag, r.exact_parts, e)
+        assert r.engine_within_3rsd == 1, (flag, r)
+        # independent sketch: same hash family, pure Python
+        regs = [0] * _HLL_M
+        for pk in parts:
+            hv = int(hashlib.md5(str(int(pk)).encode()).hexdigest()[:15], 16)
+            v = hv >> 8
+            rho = _HLL_VBITS if v == 0 else (_HLL_VBITS + 1) - v.bit_length()
+            reg = hv % _HLL_M
+            if rho > regs[reg]:
+                regs[reg] = rho
+        s_scaled = sum(1 << (_HLL_VBITS - m) for m in regs)
+        expect = round(float(_HLL_NUM) / s_scaled, 1)
+        assert abs(r.hll_estimate - expect) < 1e-9, (flag, r.hll_estimate, expect)
+        if e > 2.5 * _HLL_M:
+            assert abs(r.hll_estimate - e) <= 5 * (1.04 / 16) * e, (flag, r, e)
 
 
 def test_approx_percentile_rank_error_bounded(spark, sf_dir):
-    """agg_approx_percentile is rows-only for the driver; here we bound
-    its error: with accuracy=10000 the GK sketch guarantees rank error
-    <= n/10000, so on sf test data the approx p50/p95 must land within a
-    generous value window of the exact percentiles."""
+    """agg_approx_percentile now emits its own rank-error audit flags
+    (r13): verify them plus the exact value columns against an
+    INDEPENDENT recomputation of the interpolated cents percentiles."""
     from cdc_dedupe_spark.queries import REGISTRY
 
-    approx = {
-        r.l_returnflag: (r.p50, r.p95)
+    rows = {
+        r.l_returnflag: r
         for r in REGISTRY["agg_approx_percentile"].spark(spark, sf_dir).collect()
     }
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
     exact = {
-        r.l_returnflag: (r.p50, r.p95)
+        r.l_returnflag: (r.n, r.p50, r.p95)
         for r in li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(cents, 0.5)").alias("p50"),
+            F.expr("percentile(cents, 0.95)").alias("p95"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, (a50, a95) in approx.items():
-        e50, e95 = exact[flag]
-        assert abs(a50 - e50) <= 0.05 * max(e50, 1.0), (flag, a50, e50)
-        assert abs(a95 - e95) <= 0.05 * max(e95, 1.0), (flag, a95, e95)
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        n, e50, e95 = exact[flag]
+        assert r.n_rows == n, (flag, r.n_rows, n)
+        assert abs(r.p50_exact - round(e50, 4)) < 1e-6, (flag, r.p50_exact, e50)
+        assert abs(r.p95_exact - round(e95, 4)) < 1e-6, (flag, r.p95_exact, e95)
+        assert r.p50_rank_ok == 1 and r.p95_rank_ok == 1, (flag, r)
 
 
 @given(events=EVENTS, size=st.integers(min_value=1, max_value=7))

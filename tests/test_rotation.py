@@ -82,6 +82,14 @@ def test_history_module_matches_committed_artifacts():
     """driver_history.py is generated — verify it agrees with the
     CORRECTNESS_r*.json files actually in the repo, so a forgotten
     regeneration fails loudly instead of skewing the window."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "update_rotation", REPO / "scripts" / "update_rotation.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
     tracked = subprocess.run(
         ["git", "ls-files", "CORRECTNESS_r*.json"],
         cwd=REPO, capture_output=True, text=True, check=True,
@@ -92,10 +100,11 @@ def test_history_module_matches_committed_artifacts():
         for name, row in json.loads(p.read_text()).items():
             if not isinstance(row, dict):
                 continue
-            ok = bool(row.get("hash_match")) or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if ok:
+            # Same pass + contract-reset policy as the generator (imported,
+            # not duplicated, so the policies cannot drift apart).
+            if rnd < gen.CONTRACT_RESETS.get(name, 0):
+                continue
+            if gen.row_passes(row):
                 latest[name] = max(latest.get(name, 0), rnd)
     assert latest == DRIVER_LAST_VERIFIED, (
         "driver_history.py is out of date — run scripts/update_rotation.py"
