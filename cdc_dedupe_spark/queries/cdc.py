@@ -7,8 +7,6 @@ cited per query.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -214,9 +212,6 @@ def cdc_batch_pack_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_SINK_SEQ = itertools.count()
-
-
 @register(
     "cdc_dedupe_stream",
     group="cdc",
@@ -229,19 +224,11 @@ def cdc_dedupe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     first is batch-split dependent in a real stream, so only the id is
     emitted — the deterministic-first variant is cdc_dedupe_first)."""
     from ..sources.replay import events_stream
+    from ..streaming.run import run_to_memory
 
     stream = events_stream(spark, sf_dir)
     deduped = stream.select("user_id").dropDuplicates(["user_id"])
-    name = f"cdc_dedupe_stream_sink_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(deduped, "cdc_dedupe_stream_sink", output_mode="append")
 
 
 @register(
