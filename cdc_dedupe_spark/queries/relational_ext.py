@@ -66,7 +66,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same linear
     interpolation). The exact form needs a per-group sort; the declared
-    scale path for 100 TB is approx_percentile (t-digest sketch, one pass,
+    scale path for 100 TB is approx_percentile (Greenwald-Khanna sketch, one pass,
     mergeable) — same call shape, declared tolerance."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -755,7 +755,7 @@ def agg_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT p50/p90/p99 order statistics of the price column with NO
     global sort — the two-pass distributed selection that completes the
     quantile spectrum next to `agg_percentile` (exact, pays a per-group
-    sort) and `agg_approx_percentile` (t-digest, approximate): pass 1
+    sort) and `agg_approx_percentile` (Greenwald-Khanna, approximate): pass 1
     histograms the cents into ~160 fixed-width buckets (one partial-agg
     shuffle of O(buckets) rows) and locates each target rank's bucket
     from the tiny cumulative table; pass 2 re-scans ONLY the ~3 matched
