@@ -816,3 +816,16 @@ def test_sequence_match_single_exchange(spark, sf_dir):
     fixed-lookahead CEP claim."""
     plan = plan_of(spark, sf_dir, "events_sequence_match")
     assert n_exchanges(plan) == 1
+
+
+def test_approx_sketch_audits_join_only_aggregates(spark, sf_dir):
+    """The r13 audit-column sketch queries must never shuffle raw rows to
+    JOIN: every join side is an aggregate-sized table (per-group sketch /
+    register / count rows), so all joins broadcast — no SortMergeJoin at
+    any scale. The probe pass in agg_approx_percentile in particular must
+    broadcast the O(groups) sketch values onto lineitem, not co-shuffle
+    lineitem against them."""
+    for name in ("agg_approx_distinct", "agg_approx_percentile"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)

@@ -323,3 +323,35 @@ def test_cusum_fold_chunk_order():
     out2 = list(_cusum_fold(("purchase",), iter([second.sample(frac=1.0, random_state=4)]), st))
     assert out2[0].iloc[0].to_dict() == want_row
     assert st.get == want_state
+
+
+def test_run_to_memory_scopes_state_partitions(spark, sf_dir):
+    """run_to_memory must start the streaming plan under the state-sizing
+    partition count and restore the session's batch value afterwards —
+    including when the stream fails to start (r13 state-partition
+    sizing; the finally-restore is what keeps a failing stream query
+    from silently de-tuning every later batch query in the session)."""
+    import pytest as _pytest
+
+    from cdc_dedupe_spark.sources.replay import events_stream
+    from cdc_dedupe_spark.streaming import run as srun
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = srun.run_to_memory(
+        events_stream(spark, sf_dir).groupBy("event_type").count(),
+        "conf_scope_probe",
+        output_mode="complete",
+    )
+    # state partitioning of the drained query == the sizing value
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # failure path: a plan that is invalid for streaming must still restore
+    with _pytest.raises(Exception):
+        srun.run_to_memory(
+            # global sort is unsupported on append-mode streams
+            events_stream(spark, sf_dir).sort("event_id"),
+            "conf_scope_fail",
+            output_mode="append",
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
