@@ -1337,7 +1337,15 @@ def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the LSH-bucket role — the equi-join shuffles on it and
     block size bounds the kernel invocations. Recall is banding-bounded
     (a typo inside the blocking prefix escapes the block) — the same
-    recall/cost dial every banded near-dup query here documents."""
+    recall/cost dial every banded near-dup query here documents.
+
+    The probe side is spread by band BEFORE the join (r13): the 15k-row
+    dimension auto-broadcasts, so without the exchange the O(band²)
+    Levenshtein kernel inherits the ONE-file scan's single partition —
+    the scan-parallelism-inheritance disease, fourth sighting (measured
+    4.7 s → 0.7 s at sf0.1). At 100 TB the multi-file scan spreads on
+    its own and the one O(|customer|) exchange is noise."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1345,7 +1353,7 @@ def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark would return '' for a negative length but DuckDB raises.
         F.expr("substr(c_name, 1, greatest(length(c_name) - 2, 0))").alias("band"),
     )
-    a, b = c.alias("a"), c.alias("b")
+    a, b = c.repartition(par, "band").alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("b.c_custkey") > F.col("a.c_custkey")))

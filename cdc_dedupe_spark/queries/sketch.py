@@ -86,7 +86,13 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d*w = {dw} rows regardless of corpus size; probes join against the
     broadcast-sized sketch. This is the bounded-memory path where exact
     token counting (text_tokens_topk) shuffles |vocab| rows."""
-    d = table(spark, sf_dir, "documents")
+    # Spread docs before the ~200x shingle explode (r13): the one-file
+    # corpus scans as a single partition and the whole explode+hash+4x
+    # depth-explode chain inherited it (parallelism-inheritance; measured
+    # 2.5 s -> 0.7 s for the build at sf0.1). One O(|docs|) exchange,
+    # REUSED by both the sketch build and the top-20/probe pass.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     toks = d.select(F.explode(char_shingles(F.col("text"), n=5, prefix_len=200)).alias("token"))
     # hp lands in its OWN projected column before the 4-row explode —
     # referencing the hash expression inside each struct would re-inline
@@ -241,7 +247,14 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     across days or sources. The true count (for the accuracy column)
     pays the exact two-shuffle count-distinct; at 100 TB you keep ONLY
     the sketch."""
-    d = table(spark, sf_dir, "documents")
+    # Spread docs before the shingle explode (r13, the agg_cms_heavy_hitters
+    # fix): the md5+conv chain per shingle is the expensive kernel here and
+    # it ran SERIAL on the one-file scan's single partition (measured
+    # 2.2 s -> 0.12 s for the register+distinct builds at sf0.1 — md5 is
+    # ~20x costlier per token than the CMS's LCG hash, so this sighting of
+    # the parallelism-inheritance disease was the worst per-row).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     toks = d.select(F.explode(char_shingles(F.col("text"), n=5, prefix_len=200)).alias("token"))
     # hv/v materialize in their own projections: reg and both branches of
     # the rho CASE reference them, and inline Column exprs re-evaluate
