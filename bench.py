@@ -6,9 +6,10 @@ JSON line:
   {"metric": "declared_query_suite_wall", "value": <total sec>,
    "unit": "sec", "queries": {"q": sec, ...}, "sf": 0.1}
 
-Per-query time = plan build + execution to a driver-side count (collect of
-aggregates is tiny; wide row-level outputs are counted, not collected, so
-the measurement is engine time, not driver materialization). BASELINE.md
+Per-query time = plan build + FULL plan execution (a one-row hash-fold of
+every output column — count() would let Catalyst prune computed columns
+and silently skip map-only kernels; driver transfer stays O(1) so the
+measurement is engine time, not driver materialization). BASELINE.md
 targets: <= 30 s/query, <= 15 min suite at sf0.1.
 """
 
@@ -75,6 +76,24 @@ def main() -> int:
     except Exception as e:
         print(f"stream overhead probe failed (continuing): {e}", file=sys.stderr)
 
+    from pyspark.sql import functions as F
+
+    def force_full_plan(df) -> None:
+        """Evaluate the WHOLE plan, driver transfer O(1).
+
+        ``count()`` lets Catalyst PRUNE every computed column a plain
+        projection emits — a map-only query measured by count() costs
+        only its scan, hiding the actual kernel (r13: this masked a
+        serial minhash signature pipeline for four rounds). A murmur3
+        hash of every output column folded into one SUM forces full
+        evaluation while collecting a single row. Types hash() can't
+        take (maps) fall back to count() — those queries are aggregates
+        whose plans count() cannot prune meaningfully."""
+        try:
+            df.agg(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
+        except Exception:
+            df.count()
+
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     total = 0.0
@@ -82,7 +101,7 @@ def main() -> int:
         q = REGISTRY[name]
         t0 = time.perf_counter()
         try:
-            q.spark(spark, sf_dir).count()
+            force_full_plan(q.spark(spark, sf_dir))
             dt = time.perf_counter() - t0
             per_query[name] = round(dt, 3)
             total += dt
@@ -93,6 +112,11 @@ def main() -> int:
         "metric": "declared_query_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
+        # r13+: per-query time forces FULL plan evaluation (hash-fold of
+        # every output column), where earlier rounds used count() and
+        # under-measured pruned map-only kernels. Cross-round per-query
+        # comparisons straddle that boundary.
+        "eval": "full-plan-hash",
         "queries": per_query,
         "sf": sf,
     }

@@ -36,7 +36,7 @@ from ..functions.vector import (
     sql_lsh_bucket,
     sql_lsh_shift,
 )
-from ..tables import table
+from ..tables import spread_scan, table
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -87,8 +87,11 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over token hashes: per bit, majority
     vote of token-hash bits. Pure map-side higher-order functions — the
-    signature costs one pass over tokens, no shuffle at all."""
-    d = table(spark, sf_dir, "documents")
+    signature costs one pass over tokens, no shuffle at all on a wide
+    scan (spread_scan widens the one-file LOCAL corpus first — the r13
+    honest-bench pass exposed this kernel running serial AND unmeasured:
+    count()-based timing pruned the simhash column entirely)."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
 
 
@@ -124,7 +127,10 @@ def _ngram_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared candidate machinery behind dedup_ngram_jaccard and
     source_scorecard."""
     band = 10
-    d = table(spark, sf_dir, "documents")
+    # spread_scan: the shingle build + per-pair intersection kernel must
+    # not inherit the one-file scan's single partition (r13; no-op on a
+    # wide scan).
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select("doc_id", "lang", char_shingles(F.col("text"), n=5, prefix_len=200).alias("shingles"))
     # lang alone is a handful of values — joining on it degenerates to an
     # all-pairs scan within each lang (quadratic + maximal skew at scale).
@@ -896,8 +902,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function work — map-side, zero shuffle at any scale. The
     keep flag compares scaled *integers* (n_distinct*100 >= 45*n_tokens),
     so thresholding never touches a float; the reported ratios are
-    integer-ratio doubles rounded per the repo determinism rule."""
-    d = table(spark, sf_dir, "documents")
+    integer-ratio doubles rounded per the repo determinism rule.
+    spread_scan widens the one-file local corpus before the HOF pass
+    (no-op on a wide scan; r13 honest-bench pass)."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     n, n_distinct, top_count, n_2grams, nd2, keep = _rep_metrics(toks)
     return d.select(
@@ -1413,8 +1421,18 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: signatures are map-side HOF work (zero shuffle), the band
     join shuffles only (doc_id, 2 longs) per band on a content-derived
     high-cardinality key — the same candidate-bounded LSH shape as
-    dedup_embed_lsh, never all-pairs."""
-    d = table(spark, sf_dir, "documents")
+    dedup_embed_lsh, never all-pairs.
+
+    Docs are spread BEFORE the signature pipeline (r13, seventh
+    parallelism-inheritance sighting): the one-file scan is a single
+    partition and the shingle->hash->8-perm-min chain (the dominant cost,
+    per the checkpoint note below) ran serial on it — invisible to a
+    bare .count() probe, which PRUNES the sig column entirely; only the
+    checkpoint materialization shows the true cost (measured 3.2 s ->
+    1.1 s at sf0.1 for the band build; the whole minhash family composes
+    this function, so the fix propagates to cluster / incremental /
+    precision-audit / tuning-curve)."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     hs = d.select(
         "doc_id",
         F.transform(
@@ -1851,7 +1869,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-join whose build side is the distinct train-shingle set, never
     an all-pairs document comparison.
     """
-    d = table(spark, sf_dir, "documents").select(
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "lang", (F.col("doc_id") % 29 == 0).alias("is_eval"), "text"
     )
     g = d.select(

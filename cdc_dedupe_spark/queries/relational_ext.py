@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import padded_order_key
-from ..tables import table
+from ..tables import spread_scan, table
 from ._determinism import dsum, round_pos, sql_dsum
 from .registry import register
 
@@ -1345,7 +1345,6 @@ def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan-parallelism-inheritance disease, fourth sighting (measured
     4.7 s → 0.7 s at sf0.1). At 100 TB the multi-file scan spreads on
     its own and the one O(|customer|) exchange is noise."""
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1353,7 +1352,7 @@ def join_fuzzy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark would return '' for a negative length but DuckDB raises.
         F.expr("substr(c_name, 1, greatest(length(c_name) - 2, 0))").alias("band"),
     )
-    a, b = c.repartition(par, "band").alias("a"), c.alias("b")
+    a, b = spread_scan(c, "band").alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("b.c_custkey") > F.col("a.c_custkey")))

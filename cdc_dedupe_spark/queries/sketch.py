@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKEN_HASH_WIDE, char_shingles, token_hash_wide
-from ..tables import table
+from ..tables import spread_scan, table
 from ._determinism import round_pos
 from .registry import register
 
@@ -91,8 +91,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depth-explode chain inherited it (parallelism-inheritance; measured
     # 2.5 s -> 0.7 s for the build at sf0.1). One O(|docs|) exchange,
     # REUSED by both the sketch build and the top-20/probe pass.
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(F.explode(char_shingles(F.col("text"), n=5, prefix_len=200)).alias("token"))
     # hp lands in its OWN projected column before the 4-row explode —
     # referencing the hash expression inside each struct would re-inline
@@ -253,8 +252,7 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.2 s -> 0.12 s for the register+distinct builds at sf0.1 — md5 is
     # ~20x costlier per token than the CMS's LCG hash, so this sighting of
     # the parallelism-inheritance disease was the worst per-row).
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(F.explode(char_shingles(F.col("text"), n=5, prefix_len=200)).alias("token"))
     # hv/v materialize in their own projections: reg and both branches of
     # the rho CASE reference them, and inline Column exprs re-evaluate

@@ -41,6 +41,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a NARROW scan up to the session's shuffle parallelism —
+    and do nothing when the scan is already at least that wide.
+
+    Why: the local test corpora are one single-row-group parquet file per
+    table, so byte-range splitting cannot parallelize them and every
+    downstream per-row kernel (md5 chains, shingle explodes, Levenshtein
+    blocks, HOF folds) runs SERIAL unless an exchange intervenes — the
+    scan-parallelism-inheritance defect class SCALING.md documents seven
+    sightings of. At 100 TB a multi-file scan is already wide, the
+    condition is false, and the plan carries NO extra exchange — this is
+    a local-layout adaptation, not a scale crutch.
+
+    ``df.rdd.getNumPartitions()`` plans the physical RDD (no job). Keys
+    give hash partitioning (co-location for downstream groupBy/join on
+    the same key); without keys it is round-robin."""
+    spark = df.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize `events.ts` to session-tz TIMESTAMP regardless of how the
     generator encoded it. The corpus has shipped two encodings so far:

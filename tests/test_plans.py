@@ -113,12 +113,25 @@ def test_cosine_topk_broadcasts_probe(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
-@pytest.mark.parametrize("name", ["text_quality", "text_token_count", "dedup_simhash", "text_langid", "pipeline_quality_gate"])
+@pytest.mark.parametrize("name", ["text_quality", "text_token_count", "text_langid", "pipeline_quality_gate"])
 def test_map_only_ops_have_no_shuffle(spark, sf_dir, name):
     """Per-document scoring ops are pure map-side HOFs — zero Exchange
     nodes, linear scaling with input splits (SCALING.md LLM family)."""
     plan = plan_of(spark, sf_dir, name)
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash", "text_repetition"])
+def test_heavy_map_ops_spread_narrow_scans_only(spark, sf_dir, name):
+    """Heavy per-doc kernels use spread_scan: on the one-file local corpus
+    that is EXACTLY ONE hash exchange on doc_id directly over the scan
+    (the serial-kernel fix, SCALING.md r13); on an already-wide scan
+    spread_scan is a no-op and the plan would carry zero exchanges."""
+    plan = plan_of(spark, sf_dir, name)
+    assert n_exchanges(plan) <= 1, plan
+    if n_exchanges(plan) == 1:
+        # formatted mode puts the partitioning in the detail section
+        assert re.search(r"hashpartitioning\(doc_id", plan), plan
 
 
 def test_exact_dedupe_single_shuffle(spark, sf_dir):
@@ -239,10 +252,11 @@ def test_kmeans_assignments_are_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["text_repetition", "sample_stratified"])
+@pytest.mark.parametrize("name", ["sample_stratified"])
 def test_pipeline_text_ops_are_map_only(spark, sf_dir, name):
-    """Repetition scoring and deterministic stratified sampling are pure
-    per-row work: the plan must contain no Exchange of any kind."""
+    """Deterministic stratified sampling is pure per-row work: the plan
+    must contain no Exchange of any kind. (text_repetition moved to the
+    heavy-map spread_scan contract above in r13.)"""
     plan = plan_of(spark, sf_dir, name)
     assert n_exchanges(plan) == 0, plan
 
