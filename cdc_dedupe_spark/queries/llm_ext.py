@@ -3771,9 +3771,22 @@ def dedup_minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     shingle-array table twice on the doc key; intersection/union sizes
     are integers, one IEEE division + floor per pair, and the audit is
     a single-row rollup. Shingle arrays ride the join — bounded by the
-    200-char prefix — and only candidate pairs pay it."""
-    pairs = dedup_minhash_exact(spark, sf_dir).select("doc_a", "doc_b", "minhash_sim")
-    sh = table(spark, sf_dir, "documents").select(
+    200-char prefix — and only candidate pairs pay it.
+
+    The pair side is re-spread on an EXPLICIT partition count before the
+    joins (r13): the candidate shuffle is byte-light (3 scalars/row) so
+    AQE coalesces it to one partition — and the per-pair array-intersect
+    kernel, the query's real cost, went serial with it (measured 3.9 ->
+    1.1 s at sf0.1). An explicit repartition(par) is exempt from AQE
+    coalescing; compute-heavy-but-byte-light stages must size partitions
+    by KERNEL cost, which AQE cannot see."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        dedup_minhash_exact(spark, sf_dir)
+        .select("doc_a", "doc_b", "minhash_sim")
+        .repartition(par, "doc_a")
+    )
+    sh = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", char_shingles(F.col("text"), n=5, prefix_len=200).alias("shingles")
     )
     j = (
