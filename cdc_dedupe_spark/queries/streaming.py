@@ -397,14 +397,27 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch twin: the last-wins current-state read model maintained
     by a declarative streaming aggregation (max_by over the padded
     (ts_us, event_id) key). State is one row per entity, updated in
-    place by the state store, no window over version history; a
-    production deployment runs this in update mode against an upsert
-    sink — the bounded-replay harness uses complete mode because the
-    memory sink must expose the whole table for comparison. The oracle
-    is the batch fold, which the streaming result must equal exactly
-    because max_by/count/max are order-insensitive over the same event
-    set."""
+    place by the state store, no window over version history.
+
+    UPDATE mode (r14, VERDICT r13 next-step #4): each trigger emits only
+    the entities touched by that micro-batch — O(batch keys) rows, not a
+    complete-mode rewrite of all O(entities) rows per trigger. The
+    memory sink accumulates one row per (key, emission); n_versions is
+    strictly monotone per key, so max_by(struct, n_versions) folds the
+    sink to exactly the final state under ANY batch split (the
+    stream_stateful_agg playbook) — a production deployment replaces
+    that fold with an upsert sink. The oracle is the batch fold, equal
+    bit-exactly because every aggregate is order-insensitive."""
     stream = events_stream(spark, sf_dir)
+    agg = upsert_latest_agg(stream)
+    out = run_to_memory(agg, "stream_upsert_latest", output_mode="update")
+    return upsert_latest_fold(out)
+
+
+def upsert_latest_agg(stream: DataFrame) -> DataFrame:
+    """The streaming aggregation shape of [[stream_upsert_latest]],
+    factored so tests can drive it over a multi-file (multi-batch)
+    replay source."""
     e = stream.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -412,14 +425,34 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     ).withColumn("ok", padded_order_key("ts_us", "event_id"))
-    agg = e.groupBy("user_id").agg(
+    return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_versions"),
         F.max("ts_us").alias("last_ts_us"),
         F.max_by("event_id", "ok").alias("last_event_id"),
         F.max_by("event_type", "ok").alias("last_event_type"),
         F.max_by("cents", "ok").alias("last_cents"),
     )
-    return run_to_memory(agg, "stream_upsert_latest", output_mode="complete")
+
+
+def upsert_latest_fold(sink: DataFrame) -> DataFrame:
+    """Fold an update-mode emission log to final state: n_versions is
+    strictly monotone per key, so the max-n_versions row IS the last
+    emission (= current state) regardless of micro-batch splits."""
+    m = F.max_by(
+        F.struct(
+            "n_versions", "last_ts_us", "last_event_id",
+            "last_event_type", "last_cents",
+        ),
+        "n_versions",
+    ).alias("m")
+    return (
+        sink.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id", "m.n_versions", "m.last_ts_us",
+            "m.last_event_id", "m.last_event_type", "m.last_cents",
+        )
+    )
 
 
 _BLOOM_STATE = StructType([StructField("bits", BinaryType())])
@@ -1420,11 +1453,28 @@ def stream_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-replay result hash-match the batch oracle with no arrival-
     order caveat.
 
+    UPDATE mode (r14, VERDICT r13 next-step #4): a feature store only
+    needs the rows that CHANGED each trigger, so the query emits
+    O(batch users) updates instead of rewriting all O(users) rows in
+    complete mode; n_events is strictly monotone per user, so the
+    max-n_events emission per user is the final feature row under any
+    batch split (fold replaced by an upsert sink in production).
+
     At 100 TB: one streaming shuffle on user_id, O(users) state rows of
     five BIGINTs each; recency is computed by the CONSUMER against its
     own clock (the batch twin's corpus watermark is meaningless on an
     unbounded stream, so the streaming row carries last_seen_us)."""
-    stream = events_stream(spark, sf_dir).select(
+    stream = events_stream(spark, sf_dir)
+    agg = user_features_agg(stream)
+    out = run_to_memory(agg, "stream_user_features", output_mode="update")
+    return user_features_fold(out)
+
+
+def user_features_agg(stream: DataFrame) -> DataFrame:
+    """The streaming aggregation shape of [[stream_user_features]],
+    factored so tests can drive it over a multi-file (multi-batch)
+    replay source."""
+    e = stream.select(
         "user_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -1437,7 +1487,7 @@ def stream_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.when(F.col("event_type") == _SUF_TYPES[0], 1).otherwise(0)),
     )
-    agg = stream.groupBy("user_id").agg(
+    return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
         breadth.cast("long").alias("n_types"),
@@ -1447,4 +1497,21 @@ def stream_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("spend_cents"),
         F.max("ts_us").alias("last_seen_us"),
     )
-    return run_to_memory(agg, "stream_user_features", output_mode="complete")
+
+
+def user_features_fold(sink: DataFrame) -> DataFrame:
+    """Fold an update-mode emission log to the final feature rows:
+    n_events is strictly monotone per user, so max_by(struct, n_events)
+    selects each user's last emission."""
+    m = F.max_by(
+        F.struct("n_events", "n_purchases", "n_types", "spend_cents", "last_seen_us"),
+        "n_events",
+    ).alias("m")
+    return (
+        sink.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id", "m.n_events", "m.n_purchases",
+            "m.n_types", "m.spend_cents", "m.last_seen_us",
+        )
+    )

@@ -26,19 +26,57 @@ _SEQ = itertools.count()
 # the .start() call and restored immediately after the drain.
 _STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 
+# State-store provider (VERDICT r13 next-step #3). The default HDFS-backed
+# provider keeps every state row ON-HEAP in the executor — fine for the
+# bounded-state designs here (bloom shards, HLL registers, 64-counter
+# space-saving), but the O(distinct keys) queries (watermark dedupe,
+# sessionize, user features, upsert-latest) would OOM an executor at 100x
+# the key cardinality. RocksDB spills state to local SSD with a bounded
+# block cache, which is the standard Spark answer for billions of state
+# rows (the scale mirror of the reference's unbounded in-flight ledger,
+# WatchStream.java:337-344). Select with SPARK_GRAFT_STATE_STORE=rocksdb
+# (env, for the driver/bench) or per-call via run_to_memory(state_store=).
+# The conf is read at QUERY START, so scoping it around .start() is exact.
+STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
-def run_to_memory(sdf: DataFrame, name_prefix: str, output_mode: str = "append") -> DataFrame:
+
+def run_to_memory(
+    sdf: DataFrame,
+    name_prefix: str,
+    output_mode: str = "append",
+    state_store: str | None = None,
+) -> DataFrame:
     """Run a (bounded) streaming DataFrame to the in-memory sink until the
     availableNow trigger drains it; return the sink table.
 
     The streaming plan is started under `_STATE_PARTITIONS` shuffle
-    partitions (state sizing, see above); the session's batch value is
+    partitions (state sizing, see above) and, when `state_store` (or the
+    SPARK_GRAFT_STATE_STORE env var) names a STATE_STORE_PROVIDERS key,
+    under that state-store provider; the session's batch values are
     restored before returning, so the batch ops downstream of the sink
-    table see the session's own tuning."""
+    table see the session's own tuning.
+
+    Thread-safety note (ADVICE r13 #3): the shuffle-partition/provider
+    scoping mutates session-global SQL confs for the duration of the
+    drain. Any batch query PLANNED CONCURRENTLY on the same SparkSession
+    from another thread would pick up the streaming values. The harness
+    (driver, bench, pytest) plans queries single-threaded, so this is
+    safe here; a multithreaded driver must serialize run_to_memory calls
+    or use a separate session per thread.
+    """
     spark = sdf.sparkSession
     name = f"{name_prefix}_{next(_SEQ)}"
+    store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    provider = STATE_STORE_PROVIDERS[store] if store else None
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    if provider is not None:
+        spark.conf.set(_PROVIDER_CONF, provider)
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -50,4 +88,9 @@ def run_to_memory(sdf: DataFrame, name_prefix: str, output_mode: str = "append")
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
     return spark.table(name)

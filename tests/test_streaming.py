@@ -355,3 +355,162 @@ def test_run_to_memory_scopes_state_partitions(spark, sf_dir):
             output_mode="append",
         )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# RocksDB state store + update-mode parity (VERDICT r13 next-steps #3/#4)
+
+
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _write_event_batches(src, batches):
+    """Write one json file per micro-batch (mtime-ordered) with the events
+    schema the agg shapes expect."""
+    import json as _json
+
+    for i, batch in enumerate(batches):
+        p = src / f"{i:02d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in batch))
+        os.utime(p, (time.time() + i, time.time() + i))
+
+
+_EVENT_DDL = "user_id long, ts string, event_id long, event_type string, value double"
+
+
+def _event_rows(n0, n1):
+    """Deterministic synthetic events: keys recur across batches so the
+    cross-batch state paths are exercised."""
+    return [
+        {
+            "user_id": i % 5,
+            "ts": f"2024-01-01 10:{i % 60:02d}:00",
+            "event_id": i,
+            "event_type": ["click", "purchase", "view"][i % 3],
+            "value": (i % 7) + 0.25,
+        }
+        for i in range(n0, n1)
+    ]
+
+
+def test_rocksdb_state_store_engaged(spark, tmp_path):
+    """The RocksDB provider must (a) produce identical results to the
+    default HDFS-backed provider and (b) actually engage — RocksDB
+    checkpoints its state as <version>.zip snapshots where the HDFS
+    provider writes <version>.delta, so the state dir layout is direct
+    evidence the provider ran (VERDICT r13 next-step #3: the scale path
+    for O(distinct keys) streaming state)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_event_batches(src, [_event_rows(0, 40), _event_rows(40, 80)])
+
+    def run(provider, ck):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            s = (
+                spark.readStream.schema(_EVENT_DDL)
+                .option("maxFilesPerTrigger", "1")
+                .json(str(src))
+            )
+            agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            name = f"rdb_{ck.name}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", str(ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+                else:
+                    spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        sink = spark.table(name)
+        return {
+            r.user_id: r.n
+            for r in sink.groupBy("user_id").agg(F.max("n").alias("n")).collect()
+        }
+
+    got_hdfs = run(None, tmp_path / "ck_hdfs")
+    got_rocks = run(_ROCKSDB, tmp_path / "ck_rocks")
+    assert got_rocks == got_hdfs == {k: 16 for k in range(5)}
+
+    rocks_files = {p.suffix for p in (tmp_path / "ck_rocks" / "state" / "0").rglob("*") if p.is_file()}
+    hdfs_files = {p.suffix for p in (tmp_path / "ck_hdfs" / "state" / "0").rglob("*") if p.is_file()}
+    assert ".zip" in rocks_files, f"RocksDB snapshot files missing: {rocks_files}"
+    assert ".delta" in hdfs_files and ".zip" not in hdfs_files, hdfs_files
+
+
+def test_stream_query_under_rocksdb_matches(spark, sf_dir, monkeypatch):
+    """The registry's heaviest O(keys)-state query must return identical
+    results under SPARK_GRAFT_STATE_STORE=rocksdb — the env switch a
+    cluster deploy flips for billion-key state (run.py provider scoping)."""
+    q = REGISTRY["stream_sessionize_state"].spark
+
+    default_rows = sorted(map(tuple, q(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    rocks_rows = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert rocks_rows == default_rows
+    # provider conf restored after the drain
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) in (
+        None,
+        "",
+    )
+
+
+def test_update_mode_multibatch_fold_matches_batch(spark, tmp_path):
+    """stream_upsert_latest / stream_user_features run in UPDATE mode: on
+    a genuinely multi-batch replay (keys recurring across 3 micro-batches)
+    the monotone max_by fold of the update-emission log must equal the
+    batch aggregate over the full event set — the final-materialized-state
+    parity the complete-mode scale caveat asked for (VERDICT r13 #4)."""
+    from cdc_dedupe_spark.queries.streaming import (
+        upsert_latest_agg,
+        upsert_latest_fold,
+        user_features_agg,
+        user_features_fold,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_event_batches(
+        src, [_event_rows(0, 30), _event_rows(30, 60), _event_rows(60, 90)]
+    )
+
+    def stream():
+        s = (
+            spark.readStream.schema(_EVENT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    static = spark.read.schema(_EVENT_DDL).json(str(src)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    for i, (agg_fn, fold_fn) in enumerate(
+        [(upsert_latest_agg, upsert_latest_fold), (user_features_agg, user_features_fold)]
+    ):
+        name = f"upd_parity_{i}"
+        q = (
+            agg_fn(stream())
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        # multi-batch proof: recurring keys emit once per touching batch
+        assert sink.count() > sink.select("user_id").distinct().count()
+        got = sorted(map(tuple, fold_fn(sink).collect()))
+        want = sorted(map(tuple, agg_fn(static).collect()))
+        assert got == want
