@@ -41,25 +41,52 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def session_parallelism(spark: SparkSession) -> int:
+    """The session's shuffle width as an int, surviving platforms where
+    `spark.sql.shuffle.partitions` is a non-numeric sentinel like "auto"
+    (ADVICE r13 #2): fall back to the cluster's defaultParallelism, which
+    is what such platforms resolve the sentinel against anyway."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def plan_width(df: DataFrame) -> int:
+    """Physical partition count of the plan WITHOUT a Python-RDD
+    conversion: `df.rdd` appends a JVM->Python serialization stage to the
+    plan on every call, and that planning cost lands inside the timed
+    region of every benched query that probes width (ADVICE r13 #2).
+    `queryExecution.toRdd` plans only the internal binary-row RDD — no
+    job runs, nothing is appended. Falls back to `df.rdd` where the
+    JVM handle is unavailable (e.g. Spark Connect)."""
+    try:
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
 def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     """Repartition a NARROW scan up to the session's shuffle parallelism —
-    and do nothing when the scan is already at least that wide.
+    and do nothing (identity: the SAME DataFrame object, zero exchange)
+    when the scan is already at least that wide.
 
     Why: the local test corpora are one single-row-group parquet file per
     table, so byte-range splitting cannot parallelize them and every
     downstream per-row kernel (md5 chains, shingle explodes, Levenshtein
     blocks, HOF folds) runs SERIAL unless an exchange intervenes — the
-    scan-parallelism-inheritance defect class SCALING.md documents seven
+    scan-parallelism-inheritance defect class SCALING.md documents eleven
     sightings of. At 100 TB a multi-file scan is already wide, the
     condition is false, and the plan carries NO extra exchange — this is
-    a local-layout adaptation, not a scale crutch.
+    a local-layout adaptation, not a scale crutch (pinned by
+    tests/test_tables.py::test_spread_scan_noop_on_wide_scan).
 
-    ``df.rdd.getNumPartitions()`` plans the physical RDD (no job). Keys
-    give hash partitioning (co-location for downstream groupBy/join on
-    the same key); without keys it is round-robin."""
+    Keys give hash partitioning (co-location for downstream groupBy/join
+    on the same key); without keys it is round-robin."""
     spark = df.sparkSession
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= par:
+    par = session_parallelism(spark)
+    if plan_width(df) >= par:
         return df
     return df.repartition(par, *keys) if keys else df.repartition(par)
 
