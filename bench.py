@@ -30,10 +30,54 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else -1.0
 
+    # Parallelism-defect probe (diag.py, VERDICT r13 #5a): run under an
+    # event log so single-task stages are flagged post-run. Private
+    # per-run dir — every log file in it belongs to this bench.
+    import tempfile
+
+    evlog_dir = os.environ.setdefault(
+        "SPARK_GRAFT_EVENTLOG_DIR", tempfile.mkdtemp(prefix="bench-evlog-")
+    )
+
     from cdc_dedupe_spark.queries import REGISTRY
     from cdc_dedupe_spark.session import get_spark
 
     spark = get_spark("cdc-dedupe-spark-bench")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    def _has_map(dt) -> bool:
+        if dt is None:
+            return False
+        if isinstance(dt, MapType):
+            return True
+        if any(_has_map(f.dataType) for f in getattr(dt, "fields", [])):
+            return True
+        return _has_map(getattr(dt, "elementType", None))
+
+    def force_full_plan(df) -> str:
+        """Evaluate the WHOLE plan, driver transfer O(1); return the eval
+        mode used.
+
+        ``count()`` lets Catalyst PRUNE every computed column a plain
+        projection emits — a map-only query measured by count() costs
+        only its scan, hiding the actual kernel (r13: this masked a
+        serial minhash signature pipeline for four rounds). A murmur3
+        hash of every output column folded into one SUM forces full
+        evaluation while collecting a single row.
+
+        The count() fallback is chosen EXPLICITLY from the schema — only
+        map-typed outputs, which hash() cannot take (those queries are
+        aggregates whose plans count() cannot prune meaningfully). Real
+        execution errors propagate to the per-query failure handler
+        instead of being silently re-run under count() with a doubled,
+        mislabeled time (ADVICE r13 #1)."""
+        if any(_has_map(f.dataType) for f in df.schema.fields):
+            df.count()
+            return "count"
+        df.agg(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
+        return "hash"
 
     # Warm the JVM/Python-worker paths once so per-query numbers measure the
     # engine, not first-call startup (BASELINE.md: warm JVM, cached session).
@@ -42,9 +86,15 @@ def main() -> int:
     # streaming engine (state store, micro-batch planner, replay schema
     # cache) so the first measured streaming query isn't charged one-time
     # init — BASELINE.md's replay floor is a warm-engine number.
-    for warm in ("cdc_dedupe_first", "cdc_dedupe_stream"):
+    # graph_cc_sizes + dedup_minhash_exact (VERDICT r13 #6): the iterative
+    # join/CC machinery and the codegen'd hash/sort/agg spine JIT-compile
+    # on first heavy use (~5 s, C2 tier), which used to land on whichever
+    # queries sorted first alphabetically (agg_approx_distinct measured
+    # 3.2 s in-suite vs 0.6 s solo-warm in r13) — pay it here, untimed.
+    for warm in ("cdc_dedupe_first", "cdc_dedupe_stream", "graph_cc_sizes", "dedup_minhash_exact"):
         try:
-            REGISTRY[warm].spark(spark, sf_dir).count()
+            spark.sparkContext.setJobGroup("warmup", f"warmup:{warm}")
+            force_full_plan(REGISTRY[warm].spark(spark, sf_dir))
         except Exception as e:
             print(f"bench warm-up {warm} failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -76,35 +126,24 @@ def main() -> int:
     except Exception as e:
         print(f"stream overhead probe failed (continuing): {e}", file=sys.stderr)
 
-    from pyspark.sql import functions as F
-
-    def force_full_plan(df) -> None:
-        """Evaluate the WHOLE plan, driver transfer O(1).
-
-        ``count()`` lets Catalyst PRUNE every computed column a plain
-        projection emits — a map-only query measured by count() costs
-        only its scan, hiding the actual kernel (r13: this masked a
-        serial minhash signature pipeline for four rounds). A murmur3
-        hash of every output column folded into one SUM forces full
-        evaluation while collecting a single row. Types hash() can't
-        take (maps) fall back to count() — those queries are aggregates
-        whose plans count() cannot prune meaningfully."""
-        try:
-            df.agg(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
-        except Exception:
-            df.count()
-
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
+    count_eval: list[str] = []
     total = 0.0
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
+        # Tag the query's jobs so diag.skew_flags can attribute flagged
+        # stages (streaming micro-batch jobs set their own group; those
+        # flags carry the stream's run id instead — still readable).
+        spark.sparkContext.setJobGroup(name, name)
         t0 = time.perf_counter()
         try:
-            force_full_plan(q.spark(spark, sf_dir))
+            mode = force_full_plan(q.spark(spark, sf_dir))
             dt = time.perf_counter() - t0
             per_query[name] = round(dt, 3)
             total += dt
+            if mode == "count":
+                count_eval.append(name)
         except Exception as e:  # record and continue; a failed query must not hide the rest
             failures[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -120,6 +159,10 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
     }
+    if count_eval:
+        # Per-query eval-mode record (ADVICE r13 #1): these map-typed
+        # outputs were evaluated via count(), not the hash fold.
+        result["count_eval"] = sorted(count_eval)
     stream_names = [n for n in per_query if n.startswith("stream_") or n == "cdc_dedupe_stream"]
     if stream_overhead is not None and stream_names:
         fam_wall = sum(per_query[n] for n in stream_names)
@@ -135,9 +178,28 @@ def main() -> int:
         result["stream_events_per_s"] = round(n_events / per_query["cdc_dedupe_stream"], 1)
     if failures:
         result["failures"] = failures
+
+    # Parallelism-defect sweep (diag.py): the event log is complete once
+    # the session stops; parse it and persist per-stage flags. The
+    # printed line carries only the count — SKEW_LOCAL.json has details.
+    spark.stop()
+    try:
+        from cdc_dedupe_spark.diag import skew_flags
+
+        flags = [f for f in skew_flags(evlog_dir, min_task_sec=1.0) if f["query"] != "warmup"]
+        Path(_REPO, "SKEW_LOCAL.json").write_text(
+            json.dumps({"sf": sf, "min_task_sec": 1.0, "flags": flags}, indent=1) + "\n"
+        )
+        result["skew_flags"] = len(flags)
+        if flags:
+            worst = max(flags, key=lambda f: f["max_task_sec"])
+            print(f"skew flags: {len(flags)} (worst: {worst})", file=sys.stderr)
+    except Exception as e:
+        print(f"skew sweep failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
+
     # Persist the full result (the r3/r4 driver tail-capture truncated the
-    # printed line), then stop the session BEFORE printing so no JVM
-    # shutdown logs land after the JSON and push it out of a tail window.
+    # printed line), then print last so no JVM shutdown logs land after
+    # the JSON and push it out of a tail window.
     Path(_REPO, "BENCH_LOCAL.json").write_text(json.dumps(result) + "\n")
     # The driver captures only the LAST 2000 bytes of output (measured:
     # BENCH_r04 tail == 2000 chars while the full line was 2629 -> parsed
@@ -161,7 +223,6 @@ def main() -> int:
                 result["queries_omitted"] += 1
                 break
         line = json.dumps(result, separators=(",", ":"))
-    spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)

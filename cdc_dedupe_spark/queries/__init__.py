@@ -27,6 +27,7 @@ from . import curation  # noqa: F401,E402
 from . import sketch  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import stats_ml  # noqa: F401,E402
+from . import web_dedup  # noqa: F401,E402
 
 # Rotation offset for the driver window. Advance by 50 each round (r4=50,
 # r5=100, ...); applied mod the registry size, so consecutive rounds'

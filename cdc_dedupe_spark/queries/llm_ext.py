@@ -1358,21 +1358,22 @@ _MH_FOLD = 99_991
 _MH_FOLD_M = 2_147_483_647
 
 
-def _mh_sig_sql() -> str:
+def _mh_sig_ctes(src: str = "documents") -> str:
     # wide hash: injective on ASCII 5-grams — the narrow 3-char hash
     # conflated shingles sharing a leading trigram, inflating signature
     # agreement between non-near-duplicate docs (round-8 review).
+    # `src` (r14): any prior CTE with (doc_id, text), so compositions like
+    # pipeline_dedup_full can run the sketch over a filtered corpus.
     th = SQL_TOKEN_HASH_WIDE.format(t="s")
     mins = ",\n        ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_M}))"
         for a, b in zip(_MH_A, _MH_B)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, list_distinct(list_transform(
                generate_series(1, greatest(length(substr(text, 1, 200)) - 4, 1)),
                i -> substr(substr(text, 1, 200), i, 5))) AS sh
-      FROM documents
+      FROM {src}
     ), hs AS (
       SELECT doc_id, list_transform(sh, s -> ({th}) % {_MH_M}) AS hs FROM sh
     ), sig AS (
@@ -1389,22 +1390,30 @@ def _sql_band_key(j: int) -> str:
     return expr
 
 
-_MINHASH_ORACLE = f"""
-    {_mh_sig_sql()}, bands AS (
+def _mh_pair_ctes(src: str = "documents") -> str:
+    """sig CTEs + bands/pairs/mh_scored: the full fixed-family MinHash
+    pair list as composable CTEs over `src` (doc_id, text)."""
+    return f"""{_mh_sig_ctes(src)}, bands AS (
       SELECT doc_id, j,
              CASE {" ".join(f"WHEN j = {j} THEN {_sql_band_key(j)}" for j in range(_MH_BANDS))} END AS key
       FROM sig, (SELECT unnest([{", ".join(str(j) for j in range(_MH_BANDS))}]) AS j) t
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND b.doc_id > a.doc_id
-    )
-    SELECT p.doc_a, p.doc_b,
-           (round(len(list_filter(generate_series(1, {_MH_K}),
-                                  i -> sa.sig[i] = sb.sig[i])) / {_MH_K}.0, 4) + 0.0)
-             AS minhash_sim
-    FROM pairs p
-    JOIN sig sa ON sa.doc_id = p.doc_a
-    JOIN sig sb ON sb.doc_id = p.doc_b
+    ), mh_scored AS (
+      SELECT p.doc_a, p.doc_b,
+             (round(len(list_filter(generate_series(1, {_MH_K}),
+                                    i -> sa.sig[i] = sb.sig[i])) / {_MH_K}.0, 4) + 0.0)
+               AS minhash_sim
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    )"""
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_mh_pair_ctes()}
+    SELECT doc_a, doc_b, minhash_sim FROM mh_scored
     """
 
 
@@ -1433,6 +1442,14 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     this function, so the fix propagates to cluster / incremental /
     precision-audit / tuning-curve)."""
     d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
+    return minhash_pairs(d)
+
+
+def minhash_pairs(d: DataFrame) -> DataFrame:
+    """The fixed-hash-family MinHash LSH pair pipeline over any
+    (doc_id, text) frame — factored from dedup_minhash_exact (r14) so
+    compositions like [[pipeline_dedup_full]] can run it over a filtered
+    corpus (e.g. exact-dedup keepers) instead of the raw table."""
     hs = d.select(
         "doc_id",
         F.transform(

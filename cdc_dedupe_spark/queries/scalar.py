@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..tables import table
+from ..tables import spread_scan, table
 from ._determinism import round_pos
 from .registry import register
 
@@ -34,7 +34,12 @@ from .registry import register
     """,
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part")
+    """String scalar surface. spread_scan (r14): the regexp kernel over
+    the one-file part scan ran serial — sighting #12 of the
+    scan-parallelism defect class, and the FIRST one caught automatically
+    by the new bench skew probe (diag.py; SKEW_LOCAL.json flagged a
+    1.8 s serial stage) rather than by hand. No-op on wide scans."""
+    p = spread_scan(table(spark, sf_dir, "part"), "p_partkey")
     return p.select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),

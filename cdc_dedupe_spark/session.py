@@ -39,6 +39,22 @@ def get_spark(app_name: str = "cdc-dedupe-spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+    )
+    # Parallelism-defect probe (diag.py): when SPARK_GRAFT_EVENTLOG_DIR is
+    # set, write Spark's standard event log there (plain text, single file)
+    # so the bench can flag single-task stages post-run. Off by default —
+    # the log is only useful to a harness that parses it.
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evlog}")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
+    builder = (
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
