@@ -63,3 +63,69 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_bucketed_digest_dedup_layout(spark, sf_dir):
+    """The 100 TB dedup-layout story (VERDICT r13 next-step #7): persist
+    the corpus AND each incoming batch bucketed on the content digest,
+    and the two dedup passes that dominate an ingest pipeline run with
+    ZERO exchanges — the bucketed scans already report
+    hashpartitioning(digest):
+
+    - keeper selection (groupBy digest -> min doc_id): aggregates in
+      place over the buckets;
+    - incremental dedup (batch ANTI JOIN corpus on digest): sort-merge
+      joins bucket-to-bucket, and sortBy(digest) at write time even
+      removes the Sort.
+
+    The digest shuffle is paid ONCE at write time and amortized over
+    every later pass (incremental dedup, contamination probes, CAS
+    audits all key on the same digest).
+
+    Note the defeated variant: joining keepers back with the filter
+    doc_id == keeper0 lets Catalyst pull the equality INTO the join keys
+    (digest, doc_id), and single-column buckets no longer co-partition
+    the two-key join (spark.sql.requireAllClusterKeysForCoPartition
+    defaults true) — an Exchange reappears. Keying every pass on digest
+    ALONE is part of the layout contract, not a style choice."""
+    suffix = uuid.uuid4().hex[:8]
+    t_corpus, t_batch = f"b_corpus_{suffix}", f"b_batch_{suffix}"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "digest", F.md5(F.substring("text", 1, 200))
+    )
+    for t, pred in ((t_corpus, F.col("doc_id") % 5 != 0), (t_batch, F.col("doc_id") % 5 == 0)):
+        (
+            d.filter(pred)
+            .write.bucketBy(8, "digest")
+            .sortBy("digest")
+            .mode("overwrite")
+            .saveAsTable(t)
+        )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        corpus, batch = spark.table(t_corpus), spark.table(t_batch)
+
+        keep = corpus.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+        fresh = batch.join(corpus.select("digest"), "digest", "left_anti")
+
+        for df in (keep, fresh):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+
+        # layout changes nothing semantically
+        assert keep.count() == corpus.select("digest").distinct().count()
+        want_fresh = (
+            batch.join(
+                F.broadcast(corpus.select("digest").distinct()), "digest", "left_anti"
+            ).count()
+        )
+        assert fresh.count() == want_fresh
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t_corpus}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_batch}")
