@@ -35,8 +35,8 @@ _URL_SQL = """(
       CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
       CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
       CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END ||
-      '.example.com/' || lang || '/doc-' || CAST(doc_id % 61 AS VARCHAR) ||
-      CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END ||
+      '.example.com/' || lang || '/doc-' || CAST(doc_id % 13 AS VARCHAR) ||
+      CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END ||
       CASE WHEN doc_id % 5 = 0
            THEN '?utm_source=feed&utm_medium=rss&page=' || CAST(doc_id % 3 AS VARCHAR)
            WHEN doc_id % 5 = 1 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
@@ -70,8 +70,8 @@ def _url_col() -> Column:
         F.lit(".example.com/"),
         F.col("lang"),
         F.lit("/doc-"),
-        (d % 61).cast("string"),
-        F.when(d % 13 == 0, F.lit("/")).otherwise(F.lit("")),
+        (d % 13).cast("string"),
+        F.when(d % 9 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&utm_medium=rss&page="), (d % 3).cast("string")))
         .when(d % 5 == 1, F.concat(F.lit("?page="), (d % 3).cast("string")))
         .otherwise(F.lit("")),
@@ -286,3 +286,238 @@ def _register_pipeline_dedup_full() -> None:
 
 
 _register_pipeline_dedup_full()
+
+
+# --- C4-style cross-doc segment (line-level) dedup ---------------------------
+
+_SEG = 12  # tokens per segment ("line" stand-in: the corpus has no newlines)
+_SEG_MIN_OCC = 3  # C4 removes any line occurring >= 3 times corpus-wide
+
+
+@register(
+    "dedup_line_cross_doc",
+    group="web-dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), ks AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, CAST((n - 1) // {_SEG} AS BIGINT))) AS k
+      FROM t
+    ), seg AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[k * {_SEG} + 1 : least(n, (k + 1) * {_SEG})], ' '))
+               AS seg_key
+      FROM ks
+    ), c AS (
+      SELECT seg_key, COUNT(*) AS cnt FROM seg GROUP BY seg_key
+    )
+    SELECT seg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN c.cnt >= {_SEG_MIN_OCC} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           (round(CAST(COUNT(*) - SUM(CASE WHEN c.cnt >= {_SEG_MIN_OCC} THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*), 4) + 0.0) AS retention_r
+    FROM seg JOIN c USING (seg_key)
+    GROUP BY seg.doc_id
+    """,
+)
+def dedup_line_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cross-document dedup audit (C4 §2.2 removes
+    any three-sentence span occurring more than once; RefinedWeb's line
+    dedup is the same shape): the corpus text has no newlines, so the
+    "line" is a fixed {seg}-token segment; any segment occurring >=
+    {occ} times corpus-wide is boilerplate and removed from every doc.
+    Output: per-doc segment counts and retention after removal — the
+    audit a curation run reads before committing the pass.
+
+    Scale shape: segments are hashed to md5 MAP-SIDE, so the corpus-wide
+    count shuffles (doc_id, 16-byte key) pairs, never text; the count is
+    a map-side-combined groupBy, the membership join is hash-on-digest
+    (the same digest-keyed layout the bucketed-write demo persists), and
+    the per-doc rollup re-shuffles doc_id only. Never all-pairs, no text
+    movement after the first projection."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    seg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), ((F.col("n") - 1) / _SEG).cast("long")),
+                lambda k: F.md5(F.array_join(F.slice("toks", k * _SEG + 1, _SEG), " ")),
+            )
+        ).alias("seg_key"),
+    )
+    c = seg.groupBy("seg_key").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = seg.join(c, "seg_key")
+    shared = F.sum((F.col("cnt") >= _SEG_MIN_OCC).cast("long"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        shared.alias("n_shared"),
+        round_pos(
+            (F.count(F.lit(1)) - shared).cast("double") / F.count(F.lit(1)), 4
+        ).alias("retention_r"),
+    )
+
+
+dedup_line_cross_doc.__doc__ = dedup_line_cross_doc.__doc__.format(
+    seg=_SEG, occ=_SEG_MIN_OCC
+)
+
+
+# --- the two-stage web funnel: host gate -> URL dedup ------------------------
+
+_HOST_GATE = 0.12  # drop hosts whose canonical-URL dup rate >= this
+
+
+@register(
+    "pipeline_web_funnel",
+    group="web-dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, {_CANON_SQL.format(url=_URL_SQL)} AS cu
+      FROM documents
+    ), h AS (
+      SELECT doc_id, source, cu, regexp_extract(cu, '^[^/]+') AS host FROM u
+    ), hr AS (
+      SELECT host, 1.0 - CAST(COUNT(DISTINCT cu) AS DOUBLE) / COUNT(*) AS dup_rate
+      FROM h GROUP BY host
+    ), gated AS (
+      SELECT h.*, hr.dup_rate >= {_HOST_GATE} AS host_gated FROM h
+      JOIN hr ON h.host = hr.host
+    ), keep0 AS (
+      SELECT cu, MIN(doc_id) AS keeper FROM gated WHERE NOT host_gated GROUP BY cu
+    ), status AS (
+      SELECT g.source,
+             CASE WHEN g.host_gated THEN 'host'
+                  WHEN g.doc_id <> k.keeper THEN 'url'
+                  ELSE 'kept' END AS stage
+      FROM gated g LEFT JOIN keep0 k ON g.cu = k.cu
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN stage = 'host' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_host_gated,
+           CAST(SUM(CASE WHEN stage = 'url' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_url_dups,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           (round(CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) + 0.0) AS retention_r
+    FROM status GROUP BY source
+    """,
+)
+def pipeline_web_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage WEB funnel that runs before any content dedup
+    (CCNet/RefinedWeb order): (1) HOST gate — profile each host's
+    canonical-URL duplication rate and drop every doc from hosts at or
+    above {gate} (boilerplate mills); (2) URL dedup — first-wins per
+    canonical URL among the surviving docs; then the per-source funnel
+    audit (docs in, dropped per stage, kept, retention).
+
+    Scale shape: the host profile is a tiny rollup (O(hosts) rows)
+    joined back BROADCAST; the URL keeper is one groupBy on the
+    canonical key; the audit is a 20-group aggregate. Stage decisions
+    compose in one plan, so Catalyst shares the scan and the
+    canonicalization projection between the profile and the funnel."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+    h = d.select(
+        "doc_id", "source", _canon_col(_url_col()).alias("cu")
+    ).withColumn("host", F.regexp_extract("cu", "^[^/]+", 0))
+    hr = h.groupBy("host").agg(
+        (
+            F.lit(1.0)
+            - F.countDistinct("cu").cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate")
+    )
+    gated = h.join(F.broadcast(hr), "host").withColumn(
+        "host_gated", F.col("dup_rate") >= _HOST_GATE
+    )
+    keep0 = (
+        gated.filter(~F.col("host_gated"))
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    status = gated.join(keep0, "cu", "left").select(
+        "source",
+        F.when(F.col("host_gated"), F.lit("host"))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("url"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+    )
+    kept = F.sum((F.col("stage") == "kept").cast("long"))
+    return status.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("stage") == "host").cast("long")).alias("n_host_gated"),
+        F.sum((F.col("stage") == "url").cast("long")).alias("n_url_dups"),
+        kept.alias("n_kept"),
+        round_pos(kept.cast("double") / F.count(F.lit(1)), 4).alias("retention_r"),
+    )
+
+
+pipeline_web_funnel.__doc__ = pipeline_web_funnel.__doc__.format(gate=_HOST_GATE)
+
+
+# --- per-host cap sampling ----------------------------------------------------
+
+_HOST_CAP = 15  # max docs kept per host
+
+
+@register(
+    "sample_host_capped",
+    group="web-dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, regexp_extract({_CANON_SQL.format(url=_URL_SQL)}, '^[^/]+')
+               AS host
+      FROM documents
+    ), r AS (
+      SELECT host, doc_id,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS samp_rank
+      FROM u
+    )
+    SELECT host, doc_id, CAST(samp_rank AS BIGINT) AS samp_rank
+    FROM r WHERE samp_rank <= {_HOST_CAP}
+    """,
+)
+def sample_host_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host cap sampling — the domain-capping stage every pretraining
+    mix runs so no single host dominates the corpus (Gopher/MassiveText
+    cap documents per domain): keep at most {cap} docs per host, chosen
+    by content-hash order (md5 of the doc id) so the sample is
+    deterministic, uniform-ish within host, and rerun-stable on any
+    cluster layout — never "first K by arrival".
+
+    Scale shape: one hash shuffle on host + a rank-k window, which Spark
+    plans with WindowGroupLimit (map-side top-k per host BEFORE the
+    shuffle — pinned in tests/test_plans.py for the window-dedupe twin),
+    so the shuffle carries at most {cap} rows per host per input
+    partition, not the host's whole doc set."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+    u = d.select(
+        "doc_id", F.regexp_extract(_canon_col(_url_col()), "^[^/]+", 0).alias("host")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        u.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("samp_rank") <= _HOST_CAP)
+        .select("host", "doc_id", "samp_rank")
+    )
+
+
+sample_host_capped.__doc__ = sample_host_capped.__doc__.format(cap=_HOST_CAP)
