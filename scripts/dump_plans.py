@@ -71,6 +71,12 @@ HEADLINE = [
     "ml_nb_classify",
     "join_asof_nearest",
     "ml_pca_power",
+    # round 14: web-dedup family + the full-pipeline composition
+    "dedup_url_canonical",
+    "pipeline_web_funnel",
+    "dedup_line_cross_doc",
+    "sample_host_capped",
+    "pipeline_dedup_full",
 ]
 
 
