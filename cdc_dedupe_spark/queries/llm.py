@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ._determinism import round_pos
 from ..functions.vector import SQL_ICOSINE, SQL_ISCALE, icosine
-from ..tables import table
+from ..tables import spread_scan, table
 from .registry import register
 
 
@@ -247,7 +247,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
     from pyspark.ml.functions import vector_to_array
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_scan (r14, probe sighting #15): Tokenizer/HashingTF/MinHash
+    # UDFs inherited the one-partition documents scan and ran serial.
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
     feats = tf.transform(toks).filter(F.expr("size(tokens) > 0"))

@@ -1068,7 +1068,10 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a deterministic fake (real libs absent here — decode_real raises
     NotImplementedError); the Spark side — binary column, Arrow batch
     shape, schema, partition-parallel map — is real and oracle-checked."""
-    d = table(spark, sf_dir, "documents")
+    # spread_scan (r14, probe sighting #16): the Arrow decode batches
+    # inherited the one-partition scan — the exact shape a real image
+    # decoder would serialize on.
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     packed = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     decoded = packed.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
     return decoded.select(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import table
+from ..tables import spread_scan, table
 from ._determinism import davg, dsum, round_pos, sql_davg, sql_dsum
 from .registry import register
 
@@ -217,7 +217,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form drops it."""
     from .sketch import _HLL_M, _HLL_NUM, _HLL_VBITS, _hll_rho
 
-    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    # spread_scan (r14, probe sightings #13-14, SKEW_LOCAL.json): the
+    # md5-HLL audit kernel inherited the single-row-group lineitem scan's
+    # one effective task. Round-robin (no key: the 3-value groupBy key
+    # would collapse to 3 partitions); no-op on wide scans.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    )
     base = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=_AAD_RSD).alias("est"),
         F.count_distinct("l_partkey").alias("exact_parts"),

@@ -465,9 +465,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side — no sort, no full shuffle of values (the exact columns pay
     the per-group sort BECAUSE this is the audit query; the production
     form keeps only the sketch)."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    # spread_scan (r14, probe sightings #13-14): the GK sketch + rank
+    # probe kernels inherited the serial lineitem scan; round-robin (the
+    # 3-value group key would collapse parallelism), no-op at scale.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
     )
     ap = li.groupBy("l_returnflag").agg(
         F.expr(f"approx_percentile(cents, array(0.5, 0.95), {_APX_ACC})").alias("ap"),

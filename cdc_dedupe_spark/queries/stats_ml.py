@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import table
+from ..tables import spread_scan, table
 from ._determinism import round_pos
 from .registry import register
 
@@ -1177,7 +1177,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All sums are exact integer cents; the only doubles are the B final
     divisions — identical IEEE ops both engines."""
-    x = (
+    # spread_scan (r14, probe sighting #17, SKEW_LOCAL.json): the
+    # explode×B + md5 replica-weight kernel inherited the serial events
+    # scan. Spread AFTER the purchase filter so only surviving rows move.
+    x = spread_scan(
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("event_id", F.round(F.col("value") * 100).cast("long").alias("c"))
