@@ -823,3 +823,74 @@ def doc_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(is_keeper) * 10000 div count(*)").cast("long").alias("keeper_bp"),
         F.sum("lost_cross").cast("long").alias("n_lost_cross_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_threshold_sweep — the operating curve behind a quality cutoff
+
+_CTS_TAUS = (0, 20, 40, 60, 80, 100, 120)  # stopword permille thresholds
+
+
+@register(
+    "curation_threshold_sweep",
+    group="curation",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and'))) * 1000
+               // len(string_split(text, ' ')) AS stop_permille
+      FROM documents
+    ), t AS (
+      SELECT s.*, tau
+      FROM s, (SELECT unnest([{", ".join(str(t) for t in _CTS_TAUS)}]) AS tau) taus
+    )
+    SELECT tau,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN stop_permille >= tau THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN stop_permille >= tau THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           (round(CAST(SUM(CASE WHEN stop_permille >= tau THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*), 4) + 0.0) AS doc_retention_r
+    FROM t GROUP BY tau
+    """,
+)
+def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-cutoff OPERATING CURVE: for each candidate stopword-
+    density threshold, how many docs and tokens survive — the table a
+    curation run reads to pick its gate (choose τ where the token budget
+    meets the quality bar) instead of committing to one blind cutoff.
+    The score is integer permille (n_stop*1000 div n_tokens), so the
+    >= compare can never flap on an engine rounding difference.
+
+    Scale: ONE scan computes the score; the sweep is a |τ|-way explode
+    of scalar rows (never text) into a map-side-combined groupBy(τ) —
+    |τ| × O(1) output at any corpus size. The production form folds all
+    thresholds in one aggregate exactly like this, not |τ| re-scans."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+    s = d.select(
+        n_tokens.alias("n_tokens"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x IN ('the','a','of','and')))"
+            " * 1000 div size(split(text, ' '))"
+        ).alias("stop_permille"),
+    )
+    t = s.select(
+        "n_tokens",
+        "stop_permille",
+        F.explode(F.array(*[F.lit(tau) for tau in _CTS_TAUS])).alias("tau"),
+    )
+    kept = F.sum((F.col("stop_permille") >= F.col("tau")).cast("long"))
+    return t.groupBy("tau").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.alias("n_kept"),
+        F.sum(
+            F.when(F.col("stop_permille") >= F.col("tau"), F.col("n_tokens")).otherwise(0)
+        ).cast("long").alias("kept_tokens"),
+        round_pos(kept.cast("double") / F.count(F.lit(1)), 4).alias("doc_retention_r"),
+    )

@@ -4565,3 +4565,37 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_vocab").over(wc).cast("long").alias("vocab_cum"),
         F.expr("new_vocab * 1000000 div n_tokens").cast("long").alias("new_vocab_ppm"),
     )
+
+
+@register(
+    "dedup_cluster_histogram",
+    group="llm-ext",
+    oracle=f"""
+    WITH labels AS ({_MINHASH_CLUSTER_ORACLE}),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the MinHash near-dup clustering — the
+    power-law audit every dedup run reads before trusting its keeper set
+    (a giant component means the banding/gate is too loose — the exact
+    failure the r8 2-row-band review caught by hand; this query makes it
+    a table). Output is O(distinct sizes) rows at any corpus scale.
+
+    Scale: composes [[dedup_minhash_cluster]]'s label table (banded
+    candidates -> gated edges -> distributed CC), then two
+    map-side-combined aggregates: labels -> per-cluster size -> size
+    histogram. No new shuffle shape beyond the cluster machinery."""
+    labels = dedup_minhash_cluster(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
