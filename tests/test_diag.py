@@ -96,11 +96,14 @@ heavy = F.avg(F.xxhash64(F.sha2(F.concat_ws("-", F.col("id").cast("string"),
     F.lit("pad" * 10)), 256)))
 
 sc.setJobGroup("serial_kernel", "serial_kernel")
-# ONE partition carrying a compute-heavy kernel: the defect shape
-spark.range(0, 600_000).coalesce(1).agg(heavy.alias("h")).collect()
+# ONE partition carrying a compute-heavy kernel: the defect shape.
+# 2M rows keeps the serial stage comfortably above the probe floor even
+# on a warm JVM (600k measured 494 ms once, under the 500 ms test
+# threshold — the one in-suite flake of r14).
+spark.range(0, 2_000_000).coalesce(1).agg(heavy.alias("h")).collect()
 
 sc.setJobGroup("wide_kernel", "wide_kernel")
-spark.range(0, 600_000).repartition(8).agg(heavy.alias("h")).collect()
+spark.range(0, 2_000_000).repartition(8).agg(heavy.alias("h")).collect()
 spark.stop()
 """
 
@@ -116,9 +119,14 @@ def test_skew_probe_catches_serial_kernel_end_to_end(tmp_path):
         capture_output=True,
         timeout=300,
     )
-    flags = skew_flags(evdir, min_task_sec=0.5)
+    from cdc_dedupe_spark.diag import stage_stats
+
+    stats = stage_stats(evdir)
+    assert stats, f"no stages parsed from the event log dir: {evdir}"
+    flags = skew_flags(evdir, min_task_sec=0.4)
     by_query = {f["query"] for f in flags}
-    assert "serial_kernel" in by_query, flags
+    dump = [(s.stage_id, s.group, s.n_tasks, s.total_records, s.max_task_ms) for s in stats]
+    assert "serial_kernel" in by_query, dump
     serial = [f for f in flags if f["query"] == "serial_kernel"]
     assert any(f["kind"] == "serial-stage" for f in serial)
-    assert "wide_kernel" not in by_query, flags
+    assert "wide_kernel" not in by_query, dump
