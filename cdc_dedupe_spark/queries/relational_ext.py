@@ -446,6 +446,121 @@ _APX_ORACLE = """
     """
 
 
+_G2P_W = 65536  # histogram bucket width in cents (same knob as agg_quantile_2pass)
+
+
+def _grouped_percentiles_2pass(li: DataFrame, pcts) -> DataFrame:
+    """Exact linearly-interpolated percentiles per l_returnflag with NO
+    per-group value buffering: Spark's ``percentile()`` collects every
+    group value into one aggregation buffer (OOM at 100× group size);
+    this is the distributed alternative — pass 1 histograms cents into
+    fixed-width buckets per group (one partial-agg shuffle of O(groups ×
+    buckets) rows), the interpolation ranks k_lo/k_hi = floor(p·(n−1))+1
+    and its successor are located in the tiny cumulative table, pass 2
+    re-scans ONLY the matched buckets and row_numbers to the residual
+    offset. The interpolation v_lo + frac·(v_hi − v_lo) with
+    frac = p·(n−1) − floor(p·(n−1)) is the same formula percentile()
+    and DuckDB's quantile_cont apply, so values are unchanged.
+
+    Returns one row per group: (l_returnflag, p50_exact, p95_exact,
+    rounded to 4)."""
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nn"))
+    pos = F.col("p") * (F.col("nn") - 1).cast("double")
+    tgt = (
+        n.select(
+            "l_returnflag",
+            "nn",
+            F.explode(F.array(*[F.lit(p) for p in pcts])).alias("p"),
+        )
+        .select(
+            "l_returnflag",
+            "nn",
+            "p",
+            (F.floor(pos) + 1).cast("long").alias("k_lo"),
+            (pos - F.floor(pos)).alias("frac"),
+        )
+        .select(
+            "l_returnflag",
+            "p",
+            "frac",
+            "k_lo",
+            F.least(F.col("k_lo") + 1, F.col("nn")).alias("k_hi"),
+        )
+    )
+    ranks = tgt.select(
+        "l_returnflag",
+        "p",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("which"), F.col("k_lo").alias("k")),
+                F.struct(F.lit("hi").alias("which"), F.col("k_hi").alias("k")),
+            )
+        ).alias("r"),
+    ).select("l_returnflag", "p", "frac", "r.which", "r.k")
+
+    bucket = (F.col("cents") / _G2P_W).cast("long")
+    bc = li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bc.select(
+        "l_returnflag",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    loc = (
+        ranks.join(F.broadcast(cum), "l_returnflag")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("l_returnflag", "p", "frac", "which", "k")
+        .agg(F.min(F.struct("bucket", "cum_prev")).alias("m"))
+        .select(
+            "l_returnflag",
+            "p",
+            "frac",
+            "which",
+            F.col("m.bucket").alias("bucket"),
+            (F.col("k") - F.col("m.cum_prev")).alias("off"),
+        )
+    )
+    hit = li.withColumn("bucket", bucket).join(
+        F.broadcast(loc), ["l_returnflag", "bucket"]
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag", "p", "which").orderBy("cents")
+    )
+    vals = (
+        hit.withColumn("rn", rn)
+        .filter(F.col("rn") == F.col("off"))
+        .select("l_returnflag", "p", "frac", "which", "cents")
+    )
+    interp = (
+        vals.groupBy("l_returnflag", "p", "frac")
+        .agg(
+            F.min(F.when(F.col("which") == "lo", F.col("cents"))).alias("v_lo"),
+            F.min(F.when(F.col("which") == "hi", F.col("cents"))).alias("v_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "p",
+            round_pos(
+                F.col("v_lo")
+                + F.col("frac") * (F.col("v_hi") - F.col("v_lo")).cast("double"),
+                4,
+            ).alias("v"),
+        )
+    )
+    return interp.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("p") == 0.50, F.col("v"))).alias("p50_exact"),
+        F.min(F.when(F.col("p") == 0.95, F.col("v"))).alias("p95_exact"),
+    )
+
+
 @register("agg_approx_percentile", group="relational-ext", oracle=_APX_ORACLE)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-friendly quantile sketch, driver-checkable (VERDICT r12
@@ -462,24 +577,31 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing) are the deterministic value columns.
 
     At scale: the sketch is a constant-size partial aggregate merged
-    map-side — no sort, no full shuffle of values (the exact columns pay
-    the per-group sort BECAUSE this is the audit query; the production
-    form keeps only the sketch)."""
+    map-side — no sort, no full shuffle of values. The exact audit
+    columns use the grouped TWO-PASS selection (r14, the
+    [[agg_quantile_2pass]] machinery per group): ``percentile()`` buffers
+    every group value in one aggregation buffer — an executor OOM at
+    100× rows (and measured 17.8 s at sf1-local vs 3.4 s two-pass) —
+    where the two-pass histograms cents into O(range/width) buckets per
+    group, locates each interpolation rank's bucket from the tiny
+    cumulative table, and re-scans only the matched buckets."""
     # spread_scan (r14, probe sightings #13-14): the GK sketch + rank
     # probe kernels inherited the serial lineitem scan; round-robin (the
     # 3-value group key would collapse parallelism), no-op at scale.
+    # Lazy localCheckpoint: four subtrees read this frame (GK sketch,
+    # rank histogram, bucket re-scan, rank probe) and exchange reuse does
+    # not unify them — materialize the 2-column projection once (the
+    # minhash-band discipline; reliable checkpoint() on a real cluster).
     li = spread_scan(
         table(spark, sf_dir, "lineitem").select(
             "l_returnflag",
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         )
-    )
+    ).localCheckpoint(eager=False)
     ap = li.groupBy("l_returnflag").agg(
         F.expr(f"approx_percentile(cents, array(0.5, 0.95), {_APX_ACC})").alias("ap"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        round_pos(F.expr("percentile(cents, 0.50)"), 4).alias("p50_exact"),
-        round_pos(F.expr("percentile(cents, 0.95)"), 4).alias("p95_exact"),
-    )
+    ).join(_grouped_percentiles_2pass(li, (0.50, 0.95)), "l_returnflag")
     probe = li.join(
         F.broadcast(
             ap.select(
