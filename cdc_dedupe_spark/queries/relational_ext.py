@@ -65,9 +65,13 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same linear
-    interpolation). The exact form needs a per-group sort; the declared
-    scale path for 100 TB is approx_percentile (Greenwald-Khanna sketch, one pass,
-    mergeable) — same call shape, declared tolerance."""
+    interpolation). The exact form buffers each group's values in one
+    aggregation buffer; the declared 100 TB paths are approx_percentile
+    (Greenwald-Khanna sketch, one pass, mergeable, declared tolerance)
+    and — when the answer must stay EXACT — the grouped two-pass
+    selection `_grouped_percentiles_2pass` below (bucket histogram +
+    matched-bucket re-scan, O(buckets) state; agg_approx_percentile's
+    audit columns run it, [[agg_quantile_2pass]] is the global form)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         round_pos(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
