@@ -1,0 +1,69 @@
+"""Format-agnostic batch table ingest (round 14): parquet is the engine's
+native layout (tables.py), but a user switching from the reference brings
+whatever their exporters produce — CSV dumps, JSONL event logs. This
+loader gives those the SAME semantics as the parquet path (explicit
+schema or schema-carrying format, events-ts normalization hook), so every
+declared query runs unchanged on any of the three formats.
+
+Scale notes per format:
+- parquet: vectorized reader, predicate pushdown, column pruning — the
+  recommended layout; everything else should be converted on ingest.
+- csv: schema must be EXPLICIT (inference scans the data once and guesses
+  — silently wrong types at 100 TB); only trivial pushdown, no pruning
+  benefits beyond column projection at parse time.
+- json (JSONL): schema explicit for the same reason; one JSON parse per
+  row is the dominant cost — convert to parquet after first read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a table from `path` in `fmt` (parquet | csv | json).
+
+    For csv/json a schema is REQUIRED — inference is a full extra pass
+    that guesses types (a long column with one stray float becomes
+    double, silently breaking integer-exact aggregation paths). CSV
+    defaults: header=true, standard ISO timestamps parse via the schema's
+    TimestampType columns.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; have {_FORMATS}")
+    reader = spark.read
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    if schema is None:
+        raise ValueError(
+            f"{fmt} ingest requires an explicit schema: inference re-scans "
+            "the data and guesses types (tables built this way break the "
+            "integer-exact query contracts)"
+        )
+    reader = reader.schema(schema)
+    if fmt == "csv":
+        opts = {"header": "true", **options}
+        return reader.options(**opts).csv(path)
+    return reader.options(**options).json(path)
+
+
+def convert_to_parquet(
+    df: DataFrame, out_path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """One-shot ingest conversion: land a csv/json-read frame as parquet
+    (optionally partitioned) so every later pass gets the vectorized
+    reader + pushdown + pruning. The write is the only full scan the
+    slow format ever pays."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
