@@ -605,7 +605,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = li.groupBy("l_returnflag").agg(
         F.expr(f"approx_percentile(cents, array(0.5, 0.95), {_APX_ACC})").alias("ap"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-    ).join(_grouped_percentiles_2pass(li, (0.50, 0.95)), "l_returnflag")
+    ).join(
+        # Explicit broadcast: both sides are O(groups) aggregates, but
+        # Catalyst's size estimate over the two-pass subtree is too large
+        # to auto-broadcast and it would pick a SortMergeJoin.
+        F.broadcast(_grouped_percentiles_2pass(li, (0.50, 0.95))),
+        "l_returnflag",
+    )
     probe = li.join(
         F.broadcast(
             ap.select(
@@ -630,7 +636,9 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ((F.col(lt) <= hi) & (F.col(le) >= lo)).cast("long")
 
     return (
-        ap.join(cnt, "l_returnflag")
+        # cnt is an O(groups) aggregate too — hint it for the same reason
+        # as the interp side (subtree size estimates defeat auto-broadcast).
+        ap.join(F.broadcast(cnt), "l_returnflag")
         .select(
             "l_returnflag",
             "n_rows",
