@@ -46,19 +46,22 @@ _URL_SQL = """(
 
 # Canonicalization pipeline (each step a portable regex — same semantics in
 # Java regex and RE2): drop fragment, drop scheme, drop leading www.,
-# lowercase, drop utm_* tracking params, clean dangling separators, drop
-# the trailing path slash (also when a query string follows it).
+# lowercase, drop utm_* tracking params, collapse the path-slash before a
+# query string, then strip ALL dangling tail separators (?, &, /) in one
+# character-class pass. The single tail pass is what makes the whole chain
+# IDEMPOTENT — stripping one kind of tail character must not expose
+# another kind for a hypothetical second run (property-tested:
+# tests/test_properties.py::test_url_canonicalizer_is_idempotent;
+# hypothesis found both '??' and 'a?/' against the two-step variant).
 _CANON_SQL = f"""
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(
-            lower(regexp_replace(regexp_replace(regexp_replace(
-              {{url}}, '#.*$', ''), '^https?://', ''), '^www\\.', '')),
-            'utm_[a-z]+=[^&]*(&|$)', '', 'g'),
-          '[?&]$', ''),
-        '/\\?', '?'),
-      '/$', '')"""
+          lower(regexp_replace(regexp_replace(regexp_replace(
+            {{url}}, '#.*$', ''), '^https?://', ''), '^www\\.', '')),
+          'utm_[a-z]+=[^&]*(&|$)', '', 'g'),
+        '/\\?', '?', 'g'),
+      '[?&/]+$', '')"""
 
 
 def _url_col() -> Column:
@@ -85,9 +88,8 @@ def _canon_col(url: Column) -> Column:
     u = F.regexp_replace(u, "^www\\.", "")
     u = F.lower(u)
     u = F.regexp_replace(u, "utm_[a-z]+=[^&]*(&|$)", "")
-    u = F.regexp_replace(u, "[?&]$", "")
     u = F.regexp_replace(u, "/\\?", "?")
-    return F.regexp_replace(u, "/$", "")
+    return F.regexp_replace(u, "[?&/]+$", "")
 
 
 @register(

@@ -273,3 +273,30 @@ def test_round_pos_never_emits_negative_zero(spark, x):
     )
     assert not (got == 0.0 and math.copysign(1.0, got) < 0)
     assert got == round(x, 4) or abs(got - round(x, 4)) < 1e-9
+
+
+_URLISH = st.text(
+    alphabet="abcz0123./?&#=_-:", min_size=0, max_size=60
+).map(lambda s: "https://www." + s if len(s) % 3 == 0 else s)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(urls=st.lists(_URLISH, min_size=1, max_size=24, unique=True))
+def test_url_canonicalizer_is_idempotent(spark, urls):
+    """canon(canon(x)) == canon(x) for arbitrary URL-ish strings — the
+    property that makes the canonical key a stable join/dedup key across
+    pipeline stages (a non-idempotent normalizer silently double-strips
+    on re-ingest and splits dedupe groups). Exercised over adversarial
+    strings (stray separators, empty, fragment-only), not just
+    well-formed URLs."""
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.queries.web_dedup import _canon_col
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        _canon_col(F.col("url")).alias("once")
+    ).select("once", _canon_col(F.col("once")).alias("twice"))
+    rows = out.collect()
+    bad = [(r.once, r.twice) for r in rows if r.once != r.twice]
+    assert not bad, bad
