@@ -161,10 +161,38 @@ def main() -> int:
         str(out / "lineitem.parquet"),
     )
 
+    # --- part (round 14: the fn_string/scalar family's off-scale point) ---
+    # Driver-corpus shape (sf0.1 = 20k rows -> sf1 = 200k): 'adj noun'
+    # names over a small vocab, 'Brand#N', size-class p_type, price ramp.
+    n_part = n_docs * 4
+    adjs = np.array("large hot small cold smooth rough shiny dull quick slow".split())
+    nouns = np.array("ring bolt screw washer nut gear plate rod tube clip".split())
+    p_names = [
+        f"{adjs[i % len(adjs)]} {nouns[(i // len(adjs)) % len(nouns)]}"
+        for i in range(n_part)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(p_names),
+                "p_brand": pa.array([f"Brand#{int(b)}" for b in rng.integers(1, 26, n_part)]),
+                "p_type": pa.array(
+                    rng.choice(np.array(["LARGE", "MEDIUM", "SMALL", "ECONOMY", "PROMO"]), n_part)
+                ),
+                "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+                "p_retailprice": pa.array(
+                    np.round(900.0 + np.arange(n_part) * 0.1 % 1100, 2), pa.float64()
+                ),
+            }
+        ),
+        str(out / "part.parquet"),
+    )
+
     print(
         f"wrote {out}/documents.parquet ({n_docs}), embeddings.parquet "
         f"({n_vecs}), customer.parquet ({n_cust}), events.parquet "
-        f"({n_events}) and lineitem.parquet ({n_lines})"
+        f"({n_events}), lineitem.parquet ({n_lines}) and part.parquet ({n_part})"
     )
     return 0
 
