@@ -51,3 +51,40 @@ def test_canonicalizer_handles_bare_and_utm_only_urls(spark):
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_line_dedup_segments_partition_tokens(spark, sf_dir):
+    """dedup_line_cross_doc's fixed-width segmentation must PARTITION each
+    doc's token stream — segments jointly cover every token exactly once
+    (ceil(n/w) segments per doc), or retention rates are silently wrong."""
+    from cdc_dedupe_spark.queries.registry import REGISTRY
+    from cdc_dedupe_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    out = REGISTRY["dedup_line_cross_doc"].spark(spark, sf_dir)
+    j = d.join(out, "doc_id")
+    bad = j.filter(
+        F.col("n_segments") != F.ceil(F.col("n_tokens") / F.lit(12.0)).cast("long")
+    ).count()
+    assert bad == 0
+    # every doc appears exactly once
+    assert out.count() == d.count()
+
+
+def test_host_cap_bounds_and_rerun_stability(spark, sf_dir):
+    """sample_host_capped: at most 15 docs per host, rank contiguous from
+    1, and the kept SET is identical across reruns (content-hash order,
+    no arrival dependence)."""
+    from cdc_dedupe_spark.queries.registry import REGISTRY
+
+    q = REGISTRY["sample_host_capped"].spark
+    a = q(spark, sf_dir)
+    per_host = a.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"), F.max("samp_rank").alias("mx")
+    )
+    assert per_host.filter((F.col("n") > 15) | (F.col("mx") != F.col("n"))).count() == 0
+    first = set(map(tuple, a.collect()))
+    second = set(map(tuple, q(spark, sf_dir).collect()))
+    assert first == second
