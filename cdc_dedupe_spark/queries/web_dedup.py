@@ -45,22 +45,35 @@ _URL_SQL = """(
     )"""
 
 # Canonicalization pipeline (each step a portable regex — same semantics in
-# Java regex and RE2): drop fragment, drop scheme, drop leading www.,
-# lowercase, drop utm_* tracking params, collapse the path-slash before a
-# query string, then strip ALL dangling tail separators (?, &, /) in one
-# character-class pass. The single tail pass is what makes the whole chain
-# IDEMPOTENT — stripping one kind of tail character must not expose
-# another kind for a hypothetical second run (property-tested:
-# tests/test_properties.py::test_url_canonicalizer_is_idempotent;
-# hypothesis found both '??' and 'a?/' against the two-step variant).
+# Java regex and RE2; only the backreference escape differs, '$1' vs '\1').
+# Steps, in order: lowercase; drop fragment; strip ALL leading scheme/www.
+# repetitions in ONE alternation pass (r14's one-at-a-time anchors left
+# 'https://www.https://x' unstable); remove utm_* params ANCHORED at a
+# [?&] separator (the r14 unanchored pattern could splice a new 'utm_'
+# token across the removal seam: '?a=1&ututm_c=2&m_d=3'); promote the
+# first '&' to '?' when the utm removal consumed the original '?' (keeps
+# the '?page=k' and '&page=k' variants on one canonical key); collapse
+# ALL slashes before a query string ('/+\?', not '/\?' — one-slash
+# consumption was r14's '//?0' non-idempotence); strip dangling tail
+# separators in one character-class pass.
+#
+# The chain is IDEMPOTENT: every later step's output is a fixed point of
+# every earlier step (the argument is spelled out step-by-step in
+# tests/test_properties.py::test_url_canonicalizer_is_idempotent, which
+# pins every historical counterexample — '??', 'a?/', '//?0',
+# 'https://www.www.x', '?a=1&ututm_c=2&m_d=3' — over a full-strength
+# alphabet that CAN generate the stripped tokens).
 _CANON_SQL = f"""
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          lower(regexp_replace(regexp_replace(regexp_replace(
-            {{url}}, '#.*$', ''), '^https?://', ''), '^www\\.', '')),
-          'utm_[a-z]+=[^&]*(&|$)', '', 'g'),
-        '/\\?', '?', 'g'),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower({{url}}), '#.*$', ''),
+              '^((https?://)|(www\\.))+', ''),
+            '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+          '^([^?&]*)&', '\\1?'),
+        '/+\\?', '?', 'g'),
       '[?&/]+$', '')"""
 
 
@@ -83,12 +96,12 @@ def _url_col() -> Column:
 
 
 def _canon_col(url: Column) -> Column:
-    u = F.regexp_replace(url, "#.*$", "")
-    u = F.regexp_replace(u, "^https?://", "")
-    u = F.regexp_replace(u, "^www\\.", "")
-    u = F.lower(u)
-    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*(&|$)", "")
-    u = F.regexp_replace(u, "/\\?", "?")
+    u = F.lower(url)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "^((https?://)|(www\\.))+", "")
+    u = F.regexp_replace(u, "[?&]utm_[a-z]+=[^&]*", "")
+    u = F.regexp_replace(u, "^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, "/+\\?", "?")
     return F.regexp_replace(u, "[?&/]+$", "")
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import json
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -275,12 +275,33 @@ def test_round_pos_never_emits_negative_zero(spark, x):
     assert got == round(x, 4) or abs(got - round(x, 4)) < 1e-9
 
 
+# The alphabet MUST contain every letter of the tokens the canonicalizer
+# strips (https, www, utm_) or the property is vacuous — ADVICE r14 found
+# the original alphabet could not even spell 'www', so repeated-prefix
+# and utm-seam bugs passed unseen. Upper case included: lowercasing is
+# part of the chain under test.
 _URLISH = st.text(
-    alphabet="abcz0123./?&#=_-:", min_size=0, max_size=60
+    alphabet="abchwtpsumWZ0123./?&#=_-:", min_size=0, max_size=60
 ).map(lambda s: "https://www." + s if len(s) % 3 == 0 else s)
 
+# Every historical counterexample, pinned so the property no longer
+# depends on the hypothesis seed:
+#   '??', 'a?/'      — r14 tail-strip two-step non-idempotence
+#   '//?0'           — r14 one-slash consumption before '?' (VERDICT r14 #1)
+#   'https://www.www.x', 'www.https://x' — one-at-a-time prefix anchors
+#   '?a=1&ututm_c=2&m_d=3' — unanchored utm removal splicing a new token
+#   'utm_a=b&www.x'  — utm removal exposing a would-be-leading 'www.'
+#   'x?utm_a=1&utm_b=2&c=3', '?utm_a=1' — consecutive / lone utm params
+#   'a&&b', '&&a', 'x/&page=2' — '&'-promotion seams
+_CANON_PINNED = [
+    "??", "a?/", "//?0", "https://www.www.x", "www.https://x",
+    "?a=1&ututm_c=2&m_d=3", "utm_a=b&www.x", "x?utm_a=1&utm_b=2&c=3",
+    "?utm_a=1", "a&&b", "&&a", "x/&page=2",
+]
 
-@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@example(urls=_CANON_PINNED)
 @given(urls=st.lists(_URLISH, min_size=1, max_size=24, unique=True))
 def test_url_canonicalizer_is_idempotent(spark, urls):
     """canon(canon(x)) == canon(x) for arbitrary URL-ish strings — the
@@ -288,7 +309,27 @@ def test_url_canonicalizer_is_idempotent(spark, urls):
     pipeline stages (a non-idempotent normalizer silently double-strips
     on re-ingest and splits dedupe groups). Exercised over adversarial
     strings (stray separators, empty, fragment-only), not just
-    well-formed URLs."""
+    well-formed URLs.
+
+    Why the chain is idempotent, step by step (each later step's output
+    is a fixed point of every earlier step):
+      1. lower: all steps preserve lowercase.
+      2. '#.*$' strip: no later step introduces '#'.
+      3. '^((https?://)|(www\\.))+': one alternation pass removes ALL
+         leading repetitions; later steps can only change the string
+         start to a surviving '?'/'&' (utm removal), '?' (slash
+         collapse), or truncate it (tail strip) — never to a scheme.
+      4. '[?&]utm_[a-z]+=[^&]*' global: every match consumes from a
+         separator to the next '&' or end, so the text following any
+         SURVIVING separator (up to the next separator) is untouched —
+         no splice can manufacture a new '[?&]utm_' match.
+      5. '^([^?&]*)&' -> '\\1?': fires at most once; afterwards a '?'
+         precedes every remaining '&', so it can never fire again, and
+         the promoted '&' is not followed by 'utm_' (step 4 ran first).
+      6. '/+\\?' global: consumes the WHOLE slash run; tail-strip only
+         deletes a suffix so it cannot re-adjoin a '/' to a '?'.
+      7. '[?&/]+$': one character-class pass strips the entire mixed
+         tail, so stripping cannot expose a different tail kind."""
     from pyspark.sql import functions as F
 
     from cdc_dedupe_spark.queries.web_dedup import _canon_col
