@@ -36,9 +36,13 @@ from .registry import register
 _SPAN_W = 8
 
 
-_SPAN_ORACLE = f"""
+def _span_oracle(src: str = "documents") -> str:
+    """The span-profile oracle, parametrized on the source relation so
+    pipeline_curation_mix can run it over the boilerplate-stripped
+    frame (cdocs) while dedup_span_ngram keeps the raw-documents form."""
+    return f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
     ), s AS (
       SELECT doc_id, md5(array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')) AS h
       FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_W - 1})) AS u(i)
@@ -55,6 +59,9 @@ _SPAN_ORACLE = f"""
                 // SUM(k) AS BIGINT) AS dup_frac_bp
     FROM w GROUP BY doc_id
     """
+
+
+_SPAN_ORACLE = _span_oracle()
 
 
 @register("dedup_span_ngram", group="curation", oracle=_SPAN_ORACLE)
@@ -316,23 +323,33 @@ def text_vocab_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_curation_mix — composed corpus-curation flow
 
 
-_CURATION_ORACLE = f"""
-    WITH prof AS (
-      SELECT * FROM ({_SPAN_ORACLE})
+def _curation_oracle() -> str:
+    from .web_dedup import _strip_sql
+
+    return f"""
+    WITH {_strip_sql("documents")}, cdocs AS (
+      SELECT s.doc_id, d.source, d.lang, s.text_clean AS text,
+             CAST(length(s.text_clean) AS BIGINT) AS n_chars,
+             CAST((s.n_tokens - s.n_tokens_kept) * 10000 // s.n_tokens AS BIGINT)
+               AS strip_bp
+      FROM stripped s JOIN documents d USING (doc_id)
+      WHERE s.n_tokens_kept > 0
+    ), prof AS (
+      SELECT * FROM ({_span_oracle("cdocs")})
     ), g AS (
-      SELECT d.doc_id, d.text, d.source, d.lang, d.n_chars,
+      SELECT c2.doc_id, c2.text, c2.source, c2.lang, c2.n_chars, c2.strip_bp,
              COALESCE(p.dup_frac_bp, 0) AS dup_bp
-      FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
+      FROM cdocs c2 LEFT JOIN prof p ON p.doc_id = c2.doc_id
       WHERE COALESCE(p.dup_frac_bp, 0) <= 2000
-    ), s AS (
+    ), s2 AS (
       SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok FROM g GROUP BY source
     ), r AS (
       SELECT source,
              CAST(floor(10000.0 * sqrt(CAST(tok AS DOUBLE))
-                  / sqrt(CAST((SELECT MAX(tok) FROM s) AS DOUBLE))) AS BIGINT) AS rate_bp
-      FROM s
+                  / sqrt(CAST((SELECT MAX(tok) FROM s2) AS DOUBLE))) AS BIGINT) AS rate_bp
+      FROM s2
     )
-    SELECT g.doc_id, g.source, g.lang, g.dup_bp, r.rate_bp,
+    SELECT g.doc_id, g.source, g.lang, g.strip_bp, g.dup_bp, r.rate_bp,
            CASE WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 90 THEN 'train'
                 WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 95 THEN 'valid'
                 ELSE 'test' END AS split
@@ -341,38 +358,60 @@ _CURATION_ORACLE = f"""
     """
 
 
+_CURATION_ORACLE = _curation_oracle()
+
+
 @register("pipeline_curation_mix", group="curation", oracle=_CURATION_ORACLE)
 def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-curation flow — the round-8 counterpart of
-    pipeline_pretrain_docs: (1) span-dedup gate: drop documents with
-    more than 20% duplicated token-8-gram occurrences (the Lee-et-al
-    filter, _span_profile; short docs with no spans pass); (2)
-    temperature mix at alpha=0.5 with rates recomputed over the
-    SURVIVING corpus (_temp_rates — staged recompute, the real pipeline
-    ordering: dedup changes the source masses the mixer must see);
-    (3) leakage-safe split assignment on the content hash.
+    pipeline_pretrain_docs, with the r15 boilerplate gate in front:
+    (0) line-level dedup EMISSION (web_dedup.strip_boilerplate): every
+    12-token segment occurring >= 3 times corpus-wide is removed and the
+    text reassembled; docs stripped to nothing are dropped — ALL later
+    stages (span profile, source masses, content-hash mix and split)
+    see the CLEANED text, which is the real pipeline ordering (C4 strips
+    boilerplate lines before span dedup, else shared footers dominate
+    the span statistics); (1) span-dedup gate: drop documents with more
+    than 20% duplicated token-8-gram occurrences (the Lee-et-al filter,
+    _span_profile over cleaned text; short docs with no spans pass);
+    (2) temperature mix at alpha=0.5 with rates recomputed over the
+    SURVIVING corpus (_temp_rates — staged recompute: stripping and
+    gating both change the source masses the mixer must see); (3)
+    leakage-safe split assignment on the CLEANED content hash (two docs
+    that become byte-identical after boilerplate removal land in the
+    same split).
 
-    Shape at scale: the span profiler's three hash-key exchanges
-    dominate and run ONCE — the gated frame feeds both the rate
-    aggregate and the mix filter, so it is lineage-truncated with a
-    lazy localCheckpoint (without it each consumer re-runs the profiler
-    and gate join; found by plan probe, 7 scans -> 1 materialization);
-    rates are an O(|sources|) aggregate of the gated frame broadcast
-    back; mix + split decisions are map-side expressions. No stage
-    widens data — each consumes the previous stage's columns plus O(1)
-    broadcast state."""
+    Shape at scale: the strip stage's digest-only count/membership
+    shuffles + one doc_id reassembly exchange run ONCE — cdocs feeds
+    both the span profiler and the gate join, so it is lineage-truncated
+    with a lazy localCheckpoint, as is the gated frame g (the r8 plan
+    probe found each un-truncated consumer re-running the whole
+    upstream: 7 scans -> 1 materialization); rates are an O(|sources|)
+    aggregate broadcast back; mix + split decisions are map-side
+    expressions."""
+    from .web_dedup import strip_boilerplate
+
     d = table(spark, sf_dir, "documents")
-    prof = _span_profile(d)
+    s = strip_boilerplate(d.select("doc_id", "text"))
+    cdocs = (
+        s.filter(F.col("n_tokens_kept") > 0)
+        .join(d.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("text_clean").alias("text"),
+            F.length("text_clean").cast("long").alias("n_chars"),
+            F.expr("(n_tokens - n_tokens_kept) * 10000 div n_tokens").alias("strip_bp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prof = _span_profile(cdocs)
     g = (
-        d.join(prof.select("doc_id", "dup_frac_bp"), "doc_id", "left")
+        cdocs.join(prof.select("doc_id", "dup_frac_bp"), "doc_id", "left")
         .withColumn("dup_bp", F.coalesce("dup_frac_bp", F.lit(0)))
         .filter(F.col("dup_bp") <= 2000)
-        .select("doc_id", "text", "source", "lang", "n_chars", "dup_bp")
-        # The gated frame feeds BOTH the rate aggregate and the mix
-        # filter; without lineage truncation Spark re-runs the span
-        # profiler + gate join once per consumer (plan probe: 7 scans,
-        # 1 reused exchange). Lazy localCheckpoint — the graph_pagerank
-        # discipline — materializes it once.
+        .select("doc_id", "text", "source", "lang", "n_chars", "strip_bp", "dup_bp")
         .localCheckpoint(eager=False)
     )
     hb100 = token_hash(F.md5(F.col("text").cast("binary"))) % 100
@@ -385,6 +424,7 @@ def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "lang",
+            "strip_bp",
             "dup_bp",
             "rate_bp",
             F.when(F.col("hb100") < 90, F.lit("train"))

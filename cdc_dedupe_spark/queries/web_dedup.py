@@ -309,33 +309,44 @@ _SEG = 12  # tokens per segment ("line" stand-in: the corpus has no newlines)
 _SEG_MIN_OCC = 3  # C4 removes any line occurring >= 3 times corpus-wide
 
 
-@register(
-    "dedup_line_cross_doc",
-    group="web-dedup",
-    oracle=f"""
-    WITH t AS (
+def _seg_ctes(src: str) -> str:
+    """Shared segment CTE chain over a documents-shaped relation {src}:
+    t (tokenized) -> ks (segment indices) -> seg (segment text + length)
+    -> c (corpus-wide segment counts, keyed by md5). Composed by the
+    dedup_line_cross_doc audit, the text_strip_boilerplate emitter, and
+    pipeline_curation_mix's first gate so all three twins share ONE
+    segment definition."""
+    return f"""t AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
-      FROM documents
+      FROM {src}
     ), ks AS (
       SELECT doc_id, toks, n,
              unnest(generate_series(0, CAST((n - 1) // {_SEG} AS BIGINT))) AS k
       FROM t
     ), seg AS (
-      SELECT doc_id,
-             md5(array_to_string(toks[k * {_SEG} + 1 : least(n, (k + 1) * {_SEG})], ' '))
-               AS seg_key
+      SELECT doc_id, k, n,
+             array_to_string(toks[k * {_SEG} + 1 : least(n, (k + 1) * {_SEG})], ' ')
+               AS seg_text,
+             least(n, (k + 1) * {_SEG}) - k * {_SEG} AS seg_len
       FROM ks
     ), c AS (
-      SELECT seg_key, COUNT(*) AS cnt FROM seg GROUP BY seg_key
-    )
+      SELECT md5(seg_text) AS seg_key, COUNT(*) AS cnt FROM seg GROUP BY seg_key
+    )"""
+
+
+@register(
+    "dedup_line_cross_doc",
+    group="web-dedup",
+    oracle=f"""
+    WITH {_seg_ctes("documents")}
     SELECT seg.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            CAST(SUM(CASE WHEN c.cnt >= {_SEG_MIN_OCC} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shared,
            (round(CAST(COUNT(*) - SUM(CASE WHEN c.cnt >= {_SEG_MIN_OCC} THEN 1 ELSE 0 END)
                        AS DOUBLE) / COUNT(*), 4) + 0.0) AS retention_r
-    FROM seg JOIN c USING (seg_key)
+    FROM seg JOIN c ON md5(seg.seg_text) = c.seg_key
     GROUP BY seg.doc_id
     """,
 )
@@ -382,6 +393,138 @@ def dedup_line_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_line_cross_doc.__doc__ = dedup_line_cross_doc.__doc__.format(
+    seg=_SEG, occ=_SEG_MIN_OCC
+)
+
+
+# --- boilerplate-stripped corpus EMISSION ------------------------------------
+
+# The oracle twin of strip_boilerplate(), parametrized on the source
+# relation so pipeline_curation_mix can compose it over `documents` and a
+# hypothetical re-run could compose it over any documents-shaped view.
+def _strip_sql(src: str) -> str:
+    return f"""{_seg_ctes(src)}, m AS (
+      SELECT seg.doc_id, seg.k, seg.n, seg.seg_text, seg.seg_len,
+             (c.cnt >= {_SEG_MIN_OCC}) AS removed
+      FROM seg JOIN c ON md5(seg.seg_text) = c.seg_key
+    ), stripped AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(MAX(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN removed THEN 0 ELSE seg_len END) AS BIGINT)
+               AS n_tokens_kept,
+             COALESCE(string_agg(CASE WHEN NOT removed THEN seg_text END,
+                                 ' ' ORDER BY k), '') AS text_clean
+      FROM m GROUP BY doc_id
+    )"""
+
+
+def strip_boilerplate(d: DataFrame) -> DataFrame:
+    """The line-level dedup EMITTER over a (doc_id, text) frame: remove
+    every {seg}-token segment whose corpus-wide frequency is >=
+    {occ} (the C4 boilerplate rule dedup_line_cross_doc audits) and
+    reassemble the surviving segments order-preserving. Returns one row
+    per doc: doc_id, n_segments, n_removed, n_tokens, n_tokens_kept,
+    text_clean.
+
+    Shape at scale (the audit's digest-only discipline, extended to an
+    emitter): segment hashing is map-side; the corpus count shuffles
+    16-byte keys only; the membership test joins against ONLY the
+    boilerplate key set (cnt >= {occ}) — the set of segments repeated
+    corpus-wide, Heaps'-bounded like the text_vocab_unk kept-vocab and
+    vastly smaller than the distinct-segment universe, so it is
+    BROADCAST and the doc-side rows never reshuffle: the per-doc rollup
+    (which collects kept SEGMENT INDICES, ints) and the final
+    reassembly join both reuse the up-front doc_id partitioning, and
+    the token arrays cross exactly that one exchange. A miss in the
+    broadcast left join means "kept"."""
+    par = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    t = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+    )
+    segkeys = t.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), ((F.col("n") - 1) / _SEG).cast("long"))).alias("k"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n",
+        "k",
+        F.md5(F.array_join(F.slice("toks", (F.col("k") * _SEG + 1).cast("int"), F.lit(_SEG)), " ")).alias("seg_key"),
+        F.least(F.col("n") - F.col("k") * _SEG, F.lit(_SEG).cast("long")).alias("seg_len"),
+    )
+    boiler = (
+        segkeys.groupBy("seg_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _SEG_MIN_OCC)
+        .select("seg_key", F.lit(True).alias("bflag"))
+    )
+    flags = segkeys.join(F.broadcast(boiler), "seg_key", "left").select(
+        "doc_id", "k", "n", "seg_len", F.coalesce("bflag", F.lit(False)).alias("removed")
+    )
+    perdoc = flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        F.max("n").alias("n_tokens"),
+        F.sum(F.when(F.col("removed"), F.lit(0)).otherwise(F.col("seg_len"))).alias(
+            "n_tokens_kept"
+        ),
+        F.array_sort(F.collect_list(F.when(~F.col("removed"), F.col("k")))).alias(
+            "kept_ks"
+        ),
+    )
+    return perdoc.join(t.select("doc_id", "toks"), "doc_id").select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        "n_tokens",
+        "n_tokens_kept",
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    "kept_ks",
+                    lambda kk: F.slice("toks", (kk * _SEG + 1).cast("int"), F.lit(_SEG)),
+                )
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
+strip_boilerplate.__doc__ = strip_boilerplate.__doc__.format(seg=_SEG, occ=_SEG_MIN_OCC)
+
+
+@register(
+    "text_strip_boilerplate",
+    group="web-dedup",
+    oracle=f"""
+    WITH {_strip_sql("documents")}
+    SELECT doc_id, n_segments, n_removed, n_tokens, n_tokens_kept, text_clean
+    FROM stripped
+    """,
+)
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned-corpus EMISSION for line-level dedup (VERDICT r14 #2):
+    where dedup_line_cross_doc only PROFILES boilerplate, this operator
+    performs the actual C4 §2.2 transform a pipeline ships — every
+    {seg}-token segment occurring >= {occ} times corpus-wide is removed
+    from every document and the remaining text is reassembled
+    order-preserving, with per-doc kept/removed token accounting.
+    Reference-need analogue: the reference EMITS its deduped stream
+    (WatchStream.java:284-293); an audit alone doesn't ship data.
+
+    Plan shape: see strip_boilerplate — digest-only count + membership
+    shuffles, kept segments carried as indices, and the token arrays
+    cross exactly one doc_id-keyed exchange for reassembly."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    return strip_boilerplate(d)
+
+
+text_strip_boilerplate.__doc__ = text_strip_boilerplate.__doc__.format(
     seg=_SEG, occ=_SEG_MIN_OCC
 )
 
