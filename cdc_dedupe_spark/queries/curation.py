@@ -323,11 +323,14 @@ def text_vocab_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_curation_mix — composed corpus-curation flow
 
 
-def _curation_oracle() -> str:
+def _curation_ctes() -> str:
+    """The full curation-flow CTE chain, ending in `mix` (which carries
+    the cleaned text so downstream composers — the write-path read-back
+    oracle — can digest it). pipeline_curation_mix's own oracle projects
+    the declared columns off the same chain."""
     from .web_dedup import _strip_sql
 
-    return f"""
-    WITH {_strip_sql("documents")}, cdocs AS (
+    return f"""{_strip_sql("documents")}, cdocs AS (
       SELECT s.doc_id, d.source, d.lang, s.text_clean AS text,
              CAST(length(s.text_clean) AS BIGINT) AS n_chars,
              CAST((s.n_tokens - s.n_tokens_kept) * 10000 // s.n_tokens AS BIGINT)
@@ -348,17 +351,20 @@ def _curation_oracle() -> str:
              CAST(floor(10000.0 * sqrt(CAST(tok AS DOUBLE))
                   / sqrt(CAST((SELECT MAX(tok) FROM s2) AS DOUBLE))) AS BIGINT) AS rate_bp
       FROM s2
-    )
-    SELECT g.doc_id, g.source, g.lang, g.strip_bp, g.dup_bp, r.rate_bp,
-           CASE WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 90 THEN 'train'
-                WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 95 THEN 'valid'
-                ELSE 'test' END AS split
-    FROM g JOIN r USING (source)
-    WHERE ({SQL_TOKEN_HASH_WIDE.format(t='md5(g.text)')}) % 10000 < r.rate_bp
+    ), mix AS (
+      SELECT g.doc_id, g.source, g.lang, g.text, g.strip_bp, g.dup_bp, r.rate_bp,
+             CASE WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 90 THEN 'train'
+                  WHEN ({SQL_TOKEN_HASH.format(t='md5(g.text)')}) % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM g JOIN r USING (source)
+      WHERE ({SQL_TOKEN_HASH_WIDE.format(t='md5(g.text)')}) % 10000 < r.rate_bp
+    )"""
+
+
+_CURATION_ORACLE = f"""
+    WITH {_curation_ctes()}
+    SELECT doc_id, source, lang, strip_bp, dup_bp, rate_bp, split FROM mix
     """
-
-
-_CURATION_ORACLE = _curation_oracle()
 
 
 @register("pipeline_curation_mix", group="curation", oracle=_CURATION_ORACLE)
@@ -389,6 +395,17 @@ def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream: 7 scans -> 1 materialization); rates are an O(|sources|)
     aggregate broadcast back; mix + split decisions are map-side
     expressions."""
+    return curated_mix(spark, sf_dir).select(
+        "doc_id", "source", "lang", "strip_bp", "dup_bp", "rate_bp", "split"
+    )
+
+
+def curated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flow's full output frame INCLUDING the cleaned text
+    (doc_id, source, lang, text, strip_bp, dup_bp, rate_bp, split) —
+    pipeline_curation_mix projects the declared audit columns off it;
+    pipeline_corpus_write_readback digests the text and persists the
+    mix (the r15 curated-corpus write path)."""
     from .web_dedup import strip_boilerplate
 
     d = table(spark, sf_dir, "documents")
@@ -424,6 +441,7 @@ def pipeline_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "lang",
+            "text",
             "strip_bp",
             "dup_bp",
             "rate_bp",

@@ -67,3 +67,44 @@ def convert_to_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(out_path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    partition_by: tuple[str, ...] = (),
+    n_buckets: int = 8,
+) -> None:
+    """Persist a frame as a managed parquet table partitioned by the
+    coarse predicate columns and BUCKETED (+ sorted) on the join/dedup
+    key — the 100 TB curated-corpus layout (tests/test_bucketing.py):
+    partition pruning answers the categorical filters (lang, split)
+    from metadata, and every later digest-keyed pass (keeper groupBy,
+    incremental anti-join, contamination probe) runs with ZERO
+    exchanges because the bucketed scan already reports
+    hashpartitioning(bucket_col). The one-time bucket shuffle at write
+    is the amortized cost. Spark only supports bucketing through the
+    catalog (saveAsTable), hence a table name, not a path.
+
+    Re-runnable across sessions: with the default in-memory catalog a
+    previous session's managed LOCATION survives on storage while its
+    catalog entry does not, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS — so the stale location is cleared through
+    the Hadoop FS API (works on any filesystem, not just local disk)
+    after dropping whatever entry this session does have."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table_name
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )

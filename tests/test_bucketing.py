@@ -129,3 +129,27 @@ def test_bucketed_digest_dedup_layout(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t_corpus}")
         spark.sql(f"DROP TABLE IF EXISTS {t_batch}")
+
+
+def test_curated_corpus_readback_keeper_has_no_exchange(spark, sf_dir):
+    """The r15 write-path contract, bucketing half: after
+    pipeline_corpus_write_readback persists the mix bucketBy(8, digest),
+    the read-back keeper rollup (groupBy digest) must aggregate IN PLACE
+    over the bucketed scan — no Exchange anywhere in its plan — and an
+    incremental anti-join keyed on digest alone must likewise need no
+    shuffle on the corpus side."""
+    from cdc_dedupe_spark.queries.pipeline_ops import _CURATED_TABLE
+    from cdc_dedupe_spark.queries.registry import REGISTRY
+
+    REGISTRY["pipeline_corpus_write_readback"].spark(spark, sf_dir).collect()
+
+    rb = spark.table(_CURATED_TABLE).filter(F.col("lang") == "en")
+    keep = rb.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        keep.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
