@@ -31,13 +31,18 @@ def main() -> int:
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else -1.0
 
     # Parallelism-defect probe (diag.py, VERDICT r13 #5a): run under an
-    # event log so single-task stages are flagged post-run. Private
-    # per-run dir — every log file in it belongs to this bench.
+    # event log so single-task stages are flagged post-run. ALWAYS a
+    # fresh per-run subdirectory — even when the user exports
+    # SPARK_GRAFT_EVENTLOG_DIR (then used as the parent), so skew_flags
+    # never parses a previous run's logs into this run's SKEW_LOCAL.json
+    # (ADVICE r14 #3). Every log file in evlog_dir belongs to this bench.
     import tempfile
 
-    evlog_dir = os.environ.setdefault(
-        "SPARK_GRAFT_EVENTLOG_DIR", tempfile.mkdtemp(prefix="bench-evlog-")
-    )
+    _ev_base = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if _ev_base:
+        os.makedirs(_ev_base, exist_ok=True)
+    evlog_dir = tempfile.mkdtemp(prefix="bench-evlog-", dir=_ev_base)
+    os.environ["SPARK_GRAFT_EVENTLOG_DIR"] = evlog_dir
 
     from cdc_dedupe_spark.queries import REGISTRY
     from cdc_dedupe_spark.session import get_spark

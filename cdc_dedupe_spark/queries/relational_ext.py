@@ -503,7 +503,12 @@ def _grouped_percentiles_2pass(li: DataFrame, pcts) -> DataFrame:
         ).alias("r"),
     ).select("l_returnflag", "p", "frac", "r.which", "r.k")
 
-    bucket = (F.col("cents") / _G2P_W).cast("long")
+    # floor division, NOT truncation: cast('long') on the quotient rounds
+    # toward zero, which folds small negatives into bucket 0 and orders
+    # negative buckets wrongly relative to their contents — wrong
+    # percentiles on any frame containing negative values (ADVICE r14 #5;
+    # lineitem prices are positive, but this helper is general machinery)
+    bucket = F.floor(F.col("cents") / _G2P_W).cast("long")
     bc = li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -152,12 +152,20 @@ def stream_watermark_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Which *row* survives per key is arrival-order dependent (replay file
     order) and a key recurring after the TTL is emitted again — but the
-    SET of emitted keys is invariant under any batch split: every key is
-    emitted at least once and nothing else ever is. Projecting the sink
-    to the distinct key set therefore gives a deterministic, bit-exact
-    oracle (batch DISTINCT) while the TTL-eviction/re-emission semantics
-    stay exercised by the real stream and pinned by the late-data unit
-    tests in tests/test_streaming.py (the stream_stateful_agg
+    SET of emitted keys is invariant under any batch split OF A
+    TS-ORDERED REPLAY WITHIN THE WATERMARK DELAY (ADVICE r14 #2): for a
+    key whose ONLY events arrive in a later micro-batch after the
+    watermark has advanced past their ts + 10min, the
+    dropDuplicatesWithinWatermark contract leaves late-row handling
+    UNSPECIFIED — Spark 4.1 passes such rows through (pinned by
+    tests/test_streaming.py::
+    test_watermark_dedupe_late_key_passthrough_pinned), but a version
+    that drops them would silently lose those keys. The replay source
+    here is a single events.parquet file (one batch; no row can be late
+    relative to it), so within that contract the distinct key set is a
+    deterministic, bit-exact oracle (batch DISTINCT) while the
+    TTL-eviction/re-emission semantics stay exercised by the real stream
+    and pinned by the late-data unit tests (the stream_stateful_agg
     commutative-projection playbook, VERDICT r13 next-step #2)."""
     stream = events_stream(spark, sf_dir)
     deduped = (

@@ -71,6 +71,13 @@ def run_to_memory(
     spark = sdf.sparkSession
     name = f"{name_prefix}_{next(_SEQ)}"
     store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if store and store not in STATE_STORE_PROVIDERS:
+        # the env var is the documented cluster switch — a typo must name
+        # the valid options, not fail every streaming query with a bare
+        # KeyError (ADVICE r14 #4; mirrors read_table's format check)
+        raise ValueError(
+            f"unknown state store {store!r}; have {sorted(STATE_STORE_PROVIDERS)}"
+        )
     provider = STATE_STORE_PROVIDERS[store] if store else None
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)

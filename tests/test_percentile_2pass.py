@@ -36,3 +36,24 @@ def test_grouped_percentiles_2pass_edges(spark):
         for g in ("A", "B", "C")
     }
     assert got == want
+
+
+def test_grouped_percentiles_2pass_negative_values(spark):
+    """ADVICE r14 #5: the bucket key must be FLOOR division — truncation
+    toward zero folds small negatives into bucket 0 and orders negative
+    buckets wrongly, returning wrong percentiles for any frame with
+    negative values. Spans several bucket widths on both sides of zero
+    plus the truncation-sensitive band just below zero."""
+    vals = [-200_000, -65_537, -65_536, -1, 0, 1, 65_535, 65_536, 200_000, -3, 7]
+    rows = [("N", v) for v in vals] + [("M", v) for v in (-5, -4, -3)]
+    df = spark.createDataFrame(rows, "l_returnflag string, cents long")
+    got = {
+        r.l_returnflag: (r.p50_exact, r.p95_exact)
+        for r in _grouped_percentiles_2pass(df, (0.50, 0.95)).collect()
+    }
+    want = {
+        g: (_interp([c for k, c in rows if k == g], 0.50),
+            _interp([c for k, c in rows if k == g], 0.95))
+        for g in ("N", "M")
+    }
+    assert got == want

@@ -56,6 +56,56 @@ def test_watermark_dedupe_reemits_after_ttl(spark, tmp_path):
     assert counts[2] == 1
 
 
+
+def test_watermark_dedupe_late_key_passthrough_pinned(spark, tmp_path):
+    """The key-set oracle's SCOPE (ADVICE r14 #2): what happens to a key
+    whose ONLY events arrive in a later micro-batch, after the watermark
+    has passed their ts + delay, is UNSPECIFIED by the
+    dropDuplicatesWithinWatermark contract (late rows may be dropped or
+    passed through). This pins the shipped Spark's actual behavior —
+    4.1 passes the late row through, so the emitted key set still equals
+    batch DISTINCT here — while the declared query's oracle claim stays
+    scoped to ts-ordered replay within the delay (trivially true of its
+    single-file replay, one batch), because a Spark version that drops
+    late rows would silently lose such keys."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        [{"user_id": 1, "ts": "2024-01-01 10:00:00"}],
+        # advances the watermark to 11:00 - 10min = 10:50
+        [{"user_id": 2, "ts": "2024-01-01 11:00:00"}],
+        # user 3's ONLY event, at 10:30 < the 10:50 watermark: late, dropped
+        [{"user_id": 3, "ts": "2024-01-01 10:30:00"}],
+    ]
+    for i, batch in enumerate(rows):
+        p = src / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["user_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_late_drop_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("wm_late_drop_test").groupBy("user_id").count().collect()
+    counts = {r.user_id: r["count"] for r in got}
+    # Spark 4.1: the wholly-late key passes through exactly once — the
+    # key set is preserved in THIS version. If an upgrade flips this to
+    # a drop, the key-set oracle's scope note in queries/streaming.py
+    # becomes load-bearing and this assertion will say so.
+    assert counts == {1: 1, 2: 1, 3: 1}, counts
+
+
 def test_stateful_agg_final_state_matches_batch(spark, sf_dir):
     """applyInPandasWithState running counts: the final state per user must
     equal the batch groupBy count (rows-only query's real assertion)."""
@@ -514,3 +564,17 @@ def test_update_mode_multibatch_fold_matches_batch(spark, tmp_path):
         got = sorted(map(tuple, fold_fn(sink).collect()))
         want = sorted(map(tuple, agg_fn(static).collect()))
         assert got == want
+
+
+def test_run_to_memory_rejects_unknown_state_store(spark, sf_dir):
+    """ADVICE r14 #4: SPARK_GRAFT_STATE_STORE is the documented cluster
+    switch — a typo must fail with the valid options named, not a bare
+    KeyError from the provider dict."""
+    import pytest
+
+    from cdc_dedupe_spark.sources.replay import events_stream
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    stream = events_stream(spark, sf_dir)
+    with pytest.raises(ValueError, match="rocksdb"):
+        run_to_memory(stream, "bad_store_test", state_store="rocks")
