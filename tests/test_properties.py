@@ -341,3 +341,33 @@ def test_url_canonicalizer_is_idempotent(spark, urls):
     rows = out.collect()
     bad = [(r.once, r.twice) for r in rows if r.once != r.twice]
     assert not bad, bad
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@example(urls=_CANON_PINNED)
+@given(urls=st.lists(_URLISH, min_size=1, max_size=24, unique=True))
+def test_url_canonicalizer_twins_agree_cross_engine(spark, urls):
+    """The OTHER canonicalizer property (r15): the Spark column chain and
+    the DuckDB oracle SQL must produce byte-identical canonical keys on
+    ADVERSARIAL strings, not just the well-formed corpus-derived URLs the
+    parity sweep exercises — the regex dialects (Java vs RE2) and the
+    backreference escapes ('$1' vs '\\1') differ, so cross-engine drift
+    would silently split dedup groups while every committed artifact
+    stays green."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from cdc_dedupe_spark.queries.web_dedup import _CANON_SQL, _canon_col
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = {
+        r.url: r.c for r in df.select("url", _canon_col(F.col("url")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    got_duck = dict(
+        con.execute("SELECT url, " + _CANON_SQL.format(url="url") + " FROM t").fetchall()
+    )
+    assert got_spark == got_duck
