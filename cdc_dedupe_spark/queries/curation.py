@@ -952,3 +952,128 @@ def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("kept_tokens"),
         round_pos(kept.cast("double") / F.count(F.lit(1)), 4).alias("doc_retention_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub — PII detection + redaction (r15)
+
+# The corpus carries no PII (synthetic tech vocab), so PII-ish tokens are
+# INJECTED deterministically from doc_id — the web_dedup derived-URL trick:
+# both engines derive the identical dirty text, so detection counts and the
+# scrubbed emission stay hash-exact, while the scrub kernel does real work.
+_PII_TEXT_SQL = """(
+      text ||
+      CASE WHEN doc_id % 4 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+      CASE WHEN doc_id % 5 = 0
+           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END ||
+      CASE WHEN doc_id % 6 = 0
+           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    )"""
+
+# Portable patterns (same semantics in Java regex and RE2; \b, \d, {m,}
+# all shared). Scrub order matters and is part of the contract: emails
+# first (their domains contain dots+digits an IP pattern must never see),
+# then phones, then IPs.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def _pii_text_col() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@mail"),
+                (d % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    group="curation",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(t, '{_PII_PHONE}'))
+                + len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS pii_total,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS text_scrubbed
+    FROM dirty
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every published web
+    corpus runs before release (RefinedWeb/the Pile redact emails,
+    phone numbers, IP addresses): per doc, match counts per category
+    and the text EMITTED with every match replaced by a typed mask
+    token. Patterns are the standard portable trio (email, NANP-style
+    7-digit phone, dotted-quad IP); scrub order is part of the
+    contract — emails first, so an IP-ish digit run inside an email
+    domain is never double-masked.
+
+    The corpus is synthetic and PII-free, so PII is injected
+    deterministically from doc_id (the derived-URL trick) — identical
+    in both engines, which keeps the emission hash-exact while the
+    kernel does real matching work on every row.
+
+    Scale: pure map-side JVM regex inside one codegen stage — zero
+    shuffles, zero joins at any corpus size; output is one row per doc.
+    At 100 TB this is the textbook embarrassingly-parallel scan."""
+    from ..tables import spread_scan
+
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    t = d.select("doc_id", _pii_text_col().alias("t"))
+    ne = F.regexp_count("t", F.lit(_PII_EMAIL))
+    np_ = F.regexp_count("t", F.lit(_PII_PHONE))
+    ni = F.regexp_count("t", F.lit(_PII_IP))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        ne.cast("long").alias("n_emails"),
+        np_.cast("long").alias("n_phones"),
+        ni.cast("long").alias("n_ips"),
+        (ne + np_ + ni).cast("long").alias("pii_total"),
+        scrubbed.alias("text_scrubbed"),
+    )

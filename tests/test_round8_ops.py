@@ -539,3 +539,38 @@ def test_upsert_latest_wide_ids(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     [r] = REGISTRY["cdc_upsert_latest"].spark(spark, str(tmp_path)).collect()
     assert (r.last_event_id, r.last_event_type, r.last_cents) == (1_000_000_000_000, "b", 200)
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub (r15)
+
+
+def test_pii_scrub_counts_and_masks(spark, tmp_path):
+    """doc_id 60 gets all three injections (div by 4, 5, 6), doc 1 none;
+    the scrubbed text must contain the typed masks and NO residual match
+    of any pattern, and counts must be category-exact."""
+    import re
+
+    rows = [
+        (60, "hello world", "en", "s1"),
+        (1, "clean doc", "en", "s1"),
+        (4, "email only", "en", "s1"),
+        (5, "phone only", "en", "s1"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    out = {r.doc_id: r for r in REGISTRY["text_pii_scrub"].spark(spark, sf).collect()}
+
+    assert (out[60].n_emails, out[60].n_phones, out[60].n_ips) == (1, 1, 1)
+    assert out[60].pii_total == 3
+    for mask in ("<EMAIL>", "<PHONE>", "<IP>"):
+        assert mask in out[60].text_scrubbed
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (0, 0, 0)
+    assert out[1].text_scrubbed == "clean doc"
+    assert (out[4].n_emails, out[4].pii_total) == (1, 1)
+    assert (out[5].n_phones, out[5].pii_total) == (1, 1)
+
+    from cdc_dedupe_spark.queries.curation import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    for r in out.values():
+        for pat in (_PII_EMAIL, _PII_PHONE, _PII_IP):
+            assert not re.search(pat, r.text_scrubbed), (r.doc_id, pat, r.text_scrubbed)
