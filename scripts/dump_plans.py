@@ -77,6 +77,10 @@ HEADLINE = [
     "dedup_line_cross_doc",
     "sample_host_capped",
     "pipeline_dedup_full",
+    # round 15: cleaned-corpus emission, BPE apply, PII scrub
+    "text_strip_boilerplate",
+    "text_bpe_tokenize",
+    "text_pii_scrub",
 ]
 
 
