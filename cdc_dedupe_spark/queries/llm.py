@@ -534,6 +534,125 @@ def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- content-defined chunking (r15) ------------------------------------------
+
+_CDC_W = 8  # rolling window (chars)
+_CDC_B = 257  # polynomial base
+_CDC_M = 1_000_003  # prime modulus; Horner keeps every term < M*B ~ 2.6e8
+_CDC_D = 64  # boundary divisor -> expected chunk ~64 chars
+
+
+def _cdc_horner() -> str:
+    """Unrolled Horner window hash at position i over column t — pure
+    function of the {w} chars starting at i, so 'rolling' needs NO
+    sequential state and the whole boundary decision is one map-side
+    expression. ascii/substr/% behave identically in Spark SQL and
+    DuckDB, so BOTH engines evaluate this same generated string."""
+    e = f"ascii(substr(t, i, 1)) % {_CDC_M}"
+    for j in range(1, _CDC_W):
+        e = f"(({e}) * {_CDC_B} + ascii(substr(t, i + {j}, 1))) % {_CDC_M}"
+    return e
+
+
+_cdc_horner.__doc__ = _cdc_horner.__doc__.format(w=_CDC_W)
+
+# Cut points: window end i+W-1 wherever the window hash % D == 0, plus the
+# doc end; chunks are the spans between consecutive cuts, hashed IN the
+# transform so only (doc_id, md5) pairs ever leave the scan.
+_CDC_CUTS_SPARK = f"""
+    array_sort(array_distinct(concat(
+      filter(transform(sequence(1, greatest(length(t) - {_CDC_W - 1}, 1)),
+        i -> CASE WHEN i <= length(t) - {_CDC_W - 1}
+                   AND ({_cdc_horner()}) % {_CDC_D} = 0
+              THEN i + {_CDC_W - 1} END),
+        x -> x IS NOT NULL),
+      array(length(t)))))"""
+
+_CDC_CHUNKS_SPARK = f"""
+    transform(sequence(1, size(cuts)), k ->
+      md5(cast(substr(t,
+        CASE WHEN k = 1 THEN 1 ELSE element_at(cuts, k - 1) + 1 END,
+        element_at(cuts, k)
+          - CASE WHEN k = 1 THEN 0 ELSE element_at(cuts, k - 1) END) as binary)))"""
+
+_CDC_ORACLE = f"""
+    WITH t0 AS (
+      SELECT doc_id, text AS t FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             list_sort(list_distinct(list_concat(
+               list_filter(list_transform(
+                 generate_series(1, greatest(length(t) - {_CDC_W - 1}, 1)),
+                 i -> CASE WHEN i <= length(t) - {_CDC_W - 1}
+                            AND ({_cdc_horner()}) % {_CDC_D} = 0
+                       THEN i + {_CDC_W - 1} END),
+                 x -> x IS NOT NULL),
+               [length(t)]))) AS cuts
+      FROM t0
+    ), s AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(cuts)), k ->
+               md5(substr(t,
+                 CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END,
+                 cuts[k] - CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END)))) AS h
+      FROM c
+    ), p AS (
+      SELECT doc_id, h, COUNT(*) AS k FROM s GROUP BY doc_id, h
+    ), w AS (
+      SELECT doc_id, k, SUM(k) OVER (PARTITION BY h) AS tot FROM p
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) AS BIGINT) AS dup_chunks,
+           CAST((COALESCE(SUM(CASE WHEN tot > 1 THEN k END), 0) * 10000)
+                // SUM(k) AS BIGINT) AS dup_frac_bp
+    FROM w GROUP BY doc_id
+    """
+
+
+@register("dedup_cdc_chunks", group="llm", oracle=_CDC_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunk dedup profile (r15) — the rolling-hash
+    upgrade [[multimodal_payload_chunks]]'s docstring defers: chunk
+    boundaries fall where the {w}-char polynomial window hash is
+    divisible by {d} (plus the doc end), so an insertion near the head
+    shifts only the chunks it touches and boundaries RESYNC {w} chars
+    later — fixed-stride chunking loses every boundary after the edit
+    (the rsync/LBFS property, unit-pinned against the fixed-stride op
+    on an insertion fixture). Expected chunk length ~{d} chars.
+
+    The trick that keeps this declarative AND oracle-exact: the window
+    hash at position i is a pure function of the {w} chars starting at
+    i (an unrolled Horner mod-{m} expression both engines evaluate from
+    the SAME generated string), so "rolling" needs no sequential scan —
+    boundary detection is one map-side transform, chunk md5s are
+    computed inside the same projection, and only (doc_id, 16-byte
+    hash) pairs leave the scan. The rollup is the span-profile shape:
+    (doc_id, h) partial agg, corpus frequency as a window over the hash
+    key, per-doc re-aggregate. Zero joins, no pair expansion; O(n·{w})
+    map work per doc."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
+    chunks = (
+        d.select("doc_id", F.col("text").alias("t"))
+        .withColumn("cuts", F.expr(_CDC_CUTS_SPARK))
+        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS_SPARK)).alias("h"))
+    )
+    p = chunks.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("k"))
+    tot = F.sum("k").over(Window.partitionBy("h"))
+    dup = F.sum(F.when(F.col("tot") > 1, F.col("k")).otherwise(F.lit(0)))
+    return (
+        p.withColumn("tot", tot)
+        .groupBy("doc_id")
+        .agg(F.sum("k").alias("n_chunks"), dup.alias("dup_chunks"))
+        .withColumn("dup_frac_bp", F.expr("dup_chunks * 10000 div n_chunks"))
+    )
+
+
+dedup_cdc_chunks.__doc__ = dedup_cdc_chunks.__doc__.format(
+    w=_CDC_W, d=_CDC_D, m=_CDC_M
+)
+
+
 @register(
     "multimodal_dedup_exact",
     group="llm",

@@ -748,3 +748,68 @@ def test_dedup_span_containment_matches_pure_python(spark, sf_dir):
         (r.doc_a, r.doc_b, r.shared, r.spans_a, r.containment_bp)
         for r in got.itertuples()
     ] == expect
+
+
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks (r15)
+
+
+def _py_cdc_chunks(text, w=8, b=257, m=1_000_003, d=64):
+    """Independent pure-Python reference of the declared CDC rule."""
+    n = len(text)
+    cuts = []
+    for i in range(1, n - w + 2):  # 1-based window starts
+        h = 0
+        for j in range(w):
+            h = (h * b + ord(text[i - 1 + j])) % m
+        if h % d == 0:
+            cuts.append(i + w - 1)
+    cuts = sorted(set(cuts + [n]))
+    out, prev = [], 0
+    for c in cuts:
+        out.append(text[prev:c])
+        prev = c
+    return out
+
+
+def test_cdc_chunks_match_python_reference(spark, sf_dir):
+    """Chunk counts + corpus dup stats must equal an independent Python
+    implementation of the rolling-hash rule on the real corpus."""
+    docs = _docs(sf_dir)
+    per_doc: dict = {}
+    freq: Counter = Counter()
+    for r in docs.itertuples():
+        hs = [hashlib.md5(c.encode()).hexdigest() for c in _py_cdc_chunks(r.text)]
+        per_doc[r.doc_id] = hs
+        freq.update(hs)
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_cdc_chunks"].spark(spark, sf_dir).toPandas().itertuples()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, hs in per_doc.items():
+        dup = sum(1 for h in hs if freq[h] > 1)
+        r = got[doc_id]
+        assert (r.n_chunks, r.dup_chunks) == (len(hs), dup), doc_id
+        assert r.dup_frac_bp == dup * 10000 // len(hs)
+
+
+def test_cdc_chunks_survive_insertion_fixed_stride_does_not():
+    """THE content-defined property (why this operator exists): after a
+    3-char insertion at the head, CDC boundaries resync and most chunk
+    hashes are shared with the original; fixed-stride chunking shifts
+    every boundary and shares (next to) nothing."""
+    base = " ".join(f"tok{i:03d}" for i in range(60))  # ~420 chars
+    edited = "zz " + base
+
+    a, b = _py_cdc_chunks(base), _py_cdc_chunks(edited)
+    shared_cdc = len(Counter(a) & Counter(b))
+    assert len(a) >= 4, "fixture must produce several chunks"
+    # everything after the first resynced boundary is identical
+    assert shared_cdc >= len(a) - 2, (len(a), shared_cdc, a[:2], b[:2])
+
+    fa = [base[i : i + 64] for i in range(0, len(base), 64)]
+    fb = [edited[i : i + 64] for i in range(0, len(edited), 64)]
+    shared_fixed = len(Counter(fa) & Counter(fb))
+    assert shared_fixed == 0
+    assert shared_cdc > shared_fixed
