@@ -426,3 +426,116 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_intersect",
         )
     )
+
+
+# --- KMV (bottom-k) distinct sketch (r15) ----------------------------------
+
+_KMV_K = 64
+# (K-1) * 2^60 as one decimal literal BOTH engines parse identically (the
+# _HLL_NUM discipline): the estimate is a single double division of it by
+# the k-th smallest 60-bit hash.
+_KMV_NUM = repr(float((_KMV_K - 1) * (1 << 60)))
+
+_KMV_ORACLE = f"""
+    WITH d AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk
+      FROM d
+    ), sk AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch,
+             MAX(hv) AS kth_hv
+      FROM r WHERE rk <= {_KMV_K} GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag
+    ), est AS (
+      SELECT sk.l_returnflag, sk.n_sketch, sk.kth_hv, ex.exact_parts,
+             CASE WHEN sk.n_sketch < {_KMV_K} THEN CAST(sk.n_sketch AS DOUBLE)
+                  ELSE (round({_KMV_NUM} / sk.kth_hv, 1) + 0.0) END AS kmv_estimate
+      FROM sk JOIN ex USING (l_returnflag)
+    )
+    SELECT l_returnflag, n_sketch, kth_hv, kmv_estimate, exact_parts,
+           CAST(CASE WHEN abs(kmv_estimate - exact_parts)
+                          <= 5.0 * exact_parts / sqrt({_KMV_K} - 2)
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_5sd
+    FROM est
+    """
+
+
+@register("agg_kmv_distinct", group="sketch", oracle=_KMV_ORACLE)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (r15 — completes the mergeable-
+    sketch family next to CMS, HLL, and the bloom prefilter): per
+    returnflag, keep the K={k} smallest 60-bit md5 hashes of the
+    partkey domain; estimate distinct = (K-1) * 2^60 / kth_smallest —
+    one double division of exact integers, bit-identical cross-engine.
+    Unlike HLL, a KMV sketch also supports set operations with
+    PROVABLE epsilon (intersect = bottom-k of the union's hash sets),
+    and the kept hashes double as a uniform sample of the key domain.
+    Groups whose domain has fewer than K distinct hashes report the
+    exact sketch size (the sketch IS the domain). The within_5sd audit
+    column checks the estimate against the exact count at five
+    standard deviations (sd ~ n/sqrt(K-2)).
+
+    Shape at scale: the (flag, hv) DISTINCT is one high-cardinality
+    partial-agg shuffle; the bottom-K per flag is a rank-K window that
+    Spark plans with WindowGroupLimit (plan-pinned) — every map task
+    pre-trims to its local K smallest per group BEFORE the shuffle, so
+    the window exchange carries at most K rows per group per input
+    partition, never the distinct domain. The exact count (audit
+    column only) pays the usual two-shuffle count-distinct; at 100 TB
+    you keep only the K-row sketch, and sketches from different days
+    or sources merge by re-taking the bottom-K of their union."""
+    from pyspark.sql import Window
+
+    li = spread_scan(table(spark, sf_dir, "lineitem"), "l_orderkey").select(
+        "l_returnflag", "l_partkey"
+    )
+    dh = li.select(
+        "l_returnflag",
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("hv")
+    sk = (
+        dh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth_hv"))
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    est = sk.join(ex, "l_returnflag").withColumn(
+        "kmv_estimate",
+        F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch").cast("double")).otherwise(
+            round_pos(F.lit(float(_KMV_NUM)) / F.col("kth_hv"), 1)
+        ),
+    )
+    return est.select(
+        "l_returnflag",
+        "n_sketch",
+        "kth_hv",
+        "kmv_estimate",
+        "exact_parts",
+        (
+            F.abs(F.col("kmv_estimate") - F.col("exact_parts"))
+            <= F.lit(5.0) * F.col("exact_parts") / F.lit(float((_KMV_K - 2) ** 0.5))
+        )
+        .cast("long")
+        .alias("within_5sd"),
+    )
+
+
+agg_kmv_distinct.__doc__ = agg_kmv_distinct.__doc__.format(k=_KMV_K)

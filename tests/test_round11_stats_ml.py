@@ -813,3 +813,38 @@ def test_cdc_chunks_survive_insertion_fixed_stride_does_not():
     shared_fixed = len(Counter(fa) & Counter(fb))
     assert shared_fixed == 0
     assert shared_cdc > shared_fixed
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_distinct (r15)
+
+
+def test_kmv_estimate_matches_python_and_is_bounded(spark, sf_dir):
+    """KMV vs an independent Python sketch on the real corpus: identical
+    kth hash + estimate, and the within_5sd audit flag must be 1 for
+    every full sketch."""
+    li = _lineitem(sf_dir)
+    per: dict = {}
+    for r in li.itertuples():
+        hv = int(hashlib.md5(str(int(r.l_partkey)).encode()).hexdigest()[:15], 16)
+        per.setdefault(r.l_returnflag, set()).add(hv)
+    got = {r.l_returnflag: r for r in REGISTRY["agg_kmv_distinct"].spark(spark, sf_dir).toPandas().itertuples()}
+    assert set(got) == set(per)
+    for flag, hset in per.items():
+        bottom = sorted(hset)[:64]
+        r = got[flag]
+        assert r.n_sketch == len(bottom)
+        assert r.kth_hv == bottom[-1]
+        if len(bottom) == 64:
+            want = round((63 * (1 << 60)) / bottom[-1], 1)
+            assert r.kmv_estimate == pytest.approx(want, abs=0.2)
+            assert r.within_5sd == 1
+
+
+def test_kmv_window_plans_group_limit(spark, sf_dir):
+    """Plan pin: the bottom-K window must plan WindowGroupLimit (map-side
+    per-group pre-trim BEFORE the shuffle) — without it the exchange
+    carries the whole distinct domain and the sketch isn't a sketch."""
+    df = REGISTRY["agg_kmv_distinct"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:3000]
