@@ -4599,3 +4599,101 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_perplexity_buckets — CCNet-style head/middle/tail corpus split
+
+
+_PPLB_ORACLE = f"""
+    WITH sc AS ({_LMBG_ORACLE}),
+    s AS (
+      SELECT sc.doc_id, d.lang, sc.lm_score_ppm
+      FROM sc JOIN documents d USING (doc_id)
+    ), h AS (
+      SELECT lang, lm_score_ppm, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2
+    ), c AS (
+      SELECT lang, lm_score_ppm,
+             CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score_ppm)
+                  AS BIGINT) AS cum
+      FROM h
+    ), nl AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+    ), t AS (
+      SELECT c.lang,
+             MIN(CASE WHEN cum >= (n + 2) // 3 THEN lm_score_ppm END) AS t1,
+             MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score_ppm END) AS t2
+      FROM c JOIN nl USING (lang) GROUP BY c.lang
+    )
+    SELECT s.doc_id, s.lang, s.lm_score_ppm,
+           CASE WHEN s.lm_score_ppm <= t.t1 THEN 'tail'
+                WHEN s.lm_score_ppm <= t.t2 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM s JOIN t USING (lang)
+    """
+
+
+@register("text_perplexity_buckets", group="llm-ext", oracle=_PPLB_ORACLE)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020) on the
+    self-trained bigram LM: every document is scored by
+    [[text_lm_bigram]]'s mean conditional-probability fluency score (the
+    KenLM-perplexity stand-in; HIGH score = fluent), then assigned to
+    the per-LANGUAGE fluency tercile — 'head' (most fluent third,
+    pretraining-grade), 'middle', 'tail' (gibberish/boilerplate
+    candidates). Buckets are threshold-based, not rank-based: t1/t2 are
+    the ceil(n/3)-th and ceil(2n/3)-th smallest scores per language,
+    and ties at a threshold all fall LOW (a run of equal scores never
+    straddles a bucket boundary) — integer comparisons, exact oracle.
+
+    Scale shape — the reason this is not `ntile(3) OVER (PARTITION BY
+    lang ORDER BY score)`: a per-language ranking window totally ORDERS
+    each language's documents, and web corpora are language-skewed
+    (~half English), so one partition sorts half the corpus. Instead
+    the score domain is bounded integer ppm (0..1e6), so the terciles
+    come from a (lang, score) HISTOGRAM: one partial-agg shuffle of at
+    most |langs|x1e6 tiny rows, a cumulative window over that bounded
+    table, and two MIN(CASE) threshold picks; documents themselves are
+    bucketed map-side against the broadcast 2-row-per-lang threshold
+    table. No per-document sort at any corpus size. The LM model join
+    inherits text_lm_bigram's broadcast contract."""
+    sc = text_lm_bigram(spark, sf_dir).select("doc_id", "lm_score_ppm")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = sc.join(d, "doc_id")
+    h = s.groupBy("lang", "lm_score_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("lm_score_ppm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = h.select("lang", "lm_score_ppm", F.sum("cnt").over(wc).alias("cum"))
+    nl = h.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    t = (
+        c.join(F.broadcast(nl), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"), F.col("lm_score_ppm")
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                    F.col("lm_score_ppm"),
+                )
+            ).alias("t2"),
+        )
+    )
+    return s.join(F.broadcast(t), "lang").select(
+        "doc_id",
+        "lang",
+        "lm_score_ppm",
+        F.when(F.col("lm_score_ppm") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("lm_score_ppm") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("ppl_bucket"),
+    )
