@@ -653,6 +653,124 @@ dedup_cdc_chunks.__doc__ = dedup_cdc_chunks.__doc__.format(
 )
 
 
+# --- cross-document copy detection over CDC chunks (r15) ----------------------
+
+_XDOC_T = 16  # chunk hashes in more docs than this are boilerplate, not copies
+_XDOC_MIN_BP = 2500  # emit pairs sharing >= 25% of the smaller doc's chunks
+
+# The distinct (doc_id, chunk-md5) set — the same cut/chunk expressions
+# dedup_cdc_chunks evaluates, deduped per doc so a chunk repeated WITHIN a
+# doc can't inflate a cross-doc containment score.
+_XDOC_CHUNKSET_SQL = f"""
+    WITH t0 AS (SELECT doc_id, text AS t FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             list_sort(list_distinct(list_concat(
+               list_filter(list_transform(
+                 generate_series(1, greatest(length(t) - {_CDC_W - 1}, 1)),
+                 i -> CASE WHEN i <= length(t) - {_CDC_W - 1}
+                            AND ({_cdc_horner()}) % {_CDC_D} = 0
+                       THEN i + {_CDC_W - 1} END),
+                 x -> x IS NOT NULL),
+               [length(t)]))) AS cuts
+      FROM t0
+    ), s AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(cuts)), k ->
+               md5(substr(t,
+                 CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END,
+                 cuts[k] - CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END)))) AS h
+      FROM c
+    )
+    SELECT DISTINCT doc_id, h FROM s
+    """
+
+_XDOC_ORACLE = f"""
+    WITH ch AS ({_XDOC_CHUNKSET_SQL}),
+    nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY 1),
+    hf AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY 1),
+    sh AS (SELECT h FROM hf WHERE cnt BETWEEN 2 AND {_XDOC_T}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM ch a JOIN sh USING (h) JOIN ch b USING (h)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_chunks,
+           na.n AS n_chunks_a, nb.n AS n_chunks_b,
+           CAST(shared_chunks * 10000 // LEAST(na.n, nb.n) AS BIGINT)
+             AS containment_bp
+    FROM pairs
+    JOIN nc na ON na.doc_id = doc_a
+    JOIN nc nb ON nb.doc_id = doc_b
+    WHERE shared_chunks * 10000 // LEAST(na.n, nb.n) >= {_XDOC_MIN_BP}
+    """
+
+
+@register("dedup_cdc_cross_doc", group="llm", oracle=_XDOC_ORACLE)
+def dedup_cdc_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DOCUMENT copy detection over content-defined chunks (r15) —
+    the pair-level consumer [[dedup_cdc_chunks]]'s per-doc profile sets
+    up: two documents sharing >= {bp}bp of the smaller one's distinct
+    chunk set are a copy/containment pair (one quotes, mirrors, or
+    extends the other), even when the shared text sits at DIFFERENT
+    offsets — the insertion-robust boundary resync is exactly what makes
+    offset-independent chunk equality meaningful (a fixed-stride grid
+    would miss every shifted copy). The char-level, order-free
+    complement of [[dedup_line_cross_doc]]'s token-segment boilerplate
+    profile and [[dedup_span_containment]]'s ordered-shingle spans.
+
+    Pair-explosion bound (the line-dedup discipline): a chunk hash in
+    more than {t} documents is corpus BOILERPLATE, not a copy signal —
+    it is excluded from pair generation, so the equi self-join on the
+    chunk key emits at most {t}^2/2 pairs per hash, never quadratic in
+    corpus size. The chunk set is computed once and lineage-truncated
+    (localCheckpoint) so profile counts and both join sides read one
+    materialization; only (doc_id, 16-byte md5) rows ever shuffle.
+    Emitted pairs are >= {bp}bp containment = shared*10000 div
+    min(|chunks_a|, |chunks_b|) — exact integer arithmetic, exact
+    oracle."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
+    ch = (
+        d.select("doc_id", F.col("text").alias("t"))
+        .withColumn("cuts", F.expr(_CDC_CUTS_SPARK))
+        .select("doc_id", F.explode(F.expr(_CDC_CHUNKS_SPARK)).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sh = (
+        ch.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= _XDOC_T))
+        .select("h")
+    )
+    a = ch.join(sh, "h").select(F.col("doc_id").alias("doc_a"), "h")
+    b = ch.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    )
+    cont = F.expr("shared_chunks * 10000 div least(n_chunks_a, n_chunks_b)")
+    return (
+        pairs.join(nc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_chunks_a")), "doc_a")
+        .join(nc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_chunks_b")), "doc_b")
+        .withColumn("containment_bp", cont.cast("long"))
+        .filter(F.col("containment_bp") >= _XDOC_MIN_BP)
+        .select(
+            "doc_a", "doc_b", "shared_chunks", "n_chunks_a", "n_chunks_b",
+            "containment_bp",
+        )
+    )
+
+
+dedup_cdc_cross_doc.__doc__ = dedup_cdc_cross_doc.__doc__.format(
+    t=_XDOC_T, bp=_XDOC_MIN_BP
+)
+
+
 @register(
     "multimodal_dedup_exact",
     group="llm",

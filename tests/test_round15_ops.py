@@ -88,3 +88,58 @@ def test_perplexity_buckets_are_ordered_and_roughly_terciles(spark, sf_dir):
             assert max(lower) < min(bk["head"])
         if len({r for v in bk.values() for r in v}) >= 3:
             assert bk["tail"] and bk["middle"] and bk["head"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_cdc_cross_doc (r15)
+
+
+def test_cdc_cross_doc_matches_python_reference(spark, sf_dir):
+    """Pair-level twin: distinct chunk sets per doc (reusing the pinned
+    pure-python CDC rule), boilerplate cap 16, containment >= 2500bp of
+    the smaller set. Must equal the Spark output pair-for-pair."""
+    import hashlib
+
+    from tests.test_round11_stats_ml import _py_cdc_chunks
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sets = {
+        r.doc_id: {
+            hashlib.md5(c.encode()).hexdigest() for c in _py_cdc_chunks(r.text)
+        }
+        for r in docs.itertuples()
+    }
+    freq: Counter = Counter(h for hs in sets.values() for h in hs)
+    pairable = {h for h, c in freq.items() if 2 <= c <= 16}
+    owners = defaultdict(list)
+    for d, hs in sets.items():
+        for h in hs & pairable:
+            owners[h].append(d)
+    shared: Counter = Counter()
+    for ds in owners.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                shared[(a, b)] += 1
+    expected = {}
+    for (a, b), s in shared.items():
+        na, nb = len(sets[a]), len(sets[b])
+        bp = s * 10000 // min(na, nb)
+        if bp >= 2500:
+            expected[(a, b)] = (s, na, nb, bp)
+
+    got = REGISTRY["dedup_cdc_cross_doc"].spark(spark, sf_dir).collect()
+    assert {
+        (r.doc_a, r.doc_b): (
+            r.shared_chunks,
+            r.n_chunks_a,
+            r.n_chunks_b,
+            r.containment_bp,
+        )
+        for r in got
+    } == expected
+    assert expected, "degenerate fixture: no copy pairs at this sf"
+    for r in got:
+        assert r.doc_a < r.doc_b
+        assert 2500 <= r.containment_bp <= 10000
+        assert r.shared_chunks <= min(r.n_chunks_a, r.n_chunks_b)
