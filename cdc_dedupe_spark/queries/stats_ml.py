@@ -4031,3 +4031,178 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_runs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_logreg_irls — logistic-family GLM by IRLS/Newton over exact sufficient
+# statistics (round 15)
+
+_IRLS_ITERS = 3
+
+# Planted, hash-deterministic binary label (the text_pii_scrub "derived
+# from the key" trick): P(y=1 | qty) = (100 + 16*qty)/1000 by construction,
+# with the noise drawn from a multiplicative hash of l_orderkey — so the
+# fit has a KNOWN recoverable signal (b1 > 0) and a known null control
+# (b2, discount). l_orderkey is reduced mod 1000003 BEFORE the multiply so
+# the product stays far below 2^63 at any corpus scale.
+_IRLS_BASE_COLS = (
+    "CASE WHEN ((l_orderkey % 1000003) * 2654435761) % 1000"
+    " < 100 + 16 * CAST(round(l_quantity) AS BIGINT) THEN 1 ELSE 0 END AS y",
+    "CAST(round(l_quantity) AS BIGINT) AS x1",
+    "CAST(round(l_discount * 100) AS BIGINT) AS x2",
+)
+
+# Per-row link: the "fast sigmoid" z -> 0.5 + z/(2(1+|z|)) — a rational
+# sigmoidal CDF, chosen over exp() because +,*,/,abs are IEEE
+# correctly-rounded, so BOTH engines produce bit-identical probabilities
+# from the same expression string (exp() differs in the last ulp across
+# libm implementations; determinism rule, queries/registry.py).
+_IRLS_Z = "(b0 + b1 * x1 + b2 * x2)"
+_IRLS_P = "0.5 + 0.5 * z / (1.0 + abs(z))"
+
+# Quantized per-row sufficient statistics: floor(1e6 * term) is an exact
+# BIGINT, so the corpus SUM is order-independent (the ml_linreg_normal
+# moment discipline applied to a WEIGHTED Gram matrix).
+_IRLS_TERMS = {
+    "g00": "(p * (1.0 - p))",
+    "g01": "(p * (1.0 - p)) * x1",
+    "g02": "(p * (1.0 - p)) * x2",
+    "g11": "(p * (1.0 - p)) * x1 * x1",
+    "g12": "(p * (1.0 - p)) * x1 * x2",
+    "g22": "(p * (1.0 - p)) * x2 * x2",
+    "r0": "(y - p)",
+    "r1": "(y - p) * x1",
+    "r2": "(y - p) * x2",
+}
+
+# Cramer solve of the symmetric 3x3 Newton system G * delta = r, written
+# once and evaluated from the SAME string by both engines.
+_IRLS_DET = (
+    "g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02)"
+    " + g02 * (g01 * g12 - g11 * g02)"
+)
+_IRLS_D = (
+    "r0 * (g11 * g22 - g12 * g12) - g01 * (r1 * g22 - g12 * r2)"
+    " + g02 * (r1 * g12 - g11 * r2)",
+    "g00 * (r1 * g22 - g12 * r2) - r0 * (g01 * g22 - g12 * g02)"
+    " + g02 * (g01 * r2 - r1 * g02)",
+    "g00 * (g11 * r2 - g12 * r1) - g01 * (g01 * r2 - r1 * g02)"
+    " + r0 * (g01 * g12 - g11 * g02)",
+)
+
+
+def _irls_oracle() -> str:
+    base = "SELECT " + ", ".join(_IRLS_BASE_COLS) + " FROM lineitem"
+    ctes = [
+        f"base AS ({base})",
+        "w0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,"
+        " CAST(0 AS DOUBLE) AS b2)",
+    ]
+    sums = ", ".join(
+        f"CAST(SUM(CAST(floor(1000000 * {e}) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 AS {k}"
+        for k, e in _IRLS_TERMS.items()
+    )
+    for k in range(1, _IRLS_ITERS + 1):
+        ctes.append(
+            f"""a{k} AS (
+      SELECT {sums}, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(1000000 * abs(y - p)) AS BIGINT)) AS BIGINT) AS sae
+      FROM (SELECT y, x1, x2, {_IRLS_P} AS p
+            FROM (SELECT y, x1, x2, {_IRLS_Z} AS z
+                  FROM base CROSS JOIN w{k - 1})))"""
+        )
+        upd = ", ".join(
+            f"(round(b{j} + ({_IRLS_D[j]}) / ({_IRLS_DET}), 6) + 0.0) AS b{j}"
+            for j in range(3)
+        )
+        ctes.append(
+            f"w{k} AS (SELECT {upd}, a{k}.n AS n, a{k}.sae // a{k}.n AS mae_ppm"
+            f" FROM a{k} CROSS JOIN w{k - 1})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iter, n, b0, b1, b2,"
+        f" CAST(mae_ppm AS BIGINT) AS mae_ppm FROM w{k}"
+        for k in range(1, _IRLS_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register("ml_logreg_irls", group="stats-ml", oracle=_irls_oracle())
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC-family regression by IRLS/Newton — the
+    iterative-optimization counterpart of [[ml_linreg_normal]]'s one-shot
+    normal equations, and the missing convex-fit member of the ML family
+    (k-means: alternating; PCA: power iteration; this: Newton). Each of
+    the 3 unrolled iterations collapses the corpus to TEN exact-integer
+    sufficient statistics (the weighted Gram matrix X'WX, the score
+    vector X'(y-p), n, and a training-MAE diagnostic), solves the 3x3
+    Newton system by Cramer's rule on the driver-free 1-row frame, and
+    re-broadcasts the updated coefficients. Output: the coefficient
+    TRAJECTORY (iter, n, b0, b1, b2, mae_ppm) — mae_ppm is measured
+    under the PREVIOUS iterate during the same pass, so iter-1 is always
+    500000 (the w=0 model predicts p=1/2 everywhere).
+
+    Exactness across engines (no rows-only cop-out for an "iterative"
+    algorithm): the link is the rational fast sigmoid 0.5+z/(2(1+|z|))
+    — correctly-rounded IEEE ops only, unlike exp() — per-row Gram
+    terms are floor(1e6·t) BIGINTs so sums are order-independent, the
+    solve is one shared expression string, and coefficients are rounded
+    to 6dp before re-entering the next pass. The label is planted:
+    P(y=1|qty) = (100+16·qty)/1000 via an orderkey-hash draw, so the
+    test suite can pin that the fit RECOVERS b1 > 0 against the b2 = 0
+    discount control.
+
+    Shape at scale: per iteration ONE map-side-combined aggregate whose
+    output is 11 scalars — no shuffle wider than the partial-agg tree,
+    no .collect() (the 1-row coefficient frame stays a broadcast
+    DataFrame, lineage-truncated per step). k features cost a k² Gram
+    row, the ml_linreg_normal generalization note made executable."""
+    base = table(spark, sf_dir, "lineitem").selectExpr(*_IRLS_BASE_COLS)
+    w = spark.range(1).selectExpr(
+        "cast(0 as double) AS b0", "cast(0 as double) AS b1", "cast(0 as double) AS b2"
+    )
+    sums = [
+        F.expr(f"sum(cast(floor(1000000 * {e}) as bigint))").alias(f"s_{k}")
+        for k, e in _IRLS_TERMS.items()
+    ] + [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(cast(floor(1000000 * abs(y - p)) as bigint))").cast("long").alias("sae"),
+    ]
+    gram = [
+        F.expr(f"cast(s_{k} as double) / 1000000.0").alias(k) for k in _IRLS_TERMS
+    ] + [F.col("n"), F.col("sae")]
+    out = []
+    for k in range(1, _IRLS_ITERS + 1):
+        rows = (
+            base.crossJoin(F.broadcast(w.select("b0", "b1", "b2")))
+            .selectExpr("y", "x1", "x2", f"{_IRLS_Z} AS z")
+            .selectExpr("y", "x1", "x2", f"{_IRLS_P} AS p")
+        )
+        a = rows.agg(*sums).select(*gram)
+        w = (
+            a.crossJoin(F.broadcast(w.select("b0", "b1", "b2")))
+            .selectExpr(
+                *[
+                    f"(round(b{j} + ({_IRLS_D[j]}) / ({_IRLS_DET}), 6) + 0.0) AS b{j}"
+                    for j in range(3)
+                ],
+                "n",
+                "sae div n AS mae_ppm",
+            )
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            w.selectExpr(
+                f"cast({k} as bigint) AS iter",
+                "n",
+                "b0",
+                "b1",
+                "b2",
+                "cast(mae_ppm as bigint) AS mae_ppm",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res

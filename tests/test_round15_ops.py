@@ -143,3 +143,76 @@ def test_cdc_cross_doc_matches_python_reference(spark, sf_dir):
         assert r.doc_a < r.doc_b
         assert 2500 <= r.containment_bp <= 10000
         assert r.shared_chunks <= min(r.n_chunks_a, r.n_chunks_b)
+
+
+# ---------------------------------------------------------------------------
+# ml_logreg_irls (r15)
+
+
+def _py_irls(sf_dir, iters=3):
+    """Pure-python twin of the declared IRLS contract (fast-sigmoid link,
+    floor-1e6 quantized sufficient stats, Cramer solve, 6dp rounding)."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    y = (
+        ((li.l_orderkey % 1000003) * 2654435761) % 1000
+        < 100 + 16 * li.l_quantity.round().astype("int64")
+    ).astype("int64")
+    x1 = li.l_quantity.round().astype("int64")
+    x2 = (li.l_discount * 100).round().astype("int64")
+    rows = list(zip(y, x1, x2))
+    b = [0.0, 0.0, 0.0]
+    out = []
+    for it in range(1, iters + 1):
+        s = Counter()
+        for yy, a1, a2 in rows:
+            z = b[0] + b[1] * a1 + b[2] * a2
+            p = 0.5 + 0.5 * z / (1.0 + abs(z))
+            w = p * (1.0 - p)
+            for key, t in (
+                ("g00", w), ("g01", w * a1), ("g02", w * a2),
+                ("g11", w * a1 * a1), ("g12", w * a1 * a2), ("g22", w * a2 * a2),
+                ("r0", yy - p), ("r1", (yy - p) * a1), ("r2", (yy - p) * a2),
+                ("sae", abs(yy - p)),
+            ):
+                s[key] += math.floor(1000000 * t)
+        g = {k: s[k] / 1000000.0 for k in s}
+        g00, g01, g02 = g["g00"], g["g01"], g["g02"]
+        g11, g12, g22 = g["g11"], g["g12"], g["g22"]
+        r0, r1, r2 = g["r0"], g["r1"], g["r2"]
+        det = g00 * (g11 * g22 - g12 * g12) - g01 * (g01 * g22 - g12 * g02) + g02 * (
+            g01 * g12 - g11 * g02
+        )
+        d = (
+            r0 * (g11 * g22 - g12 * g12) - g01 * (r1 * g22 - g12 * r2) + g02 * (r1 * g12 - g11 * r2),
+            g00 * (r1 * g22 - g12 * r2) - r0 * (g01 * g22 - g12 * g02) + g02 * (g01 * r2 - r1 * g02),
+            g00 * (g11 * r2 - g12 * r1) - g01 * (g01 * r2 - r1 * g02) + r0 * (g01 * g12 - g11 * g02),
+        )
+        b = [round(b[j] + d[j] / det, 6) + 0.0 for j in range(3)]
+        out.append((it, len(rows), b[0], b[1], b[2], s["sae"] // len(rows)))
+    return out
+
+
+def test_logreg_irls_matches_python_twin(spark, sf_dir):
+    got = sorted(
+        (r.iter, r.n, r.b0, r.b1, r.b2, r.mae_ppm)
+        for r in REGISTRY["ml_logreg_irls"].spark(spark, sf_dir).collect()
+    )
+    assert got == _py_irls(sf_dir)
+
+
+def test_logreg_irls_recovers_planted_signal(spark, sf_dir):
+    """The label is planted with P(y=1|qty) = (100+16*qty)/1000 and NO
+    discount dependence: the final iterate must have a clearly positive
+    quantity coefficient, a near-zero discount coefficient, and the
+    training MAE must improve on the w=0 model's 500000ppm."""
+    rows = {r.iter: r for r in REGISTRY["ml_logreg_irls"].spark(spark, sf_dir).collect()}
+    last = rows[max(rows)]
+    assert rows[1].mae_ppm == 500000
+    assert last.b1 > 0.02
+    assert abs(last.b2) < last.b1 / 5
+    assert last.mae_ppm < 450000
+    # fitted probability rises across the quantity range
+    def p(b, q):
+        z = b.b0 + b.b1 * q
+        return 0.5 + 0.5 * z / (1 + abs(z))
+    assert p(last, 50) - p(last, 1) > 0.3
