@@ -4697,3 +4697,103 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("head"))
         .alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits — hubs & authorities on the k-NN graph
+
+
+_HITS_ORACLE = f"""
+    WITH knn AS (SELECT vec_id, nbr_id FROM ({_KNN_GRAPH_ORACLE})),
+    n AS (SELECT vec_id FROM embeddings),
+    a1 AS (SELECT nbr_id AS vec_id, SUM(1000000) AS s FROM knn GROUP BY 1),
+    a1n AS (SELECT n.vec_id, COALESCE(a1.s, 0) AS s FROM n LEFT JOIN a1 USING (vec_id)),
+    a1m AS (SELECT MAX(s) AS m FROM a1n),
+    a1s AS (SELECT vec_id, s * 1000000 // m AS auth FROM a1n CROSS JOIN a1m),
+    h1 AS (SELECT knn.vec_id, SUM(a1s.auth) AS s
+           FROM knn JOIN a1s ON a1s.vec_id = knn.nbr_id GROUP BY 1),
+    h1n AS (SELECT n.vec_id, COALESCE(h1.s, 0) AS s FROM n LEFT JOIN h1 USING (vec_id)),
+    h1m AS (SELECT MAX(s) AS m FROM h1n),
+    h1s AS (SELECT vec_id, s * 1000000 // m AS hub FROM h1n CROSS JOIN h1m),
+    a2 AS (SELECT knn.nbr_id AS vec_id, SUM(h1s.hub) AS s
+           FROM knn JOIN h1s ON h1s.vec_id = knn.vec_id GROUP BY 1),
+    a2n AS (SELECT n.vec_id, COALESCE(a2.s, 0) AS s FROM n LEFT JOIN a2 USING (vec_id)),
+    a2m AS (SELECT MAX(s) AS m FROM a2n),
+    a2s AS (SELECT vec_id, s * 1000000 // m AS auth FROM a2n CROSS JOIN a2m),
+    h2 AS (SELECT knn.vec_id, SUM(a2s.auth) AS s
+           FROM knn JOIN a2s ON a2s.vec_id = knn.nbr_id GROUP BY 1),
+    h2n AS (SELECT n.vec_id, COALESCE(h2.s, 0) AS s FROM n LEFT JOIN h2 USING (vec_id)),
+    h2m AS (SELECT MAX(s) AS m FROM h2n)
+    SELECT a2s.vec_id, CAST(a2s.auth AS BIGINT) AS authority,
+           CAST(h2n.s * 1000000 // h2m.m AS BIGINT) AS hub
+    FROM a2s JOIN h2n ON h2n.vec_id = a2s.vec_id CROSS JOIN h2m
+    """
+
+
+@register("graph_hits", group="llm-ext", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of HITS (Kleinberg's hubs & authorities) over the
+    directed k-NN similarity graph — the centrality pair
+    [[graph_pagerank]] doesn't give: an AUTHORITY is a vector many
+    others point at (a density center worth keeping in curation), a HUB
+    points at many strong authorities (a broker/bridge vector;
+    hub >> authority flags outliers whose own neighborhood is empty).
+    Classic HITS normalizes each half-step by the L2 norm; this uses
+    max-normalization to 0..1e6 (the same fixed-point family as
+    PageRank's 1e6 scale) so every operation is exact integer SUM /
+    `div` — identical in both engines, exact oracle, no rows-only
+    escape for an "iterative" algorithm.
+
+    Shape at scale (the graph_pagerank discipline): edges are built
+    once by the banded k-NN stage (pairs bounded per LSH bucket) and
+    lineage-truncated; each half-step is ONE co-partitioned edge⋈score
+    join + a partial-agg SUM on the opposite endpoint, and the max is a
+    single broadcast scalar (1-row crossJoin, a BNLJ probe, not a
+    cartesian). |edges| rows move per half-step. Each normalized score
+    table is localCheckpoint'd so the 4-level recursion never re-runs
+    upstream steps. Integer headroom: score*1e6 stays < 2^63 up to
+    ~9e6 in-degree; past that the SUM accumulates in DECIMAL(38,0) the
+    way [[ml_linreg_normal]]'s `_dec` does."""
+    edges = (
+        _knn_edges(spark, sf_dir).select("vec_id", "nbr_id").localCheckpoint(eager=False)
+    )
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+
+    def norm(scores: DataFrame, col: str) -> DataFrame:
+        filled = nodes.join(scores, "vec_id", "left").select(
+            "vec_id", F.coalesce("s", F.lit(0).cast("long")).alias("s")
+        )
+        m = filled.agg(F.max("s").alias("m"))
+        return (
+            filled.crossJoin(F.broadcast(m))
+            .selectExpr("vec_id", f"s * 1000000 div m AS {col}")
+            .localCheckpoint(eager=False)
+        )
+
+    def auth_step(hubs: DataFrame) -> DataFrame:
+        return norm(
+            edges.join(hubs, "vec_id")
+            .groupBy(F.col("nbr_id").alias("vec_id"))
+            .agg(F.sum("hub").alias("s")),
+            "auth",
+        )
+
+    def hub_step(auths: DataFrame) -> DataFrame:
+        return norm(
+            edges.join(
+                auths.select(F.col("vec_id").alias("nbr_id"), "auth"), "nbr_id"
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("auth").alias("s")),
+            "hub",
+        )
+
+    h0 = nodes.select("vec_id", F.lit(1000000).cast("long").alias("hub"))
+    a1 = auth_step(h0)
+    h1 = hub_step(a1)
+    a2 = auth_step(h1)
+    h2 = hub_step(a2)
+    return (
+        a2.join(h2, "vec_id")
+        .selectExpr("vec_id", "cast(auth as bigint) AS authority", "cast(hub as bigint) AS hub")
+    )

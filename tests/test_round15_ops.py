@@ -216,3 +216,48 @@ def test_logreg_irls_recovers_planted_signal(spark, sf_dir):
         z = b.b0 + b.b1 * q
         return 0.5 + 0.5 * z / (1 + abs(z))
     assert p(last, 50) - p(last, 1) > 0.3
+
+
+# ---------------------------------------------------------------------------
+# graph_hits (r15)
+
+
+def test_hits_matches_python_twin(spark, sf_dir):
+    """Recompute two max-normalized HITS rounds in pure python from the
+    declared k-NN edge set (itself oracle-pinned) and require exact
+    integer equality; plus the semantic sanity that at least one node
+    attains the 1e6 max on each axis and isolated-in-degree nodes sit
+    at authority 0."""
+    edges = [
+        (r.vec_id, r.nbr_id)
+        for r in REGISTRY["ann_knn_graph"].spark(spark, sf_dir).collect()
+    ]
+    nodes = set(
+        pd.read_parquet(f"{sf_dir}/embeddings.parquet").vec_id.tolist()
+    )
+
+    def norm(scores):
+        m = max(scores.values())
+        return {v: scores.get(v, 0) * 1000000 // m for v in nodes}
+
+    hub = {v: 1000000 for v in nodes}
+    for _ in range(2):
+        auth = defaultdict(int)
+        for u, v in edges:
+            auth[v] += hub[u]
+        auth = norm(auth)
+        hub = defaultdict(int)
+        for u, v in edges:
+            hub[u] += auth[v]
+        hub = norm(hub)
+
+    got = REGISTRY["graph_hits"].spark(spark, sf_dir).collect()
+    assert {r.vec_id: (r.authority, r.hub) for r in got} == {
+        v: (auth[v], hub[v]) for v in nodes
+    }
+    assert max(r.authority for r in got) == 1000000
+    assert max(r.hub for r in got) == 1000000
+    indeg = {v for _, v in edges}
+    for r in got:
+        if r.vec_id not in indeg:
+            assert r.authority == 0
