@@ -4206,3 +4206,198 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionAll(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility — per-language BPE fertility / compression audit
+
+
+_FERT_ORACLE = f"""
+    WITH b AS ({_BPE_APPLY_ORACLE})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_tokens_ws) AS BIGINT) AS tokens_ws,
+           CAST(SUM(b.n_tokens_bpe) AS BIGINT) AS tokens_bpe,
+           CAST(SUM(b.n_tokens_bpe) * 10000 // SUM(b.n_tokens_ws) AS BIGINT)
+             AS fertility_bp,
+           CAST(SUM(d.n_chars) * 1000 // SUM(b.n_tokens_bpe) AS BIGINT)
+             AS chars_per_bpe_milli
+    FROM b JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@register("text_tokenizer_fertility", group="stats-ml", oracle=_FERT_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility — the multilingual health metric
+    every production tokenizer review reads first (how many subword
+    tokens the tokenizer spends per whitespace word, by language): a
+    language whose fertility is far above the corpus norm is
+    under-served by the merge table (its text costs more context budget
+    per word), the standard argument for rebalancing BPE training data.
+    Composes [[text_bpe_tokenize]]'s per-doc counts with the documents
+    language column; also emits chars-per-BPE-token (milli-chars, the
+    compression-rate view of the same health check).
+
+    Shape at scale: the per-doc token counts already reduce to one row
+    per doc in text_bpe_tokenize's broadcast-join aggregate; this adds
+    a |langs|-group rollup of that table joined to the (doc_id, lang,
+    n_chars) projection — integer `div` ratios, exact oracle."""
+    b = text_bpe_tokenize(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        b.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens_ws").cast("long").alias("tokens_ws"),
+            F.sum("n_tokens_bpe").cast("long").alias("tokens_bpe"),
+            F.expr("sum(n_tokens_bpe) * 10000 div sum(n_tokens_ws)")
+            .cast("long")
+            .alias("fertility_bp"),
+            F.expr("sum(n_chars) * 1000 div sum(n_tokens_bpe)")
+            .cast("long")
+            .alias("chars_per_bpe_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ljung_box — portmanteau white-noise test on the hourly rate
+
+
+_LB_H = 3  # lags pooled into Q
+_LB_CRIT_95 = 7.814728  # chi-square(3) upper 5% point
+
+# rho_k as ONE double division of exact integers: multiply the mean-centered
+# numerator and denominator through by n^2 —
+#   N_k = n^2*Sxy_k - n*Sx*(Sh_k + St_k) + (n - k)*Sx^2
+#   D   = n^2*Sxx   - n*Sx^2
+# (classic sample ACF: full-series mean and denominator, n - k cross terms).
+_LB_RHO = (
+    "cast((nd * nd * sxy{k} - nd * sx * (sh{k} + st{k}) + (nd - {k}) * sx * sx)"
+    " as double) / cast((nd * nd * sxx - nd * sx * sx) as double)"
+)
+_LB_Q = (
+    "cast(n as double) * (cast(n as double) + 2.0)"
+    " * (rho1 * rho1 / (cast(n as double) - 1.0)"
+    "  + rho2 * rho2 / (cast(n as double) - 2.0)"
+    "  + rho3 * rho3 / (cast(n as double) - 3.0))"
+)
+
+_LB_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, list(n_events ORDER BY bucket_us) AS xs
+      FROM c GROUP BY event_type
+    ), m AS (
+      SELECT event_type, CAST(len(xs) AS BIGINT) AS n,
+             CAST(len(xs) AS HUGEINT) AS nd,
+             CAST(list_sum(xs) AS HUGEINT) AS sx,
+             CAST(list_sum(list_transform(xs, x -> x * x)) AS HUGEINT) AS sxx,
+             {", ".join(
+               f"CAST(list_sum(list_transform(generate_series(1, len(xs) - {k}),"
+               f" i -> xs[i] * xs[i + {k}])) AS HUGEINT) AS sxy{k},"
+               f" CAST(list_sum(xs[1 : len(xs) - {k}]) AS HUGEINT) AS sh{k},"
+               f" CAST(list_sum(xs[{k} + 1 : len(xs)]) AS HUGEINT) AS st{k}"
+               for k in range(1, _LB_H + 1)
+             )}
+      FROM s WHERE len(xs) > {_LB_H + 1}
+    ), r AS (
+      SELECT event_type, n,
+             {", ".join(_LB_RHO.format(k=k) + f" AS rho{k}" for k in range(1, _LB_H + 1))}
+      FROM m
+    )
+    SELECT event_type, n,
+           {", ".join(f"(round(rho{k}, 6) + 0.0) AS rho{k}" for k in range(1, _LB_H + 1))},
+           (round({_LB_Q}, 6) + 0.0) AS q_lb,
+           CAST(CASE WHEN {_LB_Q} > {_LB_CRIT_95} THEN 1 ELSE 0 END AS BIGINT)
+             AS white_noise_rejected
+    FROM r
+    """
+
+
+@register("stats_ljung_box", group="stats-ml", oracle=_LB_ORACLE)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test on the hourly event rate
+    per type — the DECISION layer over [[ts_autocorr]]'s descriptive
+    ACF: Q = n(n+2)·Σ_{{k≤{h}}} ρ̂_k²/(n−k) against the χ²({h}) 95%
+    point ({crit}), the standard pre-forecasting gate ("is there any
+    serial structure for [[ts_holt_linear]] / [[events_forecast_backtest]]
+    to exploit, or is this type pure noise?"). Uses the textbook sample
+    ACF (full-series mean, full-series denominator, n−k cross products)
+    — NOT ts_autocorr's Pearson-pairs variant; the docstrings
+    cross-reference the difference deliberately.
+
+    Exactness: each ρ̂_k is ONE double division of exact integer
+    moments — the centered numerator and denominator are multiplied
+    through by n² so x̄ never appears as a rounded intermediate
+    (DECIMAL(38,0)/HUGEINT products of BIGINT HOF sums, the
+    ts_autocorr fold family); Q is the identical double chain in both
+    engines. Shape at scale: raw events pay the (type, hour) rollup
+    shuffle once; everything after rides the tiny per-type bucket
+    list."""
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_us", "n_events"))),
+        lambda s: s["n_events"],
+    )
+    s = c.groupBy("event_type").agg(xs.alias("xs")).filter(
+        F.size("xs") > _LB_H + 1
+    )
+    zero = F.lit(0).cast("long")
+    moments = [
+        F.size("xs").cast("long").alias("n"),
+        F.size("xs").cast("decimal(38,0)").alias("nd"),
+        F.aggregate(F.col("xs"), zero, lambda a, x: a + x)
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.aggregate(F.col("xs"), zero, lambda a, x: a + x * x)
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    ]
+    for k in range(1, _LB_H + 1):
+        head = F.expr(f"slice(xs, 1, size(xs) - {k})")
+        tail_ = F.expr(f"slice(xs, {k} + 1, size(xs) - {k})")
+        moments += [
+            F.aggregate(
+                F.zip_with(head, tail_, lambda x, y: x * y), zero, lambda a, x: a + x
+            )
+            .cast("decimal(38,0)")
+            .alias(f"sxy{k}"),
+            F.aggregate(head, zero, lambda a, x: a + x)
+            .cast("decimal(38,0)")
+            .alias(f"sh{k}"),
+            F.aggregate(tail_, zero, lambda a, x: a + x)
+            .cast("decimal(38,0)")
+            .alias(f"st{k}"),
+        ]
+    m = s.select("event_type", *moments)
+    r = m.selectExpr(
+        "event_type",
+        "n",
+        *[_LB_RHO.format(k=k) + f" AS rho{k}" for k in range(1, _LB_H + 1)],
+    )
+    return r.selectExpr(
+        "event_type",
+        "n",
+        *[f"(round(rho{k}, 6) + 0.0) AS rho{k}" for k in range(1, _LB_H + 1)],
+        f"(round({_LB_Q}, 6) + 0.0) AS q_lb",
+        f"cast(case when {_LB_Q} > {_LB_CRIT_95} then 1 else 0 end as bigint)"
+        " AS white_noise_rejected",
+    )
+
+
+stats_ljung_box.__doc__ = stats_ljung_box.__doc__.format(h=_LB_H, crit=_LB_CRIT_95)

@@ -261,3 +261,76 @@ def test_hits_matches_python_twin(spark, sf_dir):
     for r in got:
         if r.vec_id not in indeg:
             assert r.authority == 0
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility (r15)
+
+
+def test_tokenizer_fertility_consistent_with_bpe_tokenize(spark, sf_dir):
+    """Rollup twin: aggregate the (already oracle-pinned)
+    text_bpe_tokenize per-doc counts by language in pandas and require
+    exact equality, including the integer-div ratios; fertility must be
+    >= 10000bp (a BPE segmentation never merges across whitespace, so it
+    cannot emit fewer tokens than words)."""
+    per_doc = REGISTRY["text_bpe_tokenize"].spark(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    j = per_doc.merge(docs, on="doc_id")
+    exp = {}
+    for lang, g in j.groupby("lang"):
+        ws, bpe, ch = (
+            int(g.n_tokens_ws.sum()),
+            int(g.n_tokens_bpe.sum()),
+            int(g.n_chars.sum()),
+        )
+        exp[lang] = (len(g), ws, bpe, bpe * 10000 // ws, ch * 1000 // bpe)
+    got = REGISTRY["text_tokenizer_fertility"].spark(spark, sf_dir).collect()
+    assert {
+        r.lang: (r.n_docs, r.tokens_ws, r.tokens_bpe, r.fertility_bp, r.chars_per_bpe_milli)
+        for r in got
+    } == exp
+    for r in got:
+        assert r.fertility_bp >= 10000
+
+
+# ---------------------------------------------------------------------------
+# stats_ljung_box (r15)
+
+
+def test_ljung_box_matches_numpy_twin(spark, sf_dir):
+    """Recompute the textbook statistic with floats in numpy (no integer
+    tricks) and require agreement to 1e-4 relative — pins that the
+    n^2-scaled integer algebra really computes the classic sample ACF —
+    plus exact equality of the integer columns and the decision flag,
+    and a synthetic sanity: Q on a strongly trending series rejects."""
+    import numpy as np
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["bucket"] = ev.ts.astype("datetime64[ns]").astype("int64") // (3600 * 10**9)
+    got = {r.event_type: r for r in REGISTRY["stats_ljung_box"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(ev.event_type.unique())
+
+    def lb(xs, h=3):
+        xs = np.asarray(xs, dtype=float)
+        n = len(xs)
+        xc = xs - xs.mean()
+        den = (xc * xc).sum()
+        rhos = [(xc[:-k] * xc[k:]).sum() / den for k in range(1, h + 1)]
+        q = n * (n + 2) * sum(r * r / (n - k) for k, r in zip(range(1, h + 1), rhos))
+        return n, rhos, q
+
+    for et, g in ev.groupby("event_type"):
+        xs = g.groupby("bucket").size().sort_index().tolist()
+        n, rhos, q = lb(xs)
+        r = got[et]
+        assert r.n == n
+        for k, rho in enumerate(rhos, 1):
+            assert abs(getattr(r, f"rho{k}") - rho) < 1e-4 * max(1, abs(rho))
+        assert abs(r.q_lb - q) < 1e-3 * max(1.0, abs(q))
+        assert r.white_noise_rejected == int(q > 7.814728)
+
+    # trending series must reject whiteness under the same formula
+    _, _, q_trend = lb(list(range(100)))
+    assert q_trend > 7.814728
