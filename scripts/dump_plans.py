@@ -81,6 +81,12 @@ HEADLINE = [
     "text_strip_boilerplate",
     "text_bpe_tokenize",
     "text_pii_scrub",
+    # round 15 continuation: perplexity split, cross-doc CDC, IRLS, HITS
+    "text_perplexity_buckets",
+    "dedup_cdc_cross_doc",
+    "ml_logreg_irls",
+    "graph_hits",
+    "stats_ljung_box",
 ]
 
 
