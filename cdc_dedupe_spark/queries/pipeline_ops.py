@@ -619,3 +619,103 @@ def _register_corpus_write_readback() -> None:
 
 
 _register_corpus_write_readback()
+
+
+# ---------------------------------------------------------------------------
+# pipeline_compaction_plan — small-file compaction binning (r15)
+
+_COMPACT_TARGET = 16_384  # target output-group payload (chars, the bytes proxy)
+
+_COMPACT_ORACLE = f"""
+    WITH p AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS part_bytes
+      FROM documents GROUP BY 1, 2
+    ), c AS (
+      SELECT lang, source, n_docs, part_bytes,
+             CAST(COALESCE(SUM(part_bytes) OVER (
+               PARTITION BY lang ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM p
+    ), b AS (
+      SELECT lang, source, n_docs, part_bytes,
+             cum_prev // {_COMPACT_TARGET} AS bin_id
+      FROM c
+    ), r AS (
+      SELECT lang, bin_id,
+             CAST(SUM(n_docs) AS BIGINT) AS bin_docs,
+             CAST(SUM(part_bytes) AS BIGINT) AS bin_bytes,
+             CAST(COUNT(*) AS BIGINT) AS bin_inputs
+      FROM b GROUP BY 1, 2
+    )
+    SELECT b.lang, b.source, b.n_docs, b.part_bytes,
+           CAST(b.bin_id AS BIGINT) AS bin_id,
+           r.bin_inputs, r.bin_docs, r.bin_bytes
+    FROM b JOIN r ON r.lang = b.lang AND r.bin_id = b.bin_id
+    """
+
+
+@register("pipeline_compaction_plan", group="pipeline-ops", oracle=_COMPACT_ORACLE)
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION plan — the lakehouse maintenance op every
+    partitioned 100 TB table needs (Delta OPTIMIZE / Iceberg rewrite's
+    planning stage, as a declarative query): roll the corpus up to its
+    physical write grain ((lang, source) here, standing in for the
+    transaction log's per-file rows), then greedily bin consecutive
+    input units into output groups of ~{target} payload chars via a
+    running-total `div` — every input unit is assigned exactly one
+    rewrite bin, and the audit columns (bin_inputs / bin_docs /
+    bin_bytes) show the fan-in and the resulting output-file size the
+    rewrite would produce. Deterministic: units are ordered by the
+    source key, the bin id is floor(preceding-payload / target), exact
+    integers throughout.
+
+    Shape at scale: THE point of a compaction planner is that it never
+    touches data — the rollup is one partial-agg shuffle to metadata
+    grain (|langs|x|sources| rows), and binning/audit ride that tiny
+    frame (per-lang running window + a bin-grain self-join). On a real
+    lakehouse table stage 1 is replaced by the file listing; the
+    binning layer is unchanged and metadata-sized. The rewrite itself
+    is [[pipeline_corpus_write_readback]]'s bucketed write path, one
+    bin per job."""
+    p = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("part_bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = (
+        p.withColumn("cum_prev", F.sum("part_bytes").over(w))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "part_bytes",
+            F.expr(f"coalesce(cum_prev, 0L) div {_COMPACT_TARGET}")
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )
+    r = b.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bin_inputs"),
+        F.sum("n_docs").cast("long").alias("bin_docs"),
+        F.sum("part_bytes").cast("long").alias("bin_bytes"),
+    )
+    return b.join(F.broadcast(r), ["lang", "bin_id"]).select(
+        "lang", "source", "n_docs", "part_bytes", "bin_id",
+        "bin_inputs", "bin_docs", "bin_bytes",
+    )
+
+
+pipeline_compaction_plan.__doc__ = pipeline_compaction_plan.__doc__.format(
+    target=_COMPACT_TARGET
+)

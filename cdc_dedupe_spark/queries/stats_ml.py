@@ -4401,3 +4401,142 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 stats_ljung_box.__doc__ = stats_ljung_box.__doc__.format(h=_LB_H, crit=_LB_CRIT_95)
+
+
+# ---------------------------------------------------------------------------
+# events_did_estimator — difference-in-differences readout (round 15)
+
+_DID_LIFT_CENTS = 8000  # planted treated-post lift per purchase event (sized to dominate the ~14-dollar cell SE even at the sf0.001 fixture)
+
+# Deterministic 50/50 treatment assignment from the user key (the
+# ml_logreg_irls planting trick; mod-reduce first so the product never
+# nears 2^63 at any user-pool size).
+_DID_TREAT = "((user_id % 1000003) * 2654435761) % 1000 < 500"
+
+_DID_VAR = (
+    "cast(nd_{c} * sq_{c} - s_{c} * s_{c} as double)"
+    " / cast(nd_{c} * (nd_{c} - 1) as double)"
+)
+_DID_MEAN = "cast(s_{c} as double) / cast(n_{c} as double)"
+_DID_EST = (
+    f"(({_DID_MEAN.format(c='tp')}) - ({_DID_MEAN.format(c='tr')}))"
+    f" - (({_DID_MEAN.format(c='cp')}) - ({_DID_MEAN.format(c='cr')}))"
+)
+_DID_SE = (
+    "sqrt("
+    + " + ".join(
+        f"({_DID_VAR.format(c=c)}) / cast(n_{c} as double)"
+        for c in ("tp", "tr", "cp", "cr")
+    )
+    + ")"
+)
+
+
+def _did_oracle() -> str:
+    cells = {
+        "tp": "treat = 1 AND post = 1",
+        "tr": "treat = 1 AND post = 0",
+        "cp": "treat = 0 AND post = 1",
+        "cr": "treat = 0 AND post = 0",
+    }
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{c},"
+        f" CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS HUGEINT) AS nd_{c},"
+        f" CAST(SUM(CASE WHEN {cond} THEN cents ELSE 0 END) AS HUGEINT) AS s_{c},"
+        f" CAST(SUM(CASE WHEN {cond} THEN cents * cents ELSE 0 END) AS HUGEINT)"
+        f" AS sq_{c}"
+        for c, cond in cells.items()
+    )
+    means = ", ".join(
+        f"(round({_DID_MEAN.format(c=c)}, 6) + 0.0) AS mean_{c}" for c in cells
+    )
+    return f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS base_cents
+      FROM events WHERE event_type = 'purchase'
+    ), b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM d),
+    v AS (
+      SELECT CASE WHEN {_DID_TREAT} THEN 1 ELSE 0 END AS treat,
+             CASE WHEN day >= b.mid THEN 1 ELSE 0 END AS post,
+             base_cents + CASE WHEN ({_DID_TREAT}) AND day >= b.mid
+                               THEN {_DID_LIFT_CENTS} ELSE 0 END AS cents
+      FROM d, b
+    ), m AS (SELECT {sums} FROM v)
+    SELECT n_tp, n_tr, n_cp, n_cr, {means},
+           (round({_DID_EST}, 6) + 0.0) AS did_estimate,
+           (round({_DID_SE}, 6) + 0.0) AS se,
+           (round(({_DID_EST}) / ({_DID_SE}), 6) + 0.0) AS t_stat,
+           CAST(CASE WHEN abs(({_DID_EST}) / ({_DID_SE})) > 1.96
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM m
+    """
+
+
+@register("events_did_estimator", group="stats-ml", oracle=_did_oracle())
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the panel-data causal design next to
+    [[stats_ab_cuped]]'s covariate adjustment: purchase spend per event
+    in four (treat x pre/post) cells, effect = (treated post−pre) −
+    (control post−pre), cancelling both the level difference between
+    groups and the common time trend. Treatment is a deterministic
+    user-key hash split and a {lift}-cent lift is PLANTED on
+    treated-post purchases (the [[ml_logreg_irls]] recoverable-signal
+    trick), so the estimate has a known truth the tests pin — on this
+    otherwise-random corpus the estimator must read back ~{lift}
+    cents with a significant t.
+
+    Exactness: cell moments are exact BIGINT/DECIMAL sums of integer
+    cents; means, Welch-style pooled SE, and t are one shared double
+    chain. Shape at scale: ONE corpus pass collapses to 16 scalars in a
+    single map-side-combined aggregate (no per-user shuffle — the cell
+    assignment is a pure row function); the day midpoint rides a 1-row
+    broadcast, the same discipline as stats_ab_cuped."""
+    d = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("base_cents"),
+        )
+    )
+    b = d.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    v = d.crossJoin(F.broadcast(b)).selectExpr(
+        f"case when {_DID_TREAT} then 1 else 0 end AS treat",
+        "case when day >= mid then 1 else 0 end AS post",
+        f"base_cents + case when ({_DID_TREAT}) and day >= mid"
+        f" then {_DID_LIFT_CENTS} else 0 end AS cents",
+    )
+    cells = {
+        "tp": "treat = 1 AND post = 1",
+        "tr": "treat = 1 AND post = 0",
+        "cp": "treat = 0 AND post = 1",
+        "cr": "treat = 0 AND post = 0",
+    }
+    sums = []
+    for c, cond in cells.items():
+        sums += [
+            F.expr(f"cast(sum(case when {cond} then 1 else 0 end) as bigint)").alias(f"n_{c}"),
+            F.expr(f"cast(sum(case when {cond} then 1 else 0 end) as decimal(38,0))").alias(f"nd_{c}"),
+            F.expr(f"cast(sum(case when {cond} then cents else 0 end) as decimal(38,0))").alias(f"s_{c}"),
+            F.expr(
+                f"cast(sum(case when {cond} then cents * cents else 0 end) as decimal(38,0))"
+            ).alias(f"sq_{c}"),
+        ]
+    m = v.agg(*sums)
+    return m.selectExpr(
+        "n_tp", "n_tr", "n_cp", "n_cr",
+        *[f"(round({_DID_MEAN.format(c=c)}, 6) + 0.0) AS mean_{c}" for c in cells],
+        f"(round({_DID_EST}, 6) + 0.0) AS did_estimate",
+        f"(round({_DID_SE}, 6) + 0.0) AS se",
+        f"(round(({_DID_EST}) / ({_DID_SE}), 6) + 0.0) AS t_stat",
+        f"cast(case when abs(({_DID_EST}) / ({_DID_SE})) > 1.96"
+        " then 1 else 0 end as bigint) AS significant",
+    )
+
+
+events_did_estimator.__doc__ = events_did_estimator.__doc__.format(
+    lift=_DID_LIFT_CENTS
+)

