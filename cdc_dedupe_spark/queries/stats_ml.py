@@ -4540,3 +4540,213 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_did_estimator.__doc__ = events_did_estimator.__doc__.format(
     lift=_DID_LIFT_CENTS
 )
+
+
+# ---------------------------------------------------------------------------
+# ml_gbdt_stumps — histogram-based gradient boosting with stump learners
+
+_GB_NU = 0.5  # shrinkage
+_GB_ROUNDS = 3
+
+
+def _gb_resid(m: int) -> str:
+    """Residual under the m-stump model — the shared per-row string both
+    engines evaluate (model columns b0, f{j}/t{j}/vl{j}/vr{j} ride the
+    1-row broadcast frame)."""
+    e = "CAST(y AS DOUBLE) - b0"
+    for j in range(1, m + 1):
+        e += (
+            f" - (CASE WHEN (f{j} = 'x1' AND x1 <= t{j})"
+            f" OR (f{j} = 'x2' AND x2 <= t{j})"
+            f" THEN vl{j} ELSE vr{j} END)"
+        )
+    return f"({e})"
+
+
+# SSE-reduction score of a split candidate, over quantized-residual sums
+# (exact ints -> identical doubles): S_l^2/n_l + S_r^2/n_r - S^2/n.
+_GB_GAIN = (
+    "CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)"
+    " + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+)
+_GB_MEAN_L = "CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE) / 1000000.0"
+_GB_MEAN_R = "CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) / 1000000.0"
+
+
+def _gbdt_oracle() -> str:
+    base = "SELECT " + ", ".join(_IRLS_BASE_COLS) + " FROM lineitem"
+    sql = f"""WITH base AS ({base}),
+    w0 AS (SELECT (round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) + 0.0) AS b0 FROM base)"""
+    for k in range(1, _GB_ROUNDS + 1):
+        r = _gb_resid(k - 1)
+        sql += f""", rows{k} AS (
+      SELECT x1, x2, CAST(floor(1000000 * {r}) AS BIGINT) AS q,
+             CAST(floor(1000000 * ({r}) * ({r})) AS BIGINT) AS q2
+      FROM base CROSS JOIN w{k - 1}
+    ), tot{k} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS HUGEINT) AS s,
+             CAST(SUM(q2) AS HUGEINT) AS sq2 FROM rows{k}
+    ), hist{k} AS (
+      SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(q) AS HUGEINT) AS sv
+      FROM (SELECT 'x1' AS feat, x1 AS val, q FROM rows{k}
+            UNION ALL SELECT 'x2' AS feat, x2 AS val, q FROM rows{k})
+      GROUP BY feat, val
+    ), cum{k} AS (
+      SELECT feat, val,
+             CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS BIGINT) AS n_l,
+             CAST(SUM(sv) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) AS s_l
+      FROM hist{k}
+    ), cand{k} AS (
+      SELECT feat, val, n_l, s_l, t.n - n_l AS n_r, t.s - s_l AS s_r, t.n AS n, t.s AS s
+      FROM cum{k} CROSS JOIN tot{k} t WHERE t.n - n_l > 0
+    ), best{k} AS (
+      SELECT feat, val, ({_GB_GAIN}) AS gain_q,
+             ({_GB_MEAN_L}) AS mean_l, ({_GB_MEAN_R}) AS mean_r
+      FROM cand{k} ORDER BY gain_q DESC, feat, val LIMIT 1
+    ), w{k} AS (
+      SELECT w.*,
+             b.feat AS f{k}, b.val AS t{k},
+             (round({_GB_NU} * b.mean_l, 6) + 0.0) AS vl{k},
+             (round({_GB_NU} * b.mean_r, 6) + 0.0) AS vr{k},
+             (round(b.gain_q / 1e12, 6) + 0.0) AS gain{k},
+             t.sq2 // t.n AS mse_ppm{k}
+      FROM w{k - 1} w CROSS JOIN best{k} b CROSS JOIN tot{k} t
+    )"""
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, f{k} AS feat,"
+        f" CAST(t{k} AS BIGINT) AS threshold, gain{k} AS gain,"
+        f" vl{k} AS v_left, vr{k} AS v_right,"
+        f" CAST(mse_ppm{k} AS BIGINT) AS mse_ppm FROM w{_GB_ROUNDS}"
+        for k in range(1, _GB_ROUNDS + 1)
+    )
+    return sql + "\n" + union
+
+
+@register("ml_gbdt_stumps", group="stats-ml", oracle=_gbdt_oracle())
+def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM-based gradient boosting ({rounds} rounds of depth-1
+    trees, L2 loss, shrinkage {nu}) — the LightGBM split-finding shape
+    on DataFrames, completing the iterative-ML trio next to
+    [[ml_logreg_irls]] (Newton) and [[ml_pca_power]] (power iteration),
+    over the same planted label (P(y=1|qty) known, discount the null
+    control — boosting must select x1 every round, pinned). Per round:
+    residuals under the current additive model (model columns ride a
+    1-row broadcast), a (feature, value) HISTOGRAM of quantized
+    residual sums — candidate split stats come from a cumulative window
+    over that tiny table, NEVER a per-candidate scan of the corpus (the
+    histogram trick that makes GBDT distributed) — argmax split by SSE
+    reduction, leaf values shrunk and folded into the model frame.
+
+    Exactness: per-row residuals are identical doubles from one shared
+    expression string; histogram sums quantize floor(1e6·r) to BIGINT
+    (order-independent); gains/means are one shared double chain;
+    leaf values round to 6dp before re-entering the next pass — an
+    iterative ensemble trainer with an exact cross-engine oracle.
+    Output: the boosting TRAJECTORY (round, feat, threshold, gain,
+    v_left, v_right, mse_ppm) — mse_ppm is the pre-update training MSE,
+    so round 1 shows the variance of y around its mean.
+
+    Shape at scale: each round is one corpus map (residual + quantize)
+    into TWO partial-agg shuffles (the global moment row and the
+    O(|features|·|distinct values|) histogram); split search and the
+    model update ride the histogram. Continuous features bin to fixed
+    histograms first (the LightGBM discipline), keeping the shuffle
+    O(features · bins) at any corpus size."""
+    base = table(spark, sf_dir, "lineitem").selectExpr(*_IRLS_BASE_COLS)
+    w = base.agg(
+        F.expr("(round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) + 0.0)").alias("b0")
+    ).localCheckpoint(eager=False)
+    out = []
+    for k in range(1, _GB_ROUNDS + 1):
+        r = _gb_resid(k - 1)
+        rows = base.crossJoin(F.broadcast(w)).selectExpr(
+            "x1",
+            "x2",
+            f"CAST(floor(1000000 * {r}) AS BIGINT) AS q",
+            f"CAST(floor(1000000 * ({r}) * ({r})) AS BIGINT) AS q2",
+        )
+        tot = rows.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("decimal(38,0)").alias("s"),
+            F.sum("q2").cast("decimal(38,0)").alias("sq2"),
+        )
+        hist = (
+            rows.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.lit("x1").alias("feat"), F.col("x1").alias("val")),
+                        F.struct(F.lit("x2").alias("feat"), F.col("x2").alias("val")),
+                    )
+                ).alias("fv"),
+                "q",
+            )
+            .groupBy(F.col("fv.feat").alias("feat"), F.col("fv.val").alias("val"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("q").cast("decimal(38,0)").alias("sv"),
+            )
+        )
+        wc = (
+            Window.partitionBy("feat")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.select(
+            "feat",
+            "val",
+            F.sum("cnt").over(wc).cast("long").alias("n_l"),
+            F.sum("sv").over(wc).cast("decimal(38,0)").alias("s_l"),
+        )
+        cand = (
+            cum.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "feat", "val", "n_l", "s_l",
+                "n - n_l AS n_r", "s - s_l AS s_r", "n", "s", "sq2",
+            )
+            .filter(F.col("n_r") > 0)
+        )
+        best = (
+            cand.selectExpr(
+                "feat", "val", "sq2", "n",
+                f"({_GB_GAIN}) AS gain_q",
+                f"({_GB_MEAN_L}) AS mean_l",
+                f"({_GB_MEAN_R}) AS mean_r",
+            )
+            .orderBy(F.col("gain_q").desc(), "feat", "val")
+            .limit(1)
+        )
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .selectExpr(
+                *w.columns,
+                f"feat AS f{k}",
+                f"val AS t{k}",
+                f"(round({_GB_NU} * mean_l, 6) + 0.0) AS vl{k}",
+                f"(round({_GB_NU} * mean_r, 6) + 0.0) AS vr{k}",
+                f"(round(gain_q / 1e12, 6) + 0.0) AS gain{k}",
+                f"sq2 div n AS mse_ppm{k}",
+            )
+            .localCheckpoint(eager=False)
+        )
+    for k in range(1, _GB_ROUNDS + 1):
+        out.append(
+            w.selectExpr(
+                f"CAST({k} AS BIGINT) AS round",
+                f"f{k} AS feat",
+                f"CAST(t{k} AS BIGINT) AS threshold",
+                f"gain{k} AS gain",
+                f"vl{k} AS v_left",
+                f"vr{k} AS v_right",
+                f"CAST(mse_ppm{k} AS BIGINT) AS mse_ppm",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res
+
+
+ml_gbdt_stumps.__doc__ = ml_gbdt_stumps.__doc__.format(
+    rounds=_GB_ROUNDS, nu=_GB_NU
+)

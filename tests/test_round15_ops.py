@@ -426,3 +426,83 @@ def test_did_estimator_matches_python_twin_and_recovers_lift(spark, sf_dir):
         assert abs(getattr(r, f"mean_{c}") - means[c]) < 1e-6
     assert abs(r.did_estimate - 8000) < 4 * r.se
     assert r.significant == 1
+
+
+# ---------------------------------------------------------------------------
+# ml_gbdt_stumps (r15)
+
+
+def test_gbdt_stumps_matches_python_twin(spark, sf_dir):
+    """Full trajectory twin (histogram split search, quantized residual
+    sums, Cramer-free L2 leaf values, 6dp model rounding) plus the
+    planted-signal properties: boosting selects the signal feature x1
+    every round and training MSE strictly decreases."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    y = (
+        ((li.l_orderkey % 1000003) * 2654435761) % 1000
+        < 100 + 16 * li.l_quantity.round().astype("int64")
+    ).astype("int64")
+    x = {
+        "x1": li.l_quantity.round().astype("int64").tolist(),
+        "x2": (li.l_discount * 100).round().astype("int64").tolist(),
+    }
+    y = y.tolist()
+    n = len(y)
+    b0 = round(sum(y) / n, 6) + 0.0
+    stumps = []
+
+    def resid(i):
+        # mirror the engines' left-associated subtraction chain:
+        # ((y - b0) - term1) - term2 differs from y - (b0 + t1 + t2) in FP
+        r = float(y[i]) - b0
+        for f, t, vl, vr in stumps:
+            r -= vl if x[f][i] <= t else vr
+        return r
+
+    expected = []
+    for rnd in range(1, 4):
+        q = [math.floor(1000000 * resid(i)) for i in range(n)]
+        q2 = [math.floor(1000000 * resid(i) * resid(i)) for i in range(n)]
+        s_tot, n_tot = sum(q), n
+        best = None
+        for f in ("x1", "x2"):
+            hist = defaultdict(lambda: [0, 0])
+            for i in range(n):
+                h = hist[x[f][i]]
+                h[0] += 1
+                h[1] += q[i]
+            n_l = s_l = 0
+            for val in sorted(hist):
+                n_l += hist[val][0]
+                s_l += hist[val][1]
+                n_r, s_r = n_tot - n_l, s_tot - s_l
+                if n_r <= 0:
+                    continue
+                # mirror the declared chain: cast each sum to double BEFORE
+                # multiplying (exact-int products round differently)
+                gain = (
+                    float(s_l) * float(s_l) / float(n_l)
+                    + float(s_r) * float(s_r) / float(n_r)
+                    - float(s_tot) * float(s_tot) / float(n_tot)
+                )
+                key = (-gain, f, val)
+                if best is None or key < best[0]:
+                    best = (key, f, val, n_l, s_l, n_r, s_r, gain)
+        _, f, t, n_l, s_l, n_r, s_r, gain = best
+        vl = round(0.5 * (float(s_l) / float(n_l) / 1000000.0), 6) + 0.0
+        vr = round(0.5 * (float(s_r) / float(n_r) / 1000000.0), 6) + 0.0
+        expected.append(
+            (rnd, f, t, round(gain / 1e12, 6) + 0.0, vl, vr, sum(q2) // n)
+        )
+        stumps.append((f, t, vl, vr))
+
+    got = sorted(
+        (r.round, r.feat, r.threshold, r.gain, r.v_left, r.v_right, r.mse_ppm)
+        for r in REGISTRY["ml_gbdt_stumps"].spark(spark, sf_dir).collect()
+    )
+    assert got == expected
+    assert all(r[1] == "x1" for r in got), "null-control feature selected"
+    mses = [r[6] for r in got]
+    assert mses == sorted(mses, reverse=True) and mses[0] > mses[-1]
+    gains = [r[3] for r in got]
+    assert all(g > 0 for g in gains)
