@@ -87,6 +87,8 @@ HEADLINE = [
     "ml_logreg_irls",
     "graph_hits",
     "stats_ljung_box",
+    "ml_gbdt_stumps",
+    "pipeline_compaction_plan",
 ]
 
 
