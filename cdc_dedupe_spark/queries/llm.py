@@ -829,3 +829,168 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reclaimable_bytes"
         ),
     )
+
+
+# --- perceptual-hash near-dup over the opaque payload (r15) -------------------
+
+_AH_BITS = 55  # byte-block brightness bits (55 = 5 bands x 11 bits)
+_AH_BANDS = 5
+_AH_BAND_BITS = 11
+_AH_MAXHAM = 4  # <= bands - 1, so pigeonhole guarantees a clean band
+_AH_VARIANT_OFFSET = 10_000_000
+_AH_VARIANT_MOD = 17  # doc_id % 17 == 3 gets a corrupted re-encode variant
+
+
+def _ah_assets_sql(fdiv: str) -> str:
+    """Asset stream: every payload plus, for a deterministic doc subset,
+    a single-byte-corrupted variant (the 're-encode artifact' fixture —
+    same trick as text_pii_scrub's derived PII: planted, so the pair
+    output is non-degenerate and recall is testable)."""
+    mid = f"(length(text) {fdiv} 2)"
+    return f"""
+      SELECT doc_id AS asset_id, text AS t FROM documents
+      WHERE length(text) >= {_AH_BITS}
+      UNION ALL
+      SELECT doc_id + {_AH_VARIANT_OFFSET} AS asset_id,
+             concat(substr(text, 1, {mid}), '~',
+                    substr(text, {mid} + 2, length(text))) AS t
+      FROM documents
+      WHERE length(text) >= {_AH_BITS} AND doc_id % {_AH_VARIANT_MOD} = 3"""
+
+
+def _ah_hash_spark() -> str:
+    lo = "cast((j - 1) * n div {b} as int)"
+    hi = "cast(j * n div {b} as int)"
+    bsum = f"aggregate(sequence({lo} + 1, {hi}), 0L, (a, i) -> a + ascii(substr(t, i, 1)))"
+    return (
+        "aggregate(sequence(1, {b}), 0L, (acc, j) -> acc + "
+        f"CASE WHEN ({bsum}) * n > s * ({hi} - {lo})"
+        " THEN shiftleft(1L, j - 1) ELSE 0L END)"
+    ).format(b=_AH_BITS)
+
+
+def _ah_hash_duck() -> str:
+    lo = "(j - 1) * n // {b}"
+    hi = "j * n // {b}"
+    bsum = f"list_sum(list_transform(generate_series({lo} + 1, {hi}), i -> ascii(substr(t, i, 1))))"
+    return (
+        "list_sum(list_transform(generate_series(1, {b}), j -> "
+        f"CASE WHEN ({bsum}) * n > s * ({hi} - {lo})"
+        " THEN CAST(1 AS BIGINT) << (j - 1) ELSE CAST(0 AS BIGINT) END))"
+    ).format(b=_AH_BITS)
+
+
+_AH_ORACLE = f"""
+    WITH assets AS ({_ah_assets_sql("//")}),
+    m AS (
+      SELECT asset_id, t, length(t) AS n,
+             list_sum(list_transform(generate_series(1, length(t)),
+                                     i -> ascii(substr(t, i, 1)))) AS s
+      FROM assets
+    ), h AS (
+      SELECT asset_id, CAST({_ah_hash_duck()} AS BIGINT) AS ahash FROM m
+    ), bands AS (
+      SELECT asset_id, ahash, b.band,
+             (ahash // (CAST(1 AS BIGINT) << (b.band * {_AH_BAND_BITS})))
+               % {1 << _AH_BAND_BITS} AS bandval
+      FROM h, (SELECT unnest(generate_series(0, {_AH_BANDS - 1})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.asset_id AS asset_a, a.ahash AS ha,
+                      c.asset_id AS asset_b, c.ahash AS hb
+      FROM bands a JOIN bands c USING (band, bandval)
+      WHERE a.asset_id < c.asset_id
+    )
+    SELECT asset_a, asset_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+           CAST(CASE WHEN asset_b = asset_a + {_AH_VARIANT_OFFSET}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_planted_variant
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_AH_MAXHAM}
+    """
+
+
+@register("multimodal_ahash_neardup", group="llm", oracle=_AH_ORACLE)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-hash near-dup over the opaque binary payload — the
+    aHash family (average-hash: {b} byte-block "brightness" bits, bit k
+    = block-k mean above the whole-payload mean) applied to the
+    multimodal asset column: catches re-encodes and single-sample
+    corruptions that break [[multimodal_dedup_exact]]'s byte-exact CAS
+    digest, with NO decode (block statistics over raw bytes — works on
+    any modality, the deliberately decode-free complement of the
+    env-gated [[multimodal_decode_stub]] kernel). The brightness bit is
+    a cross-multiplied integer compare (bsum·n > s·blen — no division),
+    so the whole signature is exact in both engines.
+
+    Candidate generation is banded LSH over the signature: {bands}
+    bands x {bb} bits; by pigeonhole any pair within the declared
+    hamming radius {mh} shares at least one clean band, so recall at
+    the threshold is EXACT (the [[dedup_simhash]] discipline on bytes
+    instead of tokens), and verification is one bit_count(xor) per
+    candidate. A deterministic subset of assets gets a planted
+    single-byte-corrupted variant (the derived-fixture trick), so the
+    pair output is non-degenerate and the tests pin 100% recall of the
+    planted re-encodes. At larger corpora the band width grows with
+    log n (the [[dedup_lsh_tuning_curve]] trade), keeping per-bucket
+    candidates bounded; signatures are map-side HOF work and only
+    (asset_id, 8-byte hash) rows shuffle."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    orig = d.filter(F.length("text") >= _AH_BITS).select(
+        F.col("doc_id").alias("asset_id"), F.col("text").alias("t")
+    )
+    mid = "(length(text) div 2)"
+    var = (
+        d.filter(
+            (F.length("text") >= _AH_BITS)
+            & (F.col("doc_id") % _AH_VARIANT_MOD == 3)
+        ).selectExpr(
+            f"doc_id + {_AH_VARIANT_OFFSET} AS asset_id",
+            f"concat(substr(text, 1, {mid}), '~',"
+            f" substr(text, {mid} + 2, length(text))) AS t",
+        )
+    )
+    m = orig.unionAll(var).selectExpr(
+        "asset_id",
+        "t",
+        "length(t) AS n",
+        "aggregate(sequence(1, length(t)), 0L, (a, i) -> a + ascii(substr(t, i, 1))) AS s",
+    )
+    h = m.selectExpr("asset_id", f"CAST({_ah_hash_spark()} AS BIGINT) AS ahash")
+    bands = h.select(
+        "asset_id",
+        "ahash",
+        F.explode(F.array(*[F.lit(b) for b in range(_AH_BANDS)])).alias("band"),
+    ).selectExpr(
+        "asset_id",
+        "ahash",
+        "band",
+        f"(ahash div shiftleft(1L, band * {_AH_BAND_BITS}))"
+        f" % {1 << _AH_BAND_BITS} AS bandval",
+    )
+    a = bands.select(
+        F.col("band"), F.col("bandval"),
+        F.col("asset_id").alias("asset_a"), F.col("ahash").alias("ha"),
+    )
+    c = bands.select(
+        F.col("band"), F.col("bandval"),
+        F.col("asset_id").alias("asset_b"), F.col("ahash").alias("hb"),
+    )
+    cand = (
+        a.join(c, ["band", "bandval"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "ha", "asset_b", "hb")
+        .distinct()
+    )
+    return cand.selectExpr(
+        "asset_a",
+        "asset_b",
+        "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming",
+        f"CAST(CASE WHEN asset_b = asset_a + {_AH_VARIANT_OFFSET}"
+        " THEN 1 ELSE 0 END AS BIGINT) AS is_planted_variant",
+    ).filter(F.col("hamming") <= _AH_MAXHAM)
+
+
+multimodal_ahash_neardup.__doc__ = multimodal_ahash_neardup.__doc__.format(
+    b=_AH_BITS, bands=_AH_BANDS, bb=_AH_BAND_BITS, mh=_AH_MAXHAM
+)

@@ -719,3 +719,110 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_compaction_plan.__doc__ = pipeline_compaction_plan.__doc__.format(
     target=_COMPACT_TARGET
 )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_zorder_layout — multi-dimensional Z-order clustering audit (r15)
+
+_Z_BITS = 10  # each dim scaled to 0..1023; z interleaves to 20 bits
+_Z_BIN_SHIFT = 16_384  # z div 2^14 -> 64 zone-map "files"
+
+
+def _z_interleave(d1: str, d2: str, fdiv: str) -> str:
+    """Morton bit-interleave of two {b}-bit ints as pure div/mod/mult
+    arithmetic — the SAME generated term list in both engines (`fdiv` is
+    Spark's `div` / DuckDB's `//`; everything else is portable)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({d1} {fdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({d2} {fdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_z_interleave.__doc__ = _z_interleave.__doc__.format(b=_Z_BITS)
+
+
+def _zorder_sql(fdiv: str) -> dict[str, str]:
+    """The shared expression set, parameterized only by the int-div token."""
+    return {
+        "d1": f"((qty - 1) * 1023) {fdiv} 49",
+        "d2": f"(price * 1023) {fdiv} 105000",
+        "zbin": f"zv {fdiv} {_Z_BIN_SHIFT}",
+        "lbin": f"d2 {fdiv} 16",
+    }
+
+
+def _zorder_oracle() -> str:
+    e = _zorder_sql("//")
+    return f"""
+    WITH b AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice) AS BIGINT) AS price
+      FROM lineitem
+    ), s AS (
+      SELECT qty, price, {e["d1"]} AS d1, {e["d2"]} AS d2 FROM b
+    ), z AS (
+      SELECT qty, price, ({_z_interleave("d1", "d2", "//")}) AS zv, d2 FROM s
+    ), assigned AS (
+      SELECT 'zorder' AS layout, {e["zbin"]} AS bin, qty, price FROM z
+      UNION ALL
+      SELECT 'linear' AS layout, {e["lbin"]} AS bin, qty, price FROM z
+    )
+    SELECT layout, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(qty) AS BIGINT) AS min_qty, CAST(MAX(qty) AS BIGINT) AS max_qty,
+           CAST(MIN(price) AS BIGINT) AS min_price, CAST(MAX(price) AS BIGINT) AS max_price,
+           CAST(CASE WHEN MIN(qty) > 20 OR MAX(qty) < 10 THEN 1 ELSE 0 END AS BIGINT)
+             AS skip_qty_10_20
+    FROM assigned GROUP BY 1, 2
+    """
+
+
+@register("pipeline_zorder_layout", group="pipeline-ops", oracle=_zorder_oracle())
+def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) multi-dimensional clustering with its
+    data-skipping audit — the second lakehouse maintenance op next to
+    [[pipeline_compaction_plan]] (Delta `OPTIMIZE ZORDER BY` / Iceberg
+    sort-order rewrite, as a declarative query): scale (quantity, price)
+    to {b}-bit grids, bit-interleave them into a 2{b}-bit Z value by
+    pure div/mod arithmetic (one generated term list both engines
+    evaluate), assign rows to 64 Z-range "files", and emit each file's
+    ZONE MAP (min/max of BOTH dims) side by side with the same corpus
+    laid out linearly by price. The audit column makes the point a
+    table: on the canonical `qty BETWEEN 10 AND 20` probe the Z layout's
+    zone maps skip 40/64 files while the price-sorted layout skips 0 —
+    multi-dimensional locality is what buys skip-scans on the SECOND
+    column, the entire argument for Z-ordering 100 TB tables (tests pin
+    zorder_skips > linear_skips).
+
+    Shape at scale: the Z value is map-side arithmetic; the only
+    shuffle is the (layout, bin) zone-map rollup — 128 output rows at
+    any corpus size. A production rewrite would range-partition on zv
+    and write; the plan/audit layer here is the decision artifact."""
+    e = _zorder_sql("div")
+    b = table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice) AS BIGINT) AS price",
+    )
+    s = b.selectExpr("qty", "price", f'{e["d1"]} AS d1', f'{e["d2"]} AS d2')
+    z = s.selectExpr(
+        "qty", "price", f'({_z_interleave("d1", "d2", "div")}) AS zv', "d2"
+    )
+    assigned = z.selectExpr(
+        "'zorder' AS layout", f'{e["zbin"]} AS bin', "qty", "price"
+    ).unionAll(
+        z.selectExpr("'linear' AS layout", f'{e["lbin"]} AS bin', "qty", "price")
+    )
+    return assigned.groupBy("layout", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("qty").cast("long").alias("min_qty"),
+        F.max("qty").cast("long").alias("max_qty"),
+        F.min("price").cast("long").alias("min_price"),
+        F.max("price").cast("long").alias("max_price"),
+        F.expr(
+            "cast(case when min(qty) > 20 or max(qty) < 10 then 1 else 0 end as bigint)"
+        ).alias("skip_qty_10_20"),
+    ).withColumn("bin", F.col("bin").cast("long"))
+
+
+pipeline_zorder_layout.__doc__ = pipeline_zorder_layout.__doc__.format(b=_Z_BITS)

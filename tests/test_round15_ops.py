@@ -506,3 +506,114 @@ def test_gbdt_stumps_matches_python_twin(spark, sf_dir):
     assert mses == sorted(mses, reverse=True) and mses[0] > mses[-1]
     gains = [r[3] for r in got]
     assert all(g > 0 for g in gains)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_zorder_layout (r15)
+
+
+def test_zorder_layout_matches_python_twin_and_skips_more(spark, sf_dir):
+    """Morton interleave + zone maps recomputed in pure python; exact
+    equality. THE claim of the operator: the Z layout's zone maps skip
+    strictly more files than the linear (price-sorted) layout on the
+    qty BETWEEN 10 AND 20 probe, while no row is lost (bin sizes sum to
+    2x corpus)."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    # SQL round() is half-away-from-zero; pandas .round() is banker's
+    qty = (li.l_quantity + 0.5).astype("int64").tolist()
+    price = (li.l_extendedprice + 0.5).astype("int64").tolist()
+
+    def morton(a, b):
+        z = 0
+        for i in range(10):
+            z += ((a >> i) & 1) << (2 * i + 1)
+            z += ((b >> i) & 1) << (2 * i)
+        return z
+
+    cells = defaultdict(lambda: [0, None, None, None, None])
+    for q, p in zip(qty, price):
+        d1 = ((q - 1) * 1023) // 49
+        d2 = (p * 1023) // 105000
+        for layout, b in (("zorder", morton(d1, d2) // 16384), ("linear", d2 // 16)):
+            c = cells[(layout, b)]
+            c[0] += 1
+            c[1] = q if c[1] is None else min(c[1], q)
+            c[2] = q if c[2] is None else max(c[2], q)
+            c[3] = p if c[3] is None else min(c[3], p)
+            c[4] = p if c[4] is None else max(c[4], p)
+
+    got = REGISTRY["pipeline_zorder_layout"].spark(spark, sf_dir).collect()
+    assert {
+        (r.layout, r.bin): [r.n_rows, r.min_qty, r.max_qty, r.min_price, r.max_price]
+        for r in got
+    } == dict(cells)
+    skips = Counter()
+    for r in got:
+        assert r.skip_qty_10_20 == int(r.min_qty > 20 or r.max_qty < 10)
+        skips[r.layout] += r.skip_qty_10_20
+    assert skips["zorder"] > skips["linear"]
+    assert sum(r.n_rows for r in got) == 2 * len(li)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_ahash_neardup (r15)
+
+
+def test_ahash_neardup_matches_python_twin_and_full_recall(spark, sf_dir):
+    """Signature + banded candidates + hamming filter recomputed in pure
+    python; exact pair-set equality. Plus THE perceptual claim: every
+    planted single-byte-corrupted variant pairs with its original
+    (pigeonhole recall at the declared radius is exact), and no pair
+    exceeds the radius."""
+    B, BANDS, BB, MAXH, OFF, MOD = 55, 5, 11, 4, 10_000_000, 17
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def ahash(t):
+        n = len(t)
+        vals = [ord(c) for c in t]
+        s = sum(vals)
+        h = 0
+        for k in range(1, B + 1):
+            lo, hi = (k - 1) * n // B, k * n // B
+            bs = sum(vals[lo:hi])
+            if bs * n > s * (hi - lo):
+                h |= 1 << (k - 1)
+        return h
+
+    assets = {}
+    for r in docs.itertuples():
+        if len(r.text) < B:
+            continue
+        assets[r.doc_id] = ahash(r.text)
+        if r.doc_id % MOD == 3:
+            m = len(r.text) // 2
+            assets[r.doc_id + OFF] = ahash(r.text[:m] + "~" + r.text[m + 1 :])
+
+    buckets = defaultdict(list)
+    for aid, h in assets.items():
+        for b in range(BANDS):
+            buckets[(b, (h >> (b * BB)) & ((1 << BB) - 1))].append(aid)
+    expected = {}
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ham = bin(assets[a] ^ assets[b]).count("1")
+                if ham <= MAXH:
+                    expected[(a, b)] = (ham, int(b == a + OFF))
+
+    got = REGISTRY["multimodal_ahash_neardup"].spark(spark, sf_dir).collect()
+    assert {
+        (r.asset_a, r.asset_b): (r.hamming, r.is_planted_variant) for r in got
+    } == expected
+    planted = {d for d in assets if d >= OFF}
+    assert planted, "fixture produced no variants"
+    found = {r.asset_b for r in got if r.is_planted_variant == 1 and r.asset_b == r.asset_a + OFF}
+    # exact recall: every planted variant within the radius MUST be found;
+    # the fixture's corruption never exceeds the radius on this corpus
+    for v in planted:
+        ham = bin(assets[v] ^ assets[v - OFF]).count("1")
+        assert ham <= MAXH, f"fixture drifted: variant {v} at hamming {ham}"
+        assert v in found
+    for r in got:
+        assert r.hamming <= MAXH and r.asset_a < r.asset_b
