@@ -1523,3 +1523,198 @@ def user_features_fold(sink: DataFrame) -> DataFrame:
             "m.n_types", "m.spend_cents", "m.last_seen_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_quantile_histogram — streaming quantiles from bounded histogram state
+# (round 15)
+
+_SQ_W = 25  # cents per bucket
+_SQ_B = 4001  # cents 0..100000 -> buckets 0..4000 (tail clamps into the last)
+
+_SQ_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+_SQ_STATE = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _quantile_hist_fold(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded-histogram fold: the 4001-bucket count array IS the state.
+    Bucketing mirrors the SQL oracle bit-for-bit: cents =
+    floor(value*100 + 0.5) (positive-half-away round, the engines'
+    round()), bucket = min(cents div 25, 400). Addition is commutative
+    and associative, so batch split and arrival order cannot change the
+    final histogram — the HLL-register determinism argument."""
+    import math as _m
+
+    (counts_l, n) = state.get if state.exists else ([0] * _SQ_B, 0)
+    counts = list(counts_l)
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            cents = int(_m.floor(float(v) * 100 + 0.5))
+            counts[min(cents // _SQ_W, _SQ_B - 1)] += 1
+        n += len(pdf)
+    state.update((counts, n))
+    yield pd.DataFrame(
+        [{"event_type": key[0], "n_events": n, "counts": counts}]
+    )
+
+
+@register(
+    "stream_quantile_histogram",
+    group="streaming",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ), b AS (
+      SELECT event_type, LEAST(cents // {_SQ_W}, {_SQ_B - 1}) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2
+    ), nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1
+    ), cum AS (
+      SELECT event_type, pos,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY pos) AS BIGINT) AS cum
+      FROM b
+    ), p AS (
+      -- the two interpolation anchors of quantile_cont: ranks
+      -- floor(q*(n-1))+1 and +2 (1-based, capped at n) — the exact
+      -- percentile provably lies between their buckets
+      SELECT cum.event_type, nn.n,
+             CAST(MIN(CASE WHEN cum >= (nn.n - 1) // 2 + 1 THEN pos END) AS BIGINT) AS b50l,
+             CAST(MIN(CASE WHEN cum >= LEAST((nn.n - 1) // 2 + 2, nn.n) THEN pos END) AS BIGINT) AS b50h,
+             CAST(MIN(CASE WHEN cum >= (19 * (nn.n - 1)) // 20 + 1 THEN pos END) AS BIGINT) AS b95l,
+             CAST(MIN(CASE WHEN cum >= LEAST((19 * (nn.n - 1)) // 20 + 2, nn.n) THEN pos END) AS BIGINT) AS b95h
+      FROM cum JOIN nn USING (event_type) GROUP BY cum.event_type, nn.n
+    ), e AS (
+      SELECT event_type,
+             (round(quantile_cont(cents, 0.50), 4) + 0.0) AS p50_exact,
+             (round(quantile_cont(cents, 0.95), 4) + 0.0) AS p95_exact
+      FROM c GROUP BY 1
+    )
+    SELECT p.event_type, p.n,
+           p.b50l * {_SQ_W} AS p50_lo_cents, p.b50h * {_SQ_W} + {_SQ_W - 1} AS p50_hi_cents,
+           p.b95l * {_SQ_W} AS p95_lo_cents, p.b95h * {_SQ_W} + {_SQ_W - 1} AS p95_hi_cents,
+           e.p50_exact, e.p95_exact,
+           CAST(CASE WHEN p.b50l * {_SQ_W} <= e.p50_exact
+                      AND e.p50_exact <= p.b50h * {_SQ_W} + {_SQ_W - 1}
+                THEN 1 ELSE 0 END AS BIGINT) AS p50_within_bucket,
+           CAST(CASE WHEN p.b95l * {_SQ_W} <= e.p95_exact
+                      AND e.p95_exact <= p.b95h * {_SQ_W} + {_SQ_W - 1}
+                THEN 1 ELSE 0 END AS BIGINT) AS p95_within_bucket
+    FROM p JOIN e USING (event_type)
+    """,
+)
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantiles from bounded histogram state — the quantile
+    member of the bounded-state sketch family ([[stream_hll_distinct]]:
+    distinct, [[stream_cusum_alert]]: drift, [[stream_topk_spacesaving]]:
+    heavy hitters; this: the latency/price percentile a live dashboard
+    actually serves): per event type the state is a fixed {b}-bucket
+    count array over value cents (bucket width {w}), additions are
+    commutative/associative, so the final histogram — and therefore the
+    rank lookup — is EXACTLY the batch histogram regardless of batch
+    split or arrival order, giving a streaming quantile with a
+    hash-exact batch oracle (contrast approx_percentile's merge-order-
+    dependent GK sketch, which is rows-only by nature).
+
+    The emitted contract is the declared histogram-resolution one:
+    p50/p95 as [lo, hi] cent bounds spanning the buckets of the TWO
+    interpolation anchor ranks (floor(q·(n−1))+1 and its successor) —
+    quantile_cont's exact value provably lies between those order
+    statistics, so the containment flag the oracle carries is a
+    mathematical INVARIANT, not an empirical tolerance; the interval
+    collapses to one bucket wherever the local density is one-bucket
+    tight. Exact interpolated percentiles ride along as audit columns. Shape at scale: state is {b} longs per key forever;
+    the post-replay rollup rides |types| x {b} tiny rows; the exact
+    audit is the batch percentile the [[agg_percentile]] family
+    documents (at 100 TB swap it for the 2-pass selection)."""
+    stream = events_stream(spark, sf_dir).select("event_type", "value")
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _quantile_hist_fold,
+        outputStructType=_SQ_OUT,
+        stateStructType=_SQ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(folded, "stream_quantile_histogram", output_mode="update")
+    last = F.max_by(F.struct("n_events", "counts"), F.col("n_events")).alias("z")
+    hist = (
+        out.groupBy("event_type")
+        .agg(last)
+        .select(
+            "event_type",
+            F.col("z.n_events").alias("n"),
+            F.posexplode("z.counts").alias("pos", "cnt"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    cum = hist.select(
+        "event_type",
+        "n",
+        "pos",
+        F.sum("cnt")
+        .over(
+            _W.partitionBy("event_type")
+            .orderBy("pos")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    p = cum.groupBy("event_type", "n").agg(
+        F.expr(
+            "cast(min(case when cum >= (n - 1) div 2 + 1 then pos end) as bigint)"
+        ).alias("b50l"),
+        F.expr(
+            "cast(min(case when cum >= least((n - 1) div 2 + 2, n) then pos end) as bigint)"
+        ).alias("b50h"),
+        F.expr(
+            "cast(min(case when cum >= (19 * (n - 1)) div 20 + 1 then pos end) as bigint)"
+        ).alias("b95l"),
+        F.expr(
+            "cast(min(case when cum >= least((19 * (n - 1)) div 20 + 2, n) then pos end) as bigint)"
+        ).alias("b95h"),
+    )
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            round_pos(F.expr("percentile(cents, 0.50)"), 4).alias("p50_exact"),
+            round_pos(F.expr("percentile(cents, 0.95)"), 4).alias("p95_exact"),
+        )
+    )
+    return p.join(e, "event_type").selectExpr(
+        "event_type",
+        "n",
+        f"b50l * {_SQ_W} AS p50_lo_cents",
+        f"b50h * {_SQ_W} + {_SQ_W - 1} AS p50_hi_cents",
+        f"b95l * {_SQ_W} AS p95_lo_cents",
+        f"b95h * {_SQ_W} + {_SQ_W - 1} AS p95_hi_cents",
+        "p50_exact",
+        "p95_exact",
+        f"cast(case when b50l * {_SQ_W} <= p50_exact"
+        f" and p50_exact <= b50h * {_SQ_W} + {_SQ_W - 1}"
+        " then 1 else 0 end as bigint) AS p50_within_bucket",
+        f"cast(case when b95l * {_SQ_W} <= p95_exact"
+        f" and p95_exact <= b95h * {_SQ_W} + {_SQ_W - 1}"
+        " then 1 else 0 end as bigint) AS p95_within_bucket",
+    )
+
+
+stream_quantile_histogram.__doc__ = stream_quantile_histogram.__doc__.format(
+    b=_SQ_B, w=_SQ_W
+)

@@ -617,3 +617,44 @@ def test_ahash_neardup_matches_python_twin_and_full_recall(spark, sf_dir):
         assert v in found
     for r in got:
         assert r.hamming <= MAXH and r.asset_a < r.asset_b
+
+
+# ---------------------------------------------------------------------------
+# stream_quantile_histogram (r15)
+
+
+def test_stream_quantile_histogram_matches_python_twin(spark, sf_dir):
+    """Histogram + rank lookup recomputed in pure python from the raw
+    events; exact equality on bucket bounds and counts, and the declared
+    audit holds: both quantiles sit within one bucket width of the exact
+    interpolated percentile (flags MUST be 1 on this corpus — a 0 flag
+    means the bucketing drifted)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    got = {r.event_type: r for r in REGISTRY["stream_quantile_histogram"].spark(spark, sf_dir).collect()}
+    for et, g in ev.groupby("event_type"):
+        cents = (g.value * 100 + 0.5).astype("int64")
+        counts = Counter(min(c // 25, 4000) for c in cents)
+        n = len(cents)
+
+        def bucket_at(k):
+            cum = 0
+            for pos in sorted(counts):
+                cum += counts[pos]
+                if cum >= k:
+                    return pos
+            raise AssertionError
+
+        k50l, k95l = (n - 1) // 2 + 1, (19 * (n - 1)) // 20 + 1
+        b50l, b50h = bucket_at(k50l), bucket_at(min(k50l + 1, n))
+        b95l, b95h = bucket_at(k95l), bucket_at(min(k95l + 1, n))
+        r = got[et]
+        assert (r.n, r.p50_lo_cents, r.p50_hi_cents) == (n, b50l * 25, b50h * 25 + 24)
+        assert (r.p95_lo_cents, r.p95_hi_cents) == (b95l * 25, b95h * 25 + 24)
+        s = sorted(cents)
+        # the hard invariant: both anchor order statistics inside the bounds,
+        # therefore the interpolated exact percentile too -> flags always 1
+        assert r.p50_lo_cents <= s[k50l - 1] <= r.p50_hi_cents
+        assert r.p95_lo_cents <= s[k95l - 1] <= r.p95_hi_cents
+        assert r.p50_lo_cents <= r.p50_exact <= r.p50_hi_cents
+        assert r.p95_lo_cents <= r.p95_exact <= r.p95_hi_cents
+        assert r.p50_within_bucket == 1 and r.p95_within_bucket == 1
