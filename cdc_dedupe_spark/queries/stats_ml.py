@@ -4750,3 +4750,121 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_gbdt_stumps.__doc__ = ml_gbdt_stumps.__doc__.format(
     rounds=_GB_ROUNDS, nu=_GB_NU
 )
+
+
+# ---------------------------------------------------------------------------
+# stats_cramers_v_matrix — pairwise categorical association (round 15)
+
+# band expressions are {fdiv}-parameterized (Spark `div` / DuckDB `//`),
+# the pipeline_zorder_layout convention; bands stay BIGINT keys
+_CV_VARS = (
+    ("retflag", "l_returnflag"),
+    ("linestatus", "l_linestatus"),
+    ("qty_band", "CAST(round(l_quantity) AS BIGINT) {fdiv} 10"),
+    ("disc_band", "CAST(round(l_discount * 100) AS BIGINT) {fdiv} 3"),
+)
+
+# chi2 = n * (sum_cells o^2/(r_i*c_j) - 1); the cell term is quantized to
+# floor(1e9 * o^2 / (r*c)) so the cross-cell SUM is order-independent
+# (declared precision: |error| < cells/1e9 — invisible at round 6 for
+# these card-<=20 contingency tables).
+_CV_CELL = "floor(1000000000.0 * CAST(o AS DOUBLE) * CAST(o AS DOUBLE) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+_CV_CHI2 = "CAST(n AS DOUBLE) * (CAST(sq AS DOUBLE) / 1000000000.0 - 1.0)"
+_CV_V = "sqrt(({chi2}) / (CAST(n AS DOUBLE) * (CAST(dof_min AS DOUBLE) - 1.0)))"
+
+
+def _cramers_oracle() -> str:
+    feats = ", ".join(f"{expr.format(fdiv='//')} AS {name}" for name, expr in _CV_VARS)
+    pair_sqls = []
+    for i, (a, _) in enumerate(_CV_VARS):
+        for b, _ in [v for v in _CV_VARS[i + 1 :]]:
+            b = b[0] if isinstance(b, tuple) else b
+            pair_sqls.append(f"""
+    SELECT '{a}' AS var_x, '{b}' AS var_y, n, rc, cc,
+           (round({_CV_CHI2}, 6) + 0.0) AS chi2,
+           (round({_CV_V.format(chi2=_CV_CHI2)}, 6) + 0.0) AS cramers_v
+    FROM (
+      SELECT CAST(SUM({_CV_CELL}) AS BIGINT) AS sq,
+             MIN(n) AS n,
+             MIN(rc) AS rc, MIN(cc) AS cc,
+             LEAST(MIN(rc), MIN(cc)) AS dof_min
+      FROM (
+        SELECT o.o, r.r, c.c, t.n, rcc.rc, ccc.cc
+        FROM (SELECT {a} AS x, {b} AS y, CAST(COUNT(*) AS BIGINT) AS o
+              FROM base GROUP BY 1, 2) o
+        JOIN (SELECT {a} AS x, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY 1) r
+          USING (x)
+        JOIN (SELECT {b} AS y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1) c
+          USING (y)
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base) t
+        CROSS JOIN (SELECT CAST(COUNT(DISTINCT {a}) AS BIGINT) AS rc FROM base) rcc
+        CROSS JOIN (SELECT CAST(COUNT(DISTINCT {b}) AS BIGINT) AS cc FROM base) ccc
+      )
+    )""")
+    body = " UNION ALL ".join(pair_sqls)
+    return f"WITH base AS (SELECT {feats} FROM lineitem) {body}"
+
+
+@register("stats_cramers_v_matrix", group="stats-ml", oracle=_cramers_oracle())
+def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V over the four lineitem CATEGORICALS (return
+    flag, line status, quantity band, discount band) — the categorical
+    twin of [[stats_corr_matrix]]'s Pearson matrix and the matrix form
+    of [[stats_chi2_independence]]'s single pair: V =
+    sqrt(chi2 / (n·(min(r,c)−1))) in [0,1], the EDA table that says
+    which discrete columns carry shared structure before anyone builds
+    features from them. chi2 uses the contingency identity
+    n·(Σ o²/(rᵢ·cⱼ) − 1) so only COUNTS are aggregated from the corpus;
+    each cell's double term is floor-quantized to 1e-9 before the
+    cross-cell sum, making the sum order-independent (declared
+    precision far below the 6dp rounding).
+
+    Shape at scale: per pair the corpus collapses to a contingency
+    table bounded by the category cardinalities (one partial-agg
+    shuffle per marginal + one per table — all map-side-combined);
+    the V arithmetic rides the tiny cell frame. Cardinalities here are
+    ≤20; high-card categoricals get hashed into bands first, exactly
+    as the qty/disc bands demonstrate."""
+    feats = [F.expr(expr.format(fdiv="div")).alias(name) for name, expr in _CV_VARS]
+    base = table(spark, sf_dir, "lineitem").select(*feats)
+    out = None
+    names = [n for n, _ in _CV_VARS]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            o = base.groupBy(F.col(a).alias("x"), F.col(b).alias("y")).agg(
+                F.count(F.lit(1)).cast("long").alias("o")
+            )
+            r = base.groupBy(F.col(a).alias("x")).agg(
+                F.count(F.lit(1)).cast("long").alias("r")
+            )
+            c = base.groupBy(F.col(b).alias("y")).agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            )
+            t = base.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.countDistinct(a).cast("long").alias("rc"),
+                F.countDistinct(b).cast("long").alias("cc"),
+            )
+            cells = (
+                o.join(F.broadcast(r), "x")
+                .join(F.broadcast(c), "y")
+                .crossJoin(F.broadcast(t))
+            )
+            agg = cells.agg(
+                F.expr(f"CAST(SUM({_CV_CELL}) AS BIGINT)").alias("sq"),
+                F.min("n").alias("n"),
+                F.min("rc").alias("rc"),
+                F.min("cc").alias("cc"),
+                F.expr("LEAST(MIN(rc), MIN(cc))").alias("dof_min"),
+            )
+            pair = agg.selectExpr(
+                f"'{a}' AS var_x",
+                f"'{b}' AS var_y",
+                "n",
+                "rc",
+                "cc",
+                f"(round({_CV_CHI2}, 6) + 0.0) AS chi2",
+                f"(round({_CV_V.format(chi2=_CV_CHI2)}, 6) + 0.0) AS cramers_v",
+            )
+            out = pair if out is None else out.unionAll(pair)
+    return out

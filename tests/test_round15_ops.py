@@ -658,3 +658,43 @@ def test_stream_quantile_histogram_matches_python_twin(spark, sf_dir):
         assert r.p50_lo_cents <= r.p50_exact <= r.p50_hi_cents
         assert r.p95_lo_cents <= r.p95_exact <= r.p95_hi_cents
         assert r.p50_within_bucket == 1 and r.p95_within_bucket == 1
+
+
+# ---------------------------------------------------------------------------
+# stats_cramers_v_matrix (r15)
+
+
+def test_cramers_v_matches_scipy_free_twin(spark, sf_dir):
+    """Recompute chi2 and V from raw contingency tables in pure python
+    (no quantization) and require 1e-5 agreement — pins that the
+    quantized cell sum really computes the textbook statistic — plus
+    range and symmetry-of-definition properties."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cols = {
+        "retflag": li.l_returnflag,
+        "linestatus": li.l_linestatus,
+        "qty_band": (li.l_quantity + 0.5).astype("int64") // 10,
+        "disc_band": (li.l_discount * 100 + 0.5).astype("int64") // 3,
+    }
+    got = {
+        (r.var_x, r.var_y): r
+        for r in REGISTRY["stats_cramers_v_matrix"].spark(spark, sf_dir).collect()
+    }
+    names = list(cols)
+    n = len(li)
+    import itertools
+
+    for a, b in itertools.combinations(names, 2):
+        tab = Counter(zip(cols[a], cols[b]))
+        rm = Counter(cols[a])
+        cm = Counter(cols[b])
+        chi2 = n * (
+            sum(o * o / (rm[x] * cm[y]) for (x, y), o in tab.items()) - 1.0
+        )
+        v = math.sqrt(chi2 / (n * (min(len(rm), len(cm)) - 1)))
+        r = got[(a, b)]
+        assert (r.n, r.rc, r.cc) == (n, len(rm), len(cm))
+        assert abs(r.chi2 - chi2) < 1e-3
+        assert abs(r.cramers_v - v) < 1e-5
+        assert 0.0 <= r.cramers_v <= 1.0
+    assert len(got) == 6
