@@ -89,6 +89,9 @@ HEADLINE = [
     "stats_ljung_box",
     "ml_gbdt_stumps",
     "pipeline_compaction_plan",
+    "pipeline_zorder_layout",
+    "multimodal_ahash_neardup",
+    "stats_cramers_v_matrix",
 ]
 
 
