@@ -4091,7 +4091,10 @@ _IRLS_D = (
 )
 
 
-def _irls_oracle() -> str:
+def _irls_ctes() -> str:
+    """The shared IRLS CTE chain (base, w0, a1..aK, w1..wK) — composed by
+    both the trajectory oracle and the calibration oracle so the model
+    they score with is the SAME generated SQL."""
     base = "SELECT " + ", ".join(_IRLS_BASE_COLS) + " FROM lineitem"
     ctes = [
         f"base AS ({base})",
@@ -4120,12 +4123,59 @@ def _irls_oracle() -> str:
             f"w{k} AS (SELECT {upd}, a{k}.n AS n, a{k}.sae // a{k}.n AS mae_ppm"
             f" FROM a{k} CROSS JOIN w{k - 1})"
         )
+    return ",\n".join(ctes)
+
+
+def _irls_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS iter, n, b0, b1, b2,"
         f" CAST(mae_ppm AS BIGINT) AS mae_ppm FROM w{k}"
         for k in range(1, _IRLS_ITERS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + _irls_ctes() + "\n" + union
+
+
+def _irls_fit(spark: SparkSession, sf_dir: str):
+    """Run the K IRLS passes; returns (base, [w1..wK]) where each wK is the
+    lineage-truncated 1-row frame (b0, b1, b2, n, mae_ppm). Shared by the
+    trajectory query and the calibration audit so both score the SAME
+    model."""
+    base = table(spark, sf_dir, "lineitem").selectExpr(*_IRLS_BASE_COLS)
+    w = spark.range(1).selectExpr(
+        "cast(0 as double) AS b0", "cast(0 as double) AS b1", "cast(0 as double) AS b2"
+    )
+    sums = [
+        F.expr(f"sum(cast(floor(1000000 * {e}) as bigint))").alias(f"s_{k}")
+        for k, e in _IRLS_TERMS.items()
+    ] + [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(cast(floor(1000000 * abs(y - p)) as bigint))").cast("long").alias("sae"),
+    ]
+    gram = [
+        F.expr(f"cast(s_{k} as double) / 1000000.0").alias(k) for k in _IRLS_TERMS
+    ] + [F.col("n"), F.col("sae")]
+    ws = []
+    for k in range(1, _IRLS_ITERS + 1):
+        rows = (
+            base.crossJoin(F.broadcast(w.select("b0", "b1", "b2")))
+            .selectExpr("y", "x1", "x2", f"{_IRLS_Z} AS z")
+            .selectExpr("y", "x1", "x2", f"{_IRLS_P} AS p")
+        )
+        a = rows.agg(*sums).select(*gram)
+        w = (
+            a.crossJoin(F.broadcast(w.select("b0", "b1", "b2")))
+            .selectExpr(
+                *[
+                    f"(round(b{j} + ({_IRLS_D[j]}) / ({_IRLS_DET}), 6) + 0.0) AS b{j}"
+                    for j in range(3)
+                ],
+                "n",
+                "sae div n AS mae_ppm",
+            )
+            .localCheckpoint(eager=False)
+        )
+        ws.append(w)
+    return base, ws
 
 
 @register("ml_logreg_irls", group="stats-ml", oracle=_irls_oracle())
@@ -4158,50 +4208,18 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     no .collect() (the 1-row coefficient frame stays a broadcast
     DataFrame, lineage-truncated per step). k features cost a k² Gram
     row, the ml_linreg_normal generalization note made executable."""
-    base = table(spark, sf_dir, "lineitem").selectExpr(*_IRLS_BASE_COLS)
-    w = spark.range(1).selectExpr(
-        "cast(0 as double) AS b0", "cast(0 as double) AS b1", "cast(0 as double) AS b2"
-    )
-    sums = [
-        F.expr(f"sum(cast(floor(1000000 * {e}) as bigint))").alias(f"s_{k}")
-        for k, e in _IRLS_TERMS.items()
-    ] + [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("sum(cast(floor(1000000 * abs(y - p)) as bigint))").cast("long").alias("sae"),
+    _, ws = _irls_fit(spark, sf_dir)
+    out = [
+        w.selectExpr(
+            f"cast({k} as bigint) AS iter",
+            "n",
+            "b0",
+            "b1",
+            "b2",
+            "cast(mae_ppm as bigint) AS mae_ppm",
+        )
+        for k, w in enumerate(ws, 1)
     ]
-    gram = [
-        F.expr(f"cast(s_{k} as double) / 1000000.0").alias(k) for k in _IRLS_TERMS
-    ] + [F.col("n"), F.col("sae")]
-    out = []
-    for k in range(1, _IRLS_ITERS + 1):
-        rows = (
-            base.crossJoin(F.broadcast(w.select("b0", "b1", "b2")))
-            .selectExpr("y", "x1", "x2", f"{_IRLS_Z} AS z")
-            .selectExpr("y", "x1", "x2", f"{_IRLS_P} AS p")
-        )
-        a = rows.agg(*sums).select(*gram)
-        w = (
-            a.crossJoin(F.broadcast(w.select("b0", "b1", "b2")))
-            .selectExpr(
-                *[
-                    f"(round(b{j} + ({_IRLS_D[j]}) / ({_IRLS_DET}), 6) + 0.0) AS b{j}"
-                    for j in range(3)
-                ],
-                "n",
-                "sae div n AS mae_ppm",
-            )
-            .localCheckpoint(eager=False)
-        )
-        out.append(
-            w.selectExpr(
-                f"cast({k} as bigint) AS iter",
-                "n",
-                "b0",
-                "b1",
-                "b2",
-                "cast(mae_ppm as bigint) AS mae_ppm",
-            )
-        )
     res = out[0]
     for df in out[1:]:
         res = res.unionAll(df)
@@ -4868,3 +4886,78 @@ def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = pair if out is None else out.unionAll(pair)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_reliability — reliability diagram of the IRLS model
+
+
+def _calib_oracle() -> str:
+    last = f"w{_IRLS_ITERS}"
+    return f"""
+    WITH {_irls_ctes()},
+    scored AS (
+      SELECT y,
+             LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             CAST(floor(1000000 * p) AS BIGINT) AS pq,
+             CAST(floor(1000000 * (y - p) * (y - p)) AS BIGINT) AS bq
+      FROM (SELECT y, {_IRLS_P} AS p
+            FROM (SELECT y, x1, x2, {_IRLS_Z} AS z
+                  FROM base CROSS JOIN {last}))
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pq) // COUNT(*) AS BIGINT) AS pred_ppm,
+           CAST(1000000 * SUM(y) // COUNT(*) AS BIGINT) AS obs_ppm,
+           CAST(abs(SUM(pq) // COUNT(*) - 1000000 * SUM(y) // COUNT(*)) AS BIGINT)
+             AS gap_ppm,
+           CAST(SUM(bq) // COUNT(*) AS BIGINT) AS brier_ppm
+    FROM scored GROUP BY bin
+    """
+
+
+@register("ml_calibration_reliability", group="stats-ml", oracle=_calib_oracle())
+def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY diagram of the trained IRLS model ([[ml_logreg_irls]],
+    the same fit via the shared `_irls_fit`/`_irls_ctes` machinery — both
+    engines score the identical generated model): predicted probability
+    deciles vs observed positive rate, per-bin Brier contribution — the
+    calibration audit that belongs next to discrimination metrics
+    ([[ml_score_auc]], [[ml_eval_metrics]]): a model can rank perfectly
+    and still lie about its probabilities, and calibration is what
+    decides whether a 0.7 means 70%. Because the label is planted with
+    P(y=1|qty) linear in qty, the fitted link is only approximately
+    right — the per-bin gaps emitted here are the honest measure of that
+    approximation, and the tests pin its size: weighted ECE under 6pp,
+    every >=5%-mass decile within 12pp (the low deciles really are ~6pp
+    over-confident under the rational link — the operator's job is to
+    say so).
+
+    Exactness: scoring reuses the IRLS per-row expression strings;
+    per-row quantities are floor-quantized (pq = floor(1e6·p), the
+    Brier term likewise) so the per-bin sums are order-independent and
+    the ratios are integer `div` — exact oracle. Shape at scale: one
+    corpus pass after the (already aggregate-only) fit, collapsing to
+    <=10 rows in a single map-side-combined groupBy."""
+    base, ws = _irls_fit(spark, sf_dir)
+    w = ws[-1].select("b0", "b1", "b2")
+    scored = (
+        base.crossJoin(F.broadcast(w))
+        .selectExpr("y", f"{_IRLS_Z} AS z")
+        .selectExpr("y", f"{_IRLS_P} AS p")
+        .selectExpr(
+            "y",
+            "LEAST(CAST(floor(p * 10) AS BIGINT), 9L) AS bin",
+            "CAST(floor(1000000 * p) AS BIGINT) AS pq",
+            "CAST(floor(1000000 * (y - p) * (y - p)) AS BIGINT) AS bq",
+        )
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(pq) div count(1)").cast("long").alias("pred_ppm"),
+        F.expr("1000000 * sum(y) div count(1)").cast("long").alias("obs_ppm"),
+        F.expr(
+            "abs(sum(pq) div count(1) - 1000000 * sum(y) div count(1))"
+        ).cast("long").alias("gap_ppm"),
+        F.expr("sum(bq) div count(1)").cast("long").alias("brier_ppm"),
+    )

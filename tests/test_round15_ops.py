@@ -698,3 +698,51 @@ def test_cramers_v_matches_scipy_free_twin(spark, sf_dir):
         assert abs(r.cramers_v - v) < 1e-5
         assert 0.0 <= r.cramers_v <= 1.0
     assert len(got) == 6
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_reliability (r15)
+
+
+def test_calibration_matches_python_twin(spark, sf_dir):
+    """Score every row with the _py_irls final model, bin, and compare
+    exactly. Properties: predicted ppm increases with bin, bin counts
+    cover the corpus, and the BULK bins (>= 5% of rows) calibrate within
+    5 percentage points on this planted-linear-probability corpus."""
+    traj = _py_irls(sf_dir)
+    _, _, b0, b1, b2, _ = traj[-1]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    y = (
+        ((li.l_orderkey % 1000003) * 2654435761) % 1000
+        < 100 + 16 * li.l_quantity.round().astype("int64")
+    ).astype("int64").tolist()
+    x1 = li.l_quantity.round().astype("int64").tolist()
+    x2 = (li.l_discount * 100).round().astype("int64").tolist()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for yy, a1, a2 in zip(y, x1, x2):
+        z = b0 + b1 * a1 + b2 * a2
+        p = 0.5 + 0.5 * z / (1.0 + abs(z))
+        b = min(int(math.floor(p * 10)), 9)
+        c = agg[b]
+        c[0] += 1
+        c[1] += math.floor(1000000 * p)
+        c[2] += yy
+        c[3] += math.floor(1000000 * (yy - p) * (yy - p))
+    expected = {
+        b: (n, pq // n, 1000000 * sy // n, abs(pq // n - 1000000 * sy // n), bq // n)
+        for b, (n, pq, sy, bq) in agg.items()
+    }
+    got = REGISTRY["ml_calibration_reliability"].spark(spark, sf_dir).collect()
+    assert {
+        r.bin: (r.n, r.pred_ppm, r.obs_ppm, r.gap_ppm, r.brier_ppm) for r in got
+    } == expected
+    total = sum(r.n for r in got)
+    assert total == len(y)
+    by_bin = sorted(got, key=lambda r: r.bin)
+    preds = [r.pred_ppm for r in by_bin]
+    assert preds == sorted(preds)
+    ece = sum(r.n * r.gap_ppm for r in got) / total
+    assert ece <= 60_000, ece
+    for r in by_bin:
+        if r.n >= total // 20:
+            assert r.gap_ppm <= 120_000, (r.bin, r.gap_ppm)
