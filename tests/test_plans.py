@@ -843,3 +843,43 @@ def test_approx_sketch_audits_join_only_aggregates(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_irls_fit_is_aggregate_only(spark, sf_dir):
+    """ml_logreg_irls (r15): the whole 3-iteration Newton fit must plan
+    with ZERO Exchange nodes — every pass is a map-side-combined global
+    aggregate and the coefficient frames are lineage-truncated 1-row
+    broadcasts, so nothing ever hash-partitions. (The textbook claim
+    'Newton-on-sufficient-stats is shuffle-free', pinned.)"""
+    plan = plan_of(spark, sf_dir, "ml_logreg_irls")
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_zorder_layout_single_rollup_shuffle(spark, sf_dir):
+    """pipeline_zorder_layout (r15): Morton interleave is map-side
+    arithmetic; the ONLY exchange is the (layout, bin) zone-map rollup
+    (one hash exchange; AQE may plan it per union branch = at most 2),
+    and no sort of the corpus appears anywhere."""
+    plan = plan_of(spark, sf_dir, "pipeline_zorder_layout")
+    assert 1 <= n_exchanges(plan) <= 2, plan
+    assert not re.search(r"^\(\d+\) Sort", plan, re.MULTILINE), plan
+
+
+def test_perplexity_buckets_never_sorts_documents(spark, sf_dir):
+    """text_perplexity_buckets (r15): the CCNet tercile split must come
+    from the bounded (lang, score) histogram — a per-language RANKING of
+    documents (ntile/row_number over the doc stream) would totally order
+    the majority language at web scale. The plan may window over the
+    HISTOGRAM (grouped rows), so the pin is: no Window node consumes
+    rows that still carry doc_id."""
+    plan = plan_of(spark, sf_dir, "text_perplexity_buckets")
+    for m in re.finditer(r"^\(\d+\) Window\b.*$", plan, re.MULTILINE):
+        # formatted plans list each node's Input schema in the details
+        # section; find this node's detail block and check it
+        node_id = re.match(r"^\((\d+)\)", m.group(0)).group(1)
+        detail = re.search(
+            rf"^\({node_id}\) Window\b(.*?)(?=^\(\d+\)|\Z)",
+            plan,
+            re.MULTILINE | re.DOTALL,
+        )
+        assert detail and "doc_id" not in detail.group(1), m.group(0)
