@@ -13,6 +13,9 @@ Scale notes per format:
   benefits beyond column projection at parse time.
 - json (JSONL): schema explicit for the same reason; one JSON parse per
   row is the dominant cost — convert to parquet after first read.
+- orc (round 15): the other columnar lakehouse format — schema-carrying,
+  vectorized reader, predicate pushdown and column pruning like parquet;
+  read natively, no conversion required (convert only to unify layout).
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_table(
@@ -30,7 +33,7 @@ def read_table(
     schema: StructType | str | None = None,
     **options: str,
 ) -> DataFrame:
-    """Read a table from `path` in `fmt` (parquet | csv | json).
+    """Read a table from `path` in `fmt` (parquet | csv | json | orc).
 
     For csv/json a schema is REQUIRED — inference is a full extra pass
     that guesses types (a long column with one stray float becomes
@@ -43,6 +46,12 @@ def read_table(
     reader = spark.read
     if fmt == "parquet":
         return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        # schema-carrying and vectorized like parquet; an explicit schema
+        # is accepted but not required
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).orc(path)
     if schema is None:
         raise ValueError(
             f"{fmt} ingest requires an explicit schema: inference re-scans "

@@ -50,7 +50,18 @@ def test_slow_formats_require_explicit_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(tmp_path), "json")
     with pytest.raises(ValueError, match="unsupported format"):
-        read_table(spark, str(tmp_path), "orc")
+        read_table(spark, str(tmp_path), "avro")
+
+
+def test_orc_roundtrip_is_query_equivalent(spark, sf_dir, tmp_path):
+    """ORC (r15): schema-carrying columnar format read natively — the
+    same aggregate over an ORC copy of customer must equal the parquet
+    answer, with no explicit schema needed."""
+    pq = read_table(spark, f"{sf_dir}/customer.parquet")
+    orc_dir = str(tmp_path / "cust_orc")
+    pq.write.orc(orc_dir)
+    got = _agg(read_table(spark, orc_dir, "orc"))
+    assert got == _agg(pq)
 
 
 def test_convert_to_parquet_is_query_equivalent(spark, sf_dir, tmp_path, customer_pq):
