@@ -92,6 +92,7 @@ HEADLINE = [
     "pipeline_zorder_layout",
     "multimodal_ahash_neardup",
     "stats_cramers_v_matrix",
+    "ml_calibration_reliability",
 ]
 
 
