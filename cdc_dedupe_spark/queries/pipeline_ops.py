@@ -826,3 +826,110 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pipeline_zorder_layout.__doc__ = pipeline_zorder_layout.__doc__.format(b=_Z_BITS)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_snapshot_diff — corpus snapshot reconciliation (r15)
+
+_SNAP_NEW_MOD = 20  # doc_id % 20 == 3 -> absent yesterday (today's additions)
+_SNAP_REV_MOD = 30  # doc_id % 30 == 5 -> revised since yesterday
+
+
+def _snap_sql(fdiv: str) -> dict[str, str]:
+    # "yesterday" is DERIVED from the corpus (the planted-fixture trick):
+    # additions are excluded, revisions carry yesterday's text minus its
+    # final character. fdiv is unused but kept for the convention.
+    del fdiv
+    return {
+        "yesterday": f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % {_SNAP_REV_MOD} = 5
+                  THEN substr(text, 1, length(text) - 1) ELSE text END AS text
+      FROM documents WHERE doc_id % {_SNAP_NEW_MOD} <> 3""",
+    }
+
+
+_SNAP_ORACLE = f"""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS dg, CAST(length(text) AS BIGINT) AS nb
+      FROM ({_snap_sql("//")["yesterday"]})
+    ), b AS (
+      SELECT doc_id, md5(text) AS dg, CAST(length(text) AS BIGINT) AS nb
+      FROM documents
+    ), j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.dg AS dg_a, b.dg AS dg_b, a.nb AS nb_a, b.nb AS nb_b
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN dg_a IS NULL THEN 'added'
+                WHEN dg_b IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CAST(COALESCE(nb_a, 0) AS BIGINT) AS bytes_before,
+           CAST(COALESCE(nb_b, 0) AS BIGINT) AS bytes_after
+    FROM j WHERE dg_a IS NULL OR dg_b IS NULL OR dg_a <> dg_b
+    """
+
+
+@register("pipeline_snapshot_diff", group="pipeline-ops", oracle=_SNAP_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT reconciliation — the "what changed between yesterday's
+    corpus and today's" audit every versioned data lake runs before
+    promoting an ingest (Delta time-travel diff / cross-region
+    reconcile, as a declarative query): digest both snapshots map-side
+    (md5 of the payload, the [[multimodal_dedup_exact]] CAS discipline),
+    full-outer join on the document key, and emit one row per ADDED /
+    REMOVED / CHANGED document with its before/after byte sizes —
+    unchanged documents (the overwhelming bulk) never leave the join.
+    Yesterday's snapshot is derived from the corpus with planted
+    additions (doc_id % {nm} = 3 absent yesterday) and revisions
+    (doc_id % {rm} = 5 one character shorter yesterday), so the diff
+    output is non-degenerate and the tests pin exact membership of all
+    three classes.
+
+    Shape at scale: payloads reduce to (key, 16-byte digest, length) at
+    the scan — the full-outer join shuffles digests, never text; output
+    is O(churn), not O(corpus). On a real lakehouse the two sides are
+    two table versions' file listings plus their row digests; the diff
+    layer is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("doc_id") % _SNAP_NEW_MOD != 3)
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN doc_id % {_SNAP_REV_MOD} = 5"
+            " THEN substr(text, 1, length(text) - 1) ELSE text END AS text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("dg_a"),
+            F.length("text").cast("long").alias("nb_a"),
+        )
+    )
+    b = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("dg_b"),
+        F.length("text").cast("long").alias("nb_b"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    return (
+        j.filter(
+            F.col("dg_a").isNull()
+            | F.col("dg_b").isNull()
+            | (F.col("dg_a") != F.col("dg_b"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("dg_a").isNull(), F.lit("added"))
+            .when(F.col("dg_b").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            F.coalesce("nb_a", F.lit(0)).cast("long").alias("bytes_before"),
+            F.coalesce("nb_b", F.lit(0)).cast("long").alias("bytes_after"),
+        )
+    )
+
+
+pipeline_snapshot_diff.__doc__ = pipeline_snapshot_diff.__doc__.format(
+    nm=_SNAP_NEW_MOD, rm=_SNAP_REV_MOD
+)

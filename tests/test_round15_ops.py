@@ -746,3 +746,34 @@ def test_calibration_matches_python_twin(spark, sf_dir):
     for r in by_bin:
         if r.n >= total // 20:
             assert r.gap_ppm <= 120_000, (r.bin, r.gap_ppm)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_snapshot_diff (r15)
+
+
+def test_snapshot_diff_exact_membership(spark, sf_dir):
+    """The planted fixture fully determines the diff: added = doc_id %
+    20 == 3, changed = the remaining doc_id % 30 == 5 (one char shorter
+    yesterday), removed = none; byte columns reflect the revision."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ids = set(docs.doc_id)
+    nlen = dict(zip(docs.doc_id, docs.text.str.len()))
+    added = {d for d in ids if d % 20 == 3}
+    changed = {d for d in ids if d % 30 == 5 and d not in added}
+    got = REGISTRY["pipeline_snapshot_diff"].spark(spark, sf_dir).collect()
+    by_status = defaultdict(set)
+    for r in got:
+        by_status[r.status].add(r.doc_id)
+    assert by_status["added"] == added
+    assert by_status["changed"] == changed
+    assert not by_status["removed"]
+    for r in got:
+        if r.status == "added":
+            assert (r.bytes_before, r.bytes_after) == (0, nlen[r.doc_id])
+        elif r.status == "changed":
+            assert (r.bytes_before, r.bytes_after) == (
+                nlen[r.doc_id] - 1,
+                nlen[r.doc_id],
+            )
+    assert added and changed, "degenerate fixture"
