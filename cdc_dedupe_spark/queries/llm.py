@@ -847,11 +847,17 @@ def _ah_assets_sql(fdiv: str) -> str:
     same trick as text_pii_scrub's derived PII: planted, so the pair
     output is non-degenerate and recall is testable)."""
     mid = f"(length(text) {fdiv} 2)"
+    # src_doc/is_var ride the union EXPLICITLY (ADVICE r15): inferring
+    # "planted" from asset_b = asset_a + offset would mislabel any real doc
+    # pair whose ids happen to differ by exactly the offset, and a corpus
+    # with doc_id >= offset would collide ids. The offset now only
+    # manufactures a unique asset_id for the fixture rows.
     return f"""
-      SELECT doc_id AS asset_id, text AS t FROM documents
-      WHERE length(text) >= {_AH_BITS}
+      SELECT doc_id AS asset_id, doc_id AS src_doc, 0 AS is_var, text AS t
+      FROM documents WHERE length(text) >= {_AH_BITS}
       UNION ALL
       SELECT doc_id + {_AH_VARIANT_OFFSET} AS asset_id,
+             doc_id AS src_doc, 1 AS is_var,
              concat(substr(text, 1, {mid}), '~',
                     substr(text, {mid} + 2, length(text))) AS t
       FROM documents
@@ -887,26 +893,29 @@ def _ah_hash_duck() -> str:
 _AH_ORACLE = f"""
     WITH assets AS ({_ah_assets_sql("//")}),
     m AS (
-      SELECT asset_id, t, length(t) AS n,
+      SELECT asset_id, src_doc, is_var, t, length(t) AS n,
              list_sum(list_transform(generate_series(1, length(t)),
                                      i -> ascii(substr(t, i, 1)))) AS s
       FROM assets
     ), h AS (
-      SELECT asset_id, CAST({_ah_hash_duck()} AS BIGINT) AS ahash FROM m
+      SELECT asset_id, src_doc, is_var,
+             CAST({_ah_hash_duck()} AS BIGINT) AS ahash FROM m
     ), bands AS (
-      SELECT asset_id, ahash, b.band,
+      SELECT asset_id, src_doc, is_var, ahash, b.band,
              (ahash // (CAST(1 AS BIGINT) << (b.band * {_AH_BAND_BITS})))
                % {1 << _AH_BAND_BITS} AS bandval
       FROM h, (SELECT unnest(generate_series(0, {_AH_BANDS - 1})) AS band) b
     ), cand AS (
       SELECT DISTINCT a.asset_id AS asset_a, a.ahash AS ha,
-                      c.asset_id AS asset_b, c.ahash AS hb
+                      a.src_doc AS sa, a.is_var AS va,
+                      c.asset_id AS asset_b, c.ahash AS hb,
+                      c.src_doc AS sb, c.is_var AS vb
       FROM bands a JOIN bands c USING (band, bandval)
       WHERE a.asset_id < c.asset_id
     )
     SELECT asset_a, asset_b,
            CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
-           CAST(CASE WHEN asset_b = asset_a + {_AH_VARIANT_OFFSET}
+           CAST(CASE WHEN sa = sb AND va <> vb
                 THEN 1 ELSE 0 END AS BIGINT) AS is_planted_variant
     FROM cand WHERE bit_count(xor(ha, hb)) <= {_AH_MAXHAM}
     """
@@ -940,8 +949,10 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
     )
-    orig = d.filter(F.length("text") >= _AH_BITS).select(
-        F.col("doc_id").alias("asset_id"), F.col("text").alias("t")
+    # Explicit provenance columns (ADVICE r15): src_doc + is_var label the
+    # planted fixture rows; the +offset only manufactures a unique asset_id.
+    orig = d.filter(F.length("text") >= _AH_BITS).selectExpr(
+        "doc_id AS asset_id", "doc_id AS src_doc", "0 AS is_var", "text AS t"
     )
     mid = "(length(text) div 2)"
     var = (
@@ -950,6 +961,8 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id") % _AH_VARIANT_MOD == 3)
         ).selectExpr(
             f"doc_id + {_AH_VARIANT_OFFSET} AS asset_id",
+            "doc_id AS src_doc",
+            "1 AS is_var",
             f"concat(substr(text, 1, {mid}), '~',"
             f" substr(text, {mid} + 2, length(text))) AS t",
         )
@@ -958,11 +971,15 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orig.unionAll(var)
         .selectExpr(
             "asset_id",
+            "src_doc",
+            "is_var",
             "length(t) AS n",
             "transform(split(t, ''), c -> cast(ascii(c) as bigint)) AS ints",
         )
         .selectExpr(
             "asset_id",
+            "src_doc",
+            "is_var",
             "n",
             "ints",
             "aggregate(ints, 0L, (a, x) -> a + x) AS s",
@@ -971,14 +988,19 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature table is (asset_id, int64) — materialize it ONCE so the
     # band self-join's two sides don't each recompute the per-char scan
     h = m.selectExpr(
-        "asset_id", f"CAST({_ah_hash_spark()} AS BIGINT) AS ahash"
+        "asset_id", "src_doc", "is_var",
+        f"CAST({_ah_hash_spark()} AS BIGINT) AS ahash",
     ).localCheckpoint(eager=False)
     bands = h.select(
         "asset_id",
+        "src_doc",
+        "is_var",
         "ahash",
         F.explode(F.array(*[F.lit(b) for b in range(_AH_BANDS)])).alias("band"),
     ).selectExpr(
         "asset_id",
+        "src_doc",
+        "is_var",
         "ahash",
         "band",
         f"(ahash div shiftleft(1L, band * {_AH_BAND_BITS}))"
@@ -987,22 +1009,24 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bands.select(
         F.col("band"), F.col("bandval"),
         F.col("asset_id").alias("asset_a"), F.col("ahash").alias("ha"),
+        F.col("src_doc").alias("sa"), F.col("is_var").alias("va"),
     )
     c = bands.select(
         F.col("band"), F.col("bandval"),
         F.col("asset_id").alias("asset_b"), F.col("ahash").alias("hb"),
+        F.col("src_doc").alias("sb"), F.col("is_var").alias("vb"),
     )
     cand = (
         a.join(c, ["band", "bandval"])
         .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "ha", "asset_b", "hb")
+        .select("asset_a", "ha", "sa", "va", "asset_b", "hb", "sb", "vb")
         .distinct()
     )
     return cand.selectExpr(
         "asset_a",
         "asset_b",
         "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming",
-        f"CAST(CASE WHEN asset_b = asset_a + {_AH_VARIANT_OFFSET}"
+        "CAST(CASE WHEN sa = sb AND va <> vb"
         " THEN 1 ELSE 0 END AS BIGINT) AS is_planted_variant",
     ).filter(F.col("hamming") <= _AH_MAXHAM)
 

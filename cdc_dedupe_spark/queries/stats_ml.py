@@ -4538,9 +4538,16 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums += [
             F.expr(f"cast(sum(case when {cond} then 1 else 0 end) as bigint)").alias(f"n_{c}"),
             F.expr(f"cast(sum(case when {cond} then 1 else 0 end) as decimal(38,0))").alias(f"nd_{c}"),
-            F.expr(f"cast(sum(case when {cond} then cents else 0 end) as decimal(38,0))").alias(f"s_{c}"),
             F.expr(
-                f"cast(sum(case when {cond} then cents * cents else 0 end) as decimal(38,0))"
+                f"sum(cast(case when {cond} then cents else 0 end as decimal(38,0)))"
+            ).alias(f"s_{c}"),
+            # Per-row decimal cast BEFORE the SUM (ADVICE r15): Spark's
+            # SUM(BIGINT) stays BIGINT, so cents*cents (~3.2e8 each) would
+            # silently wrap past ~2.8e10 purchase rows; DuckDB's SUM widens
+            # to HUGEINT natively, so the oracle needs no change.
+            F.expr(
+                f"sum(cast(case when {cond} then cents * cents else 0 end"
+                " as decimal(38,0)))"
             ).alias(f"sq_{c}"),
         ]
     m = v.agg(*sums)

@@ -1553,7 +1553,7 @@ def _quantile_hist_fold(
     """Bounded-histogram fold: the 4001-bucket count array IS the state.
     Bucketing mirrors the SQL oracle bit-for-bit: cents =
     floor(value*100 + 0.5) (positive-half-away round, the engines'
-    round()), bucket = min(cents div 25, 400). Addition is commutative
+    round()), bucket = max(0, min(cents div 25, 4000)). Addition is commutative
     and associative, so batch split and arrival order cannot change the
     final histogram — the HLL-register determinism argument."""
     import math as _m
@@ -1563,7 +1563,13 @@ def _quantile_hist_fold(
     for pdf in pdfs:
         for v in pdf["value"]:
             cents = int(_m.floor(float(v) * 100 + 0.5))
-            counts[min(cents // _SQ_W, _SQ_B - 1)] += 1
+            # Lower clamp too (ADVICE r15): a negative value would make
+            # cents // _SQ_W negative and Python would NEGATIVE-INDEX into
+            # the tail of the state list, silently corrupting high buckets
+            # while the oracle emits a distinct negative pos row. The
+            # current generator emits [0,100) only, but the fold must not
+            # depend on that.
+            counts[max(0, min(cents // _SQ_W, _SQ_B - 1))] += 1
         n += len(pdf)
     state.update((counts, n))
     yield pd.DataFrame(
@@ -1578,7 +1584,7 @@ def _quantile_hist_fold(
     WITH c AS (
       SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
     ), b AS (
-      SELECT event_type, LEAST(cents // {_SQ_W}, {_SQ_B - 1}) AS pos,
+      SELECT event_type, GREATEST(0, LEAST(cents // {_SQ_W}, {_SQ_B - 1})) AS pos,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM c GROUP BY 1, 2
     ), nn AS (
