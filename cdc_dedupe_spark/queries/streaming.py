@@ -310,6 +310,100 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_outer",
+    group="streaming",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           CAST(CASE WHEN p.ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    WHERE c.ts + INTERVAL 70 MINUTE < (SELECT w FROM wm)
+    """,
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (VERDICT r15 #3): clicks
+    with no purchase within the hour emit a null-padded row when the
+    watermark expires their join window — the state-EVICTION semantics
+    the inner [[stream_stream_join]] never touches (an unmatched left row
+    can only be emitted once no future purchase could still match it,
+    i.e. once click_ts + 60min falls behind the global watermark).
+    Reference analogue: the duplicate side-channel's "emit the
+    non-winning side too" (WatchStream.java:275-279).
+
+    Determinism contract: inner matches are watermark-independent, but
+    outer null-emissions near the end of a bounded replay depend on the
+    final watermark — clicks whose window never falls behind it stay in
+    state, unreported. Both engines therefore restrict to the provably
+    decided subset: clicks with click_ts + 70min < final watermark
+    (least of the two sides' max event time, minus the 10-minute delay
+    — Spark's default min-policy multi-watermark), a 10-minute buffer
+    clear of the eviction boundary so tie semantics cannot differ. On
+    that subset the streaming output equals the batch left join EXACTLY
+    (oracle hash-exact); the availableNow drain's trailing no-data
+    microbatch flushes the evicted unmatched rows.
+
+    Shape at scale: both sides shuffle on user_id once; join state is
+    O(events inside the 70-minute horizon) per side — bounded by the
+    watermark, not stream history — and the decided-subset filter is a
+    1-row broadcast bound, no extra shuffle."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.when(F.col("purchase_ts").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("matched"),
+    )
+    drained = run_to_memory(joined, "stream_stream_join_outer", output_mode="append")
+    # decided-subset bound, batch-side: click_us < (final watermark - 70min)
+    ev = table(spark, sf_dir, "events")
+    bound = ev.agg(
+        (
+            F.unix_micros(
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+            )
+            - F.lit(80 * 60 * 1_000_000)  # 10min watermark delay + 70min margin
+        ).alias("bound_us")
+    )
+    return (
+        drained.crossJoin(F.broadcast(bound))
+        .filter(F.col("click_us") < F.col("bound_us"))
+        .drop("bound_us")
+    )
+
+
+@register(
     "stream_ohlc_candles",
     group="streaming",
     oracle=f"""

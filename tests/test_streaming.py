@@ -566,6 +566,108 @@ def test_update_mode_multibatch_fold_matches_batch(spark, tmp_path):
         assert got == want
 
 
+def test_stream_stream_outer_join_null_emission_timing(spark, tmp_path):
+    """Pin the LEFT OUTER stream-stream join's state-eviction semantics
+    (VERDICT r15 #3): an unmatched click emits its null-padded row ONLY
+    once the global watermark passes click_ts + 60min — never in the
+    batch that ingested it — and a click whose window is still undecided
+    at drain end is never emitted at all.
+
+    Batch 0: click u1@10:00 (never matches), click u2@10:00 +
+    purchase u2@10:30 (matches). Batch 1: one click + one purchase at
+    13:00 advancing BOTH sides' watermarks to 12:50, far past u1's
+    11:00 window end -> u1's null row must flush in a LATER batch; the
+    13:00 click's own window (ends 14:00 > 12:50) stays in state,
+    unreported."""
+    src = tmp_path / "src"
+    src.mkdir()
+    batch0 = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 10:30:00", "event_type": "purchase"},
+    ]
+    batch1 = [
+        {"user_id": 100, "ts": "2024-01-01 13:00:00", "event_type": "click"},
+        {"user_id": 200, "ts": "2024-01-01 13:00:00", "event_type": "purchase"},
+    ]
+    for i, batch in enumerate([batch0, batch1]):
+        p = src / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "left_outer",
+    ).select("user_id", "click_ts", "purchase_ts")
+
+    emitted = []  # (batch_id, user_id, purchase_ts-or-None) per output row
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            emitted.append((bid, r.user_id, r.purchase_ts))
+
+    q = joined.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    by_user = {}
+    for bid, uid, pts in emitted:
+        by_user.setdefault(uid, []).append((bid, pts))
+    # the match emits exactly once, watermark-independent
+    assert len(by_user.get(2, [])) == 1 and by_user[2][0][1] is not None
+    # the unmatched click emits exactly one NULL row...
+    assert len(by_user.get(1, [])) == 1 and by_user[1][0][1] is None
+    # ...and only AFTER the batch that ingested it (eviction, not ingest)
+    ingest_bid = min(b for b, _, _ in emitted)
+    assert by_user[1][0][0] > ingest_bid, (
+        f"null row emitted in the ingest batch: {emitted}"
+    )
+    # the still-undecided 13:00 click must NOT have been emitted
+    assert 100 not in by_user, f"undecided click leaked: {emitted}"
+
+
+def test_stream_stream_join_outer_registry_subset_is_decided(spark, sf_dir):
+    """The registered query's decided-subset contract: every returned
+    click_us sits at least 70min+10min-delay before BOTH sides' max event
+    time, and matched=0 rows carry null purchase_us while matched=1 rows
+    never do."""
+    from cdc_dedupe_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["stream_stream_join_outer"].spark(spark, sf_dir).collect()
+    assert rows, "decided subset is empty on the test corpus"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy().agg(
+        F.unix_micros(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts").cast("timestamp"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts").cast("timestamp"))),
+            )
+        ).alias("m")
+    ).collect()[0]
+    bound = agg.m - 80 * 60 * 1_000_000
+    assert all(r.click_us < bound for r in rows)
+    for r in rows:
+        assert (r.matched == 0) == (r.purchase_us is None)
+
+
 def test_run_to_memory_rejects_unknown_state_store(spark, sf_dir):
     """ADVICE r14 #4: SPARK_GRAFT_STATE_STORE is the documented cluster
     switch — a typo must fail with the valid options named, not a bare
