@@ -498,3 +498,196 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("last_change_us"),
         (F.lit(_ASOF_T_US) - F.max("ts_us")).cast("long").alias("staleness_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_merge_apply — changelog MERGE INTO a persisted bucketed base (round 16)
+
+_MERGE_BASE_TABLE = "cdc_merge_base"
+_MERGE_RESULT_TABLE = "cdc_merge_result"
+_MERGE_DELETE_MOD = 13  # user_id % 13 == 0 in the change batch -> delete op
+_MERGE_KEEP_MOD = 5  # user_id % 5 == 4 has no second-half changes -> 'keep'
+_MERGE_NEW_MOD = 11  # user_id % 11 == 5 also arrives as NEW entity -(id+1)
+
+
+def _merge_oracle() -> str:
+    ok = SQL_PADDED_ORDER_KEY.format(ts="ts_us", id="event_id")
+    fold = (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,"
+        " MAX(ts_us) AS last_ts_us,"
+        " arg_max(event_id, ok) AS last_event_id,"
+        " arg_max(cents, ok) AS last_cents"
+        " FROM {src} GROUP BY user_id"
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+    k AS (SELECT *, {ok} AS ok FROM e),
+    base AS ({fold.format(src="k WHERE day < (SELECT mid FROM b)")}),
+    -- change batch: second-half events, minus the untouched cohort
+    -- (%{_MERGE_KEEP_MOD}=4 -> 'keep'), plus a planted NEW-entity stream
+    -- (%{_MERGE_NEW_MOD}=5 re-keyed to the disjoint negative id space ->
+    -- 'insert'; negatives divisible by {_MERGE_DELETE_MOD} exercise
+    -- delete-of-absent)
+    ck AS (
+      SELECT user_id, ts_us, event_id, cents, ok
+      FROM k WHERE day >= (SELECT mid FROM b)
+             AND user_id % {_MERGE_KEEP_MOD} <> 4
+      UNION ALL
+      SELECT -(user_id + 1) AS user_id, ts_us, event_id, cents, ok
+      FROM k WHERE day >= (SELECT mid FROM b)
+             AND user_id % {_MERGE_NEW_MOD} = 5
+    ),
+    chg AS (
+      SELECT *, CASE WHEN user_id % {_MERGE_DELETE_MOD} = 0
+                     THEN 'd' ELSE 'u' END AS op
+      FROM ({fold.format(src="ck")})
+    )
+    SELECT COALESCE(c.user_id, base.user_id) AS user_id,
+           CASE WHEN c.user_id IS NULL THEN base.n_versions
+                ELSE COALESCE(base.n_versions, 0) + c.n_versions
+           END AS n_versions,
+           CASE WHEN c.user_id IS NULL THEN base.last_ts_us
+                ELSE c.last_ts_us END AS last_ts_us,
+           CASE WHEN c.user_id IS NULL THEN base.last_event_id
+                ELSE c.last_event_id END AS last_event_id,
+           CASE WHEN c.user_id IS NULL THEN base.last_cents
+                ELSE c.last_cents END AS last_cents,
+           CASE WHEN c.user_id IS NULL THEN 'keep'
+                WHEN base.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM base FULL OUTER JOIN chg c ON base.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'd'
+    """
+
+
+@register("cdc_merge_apply", group="cdc", oracle=_merge_oracle())
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-APPLY / MERGE INTO (VERDICT r15 #4): fold the first
+    half of the event log into a per-entity read model, PERSIST it in
+    the 100 TB layout (bucketBy(8, user_id) + sortBy — the
+    write_bucketed_table contract, tests/test_bucketing.py), fold the
+    second half into a change batch (last-wins per entity, with a
+    planted delete op for user_id % {mod} == 0 — the Debezium op='d'
+    tombstone; the %5=4 cohort is withheld so untouched 'keep' rows
+    exist, and the %11=5 cohort also arrives re-keyed into the disjoint
+    negative id space as genuinely NEW entities so 'insert' and
+    delete-of-absent are exercised), then apply the batch to the
+    persisted base with the
+    algorithmic MERGE INTO: full-outer join on the bucketed entity key,
+    change-wins field resolution, tombstones drop the row (delete of an
+    absent key is a no-op), untouched base rows pass through as 'keep'.
+    The merged state is written back bucketed and the RETURNED frame is
+    the read-back, so the oracle hash-checks the entire round trip —
+    the write-side dual of [[cdc_upsert_latest]]'s read fold, and the
+    read model the reference's whole output exists to maintain
+    (README.md:5-7: deduplicated id batches feed downstream indexers
+    that do exactly this apply).
+
+    Shape at scale: both folds are partial-agg shuffles of O(entities)
+    rows; the merge join reads the base EXCHANGE-FREE from the bucketed
+    layout (only the change side shuffles to align — pinned in
+    tests/test_round16_ops.py), and the write-back pays the one bucket
+    shuffle that makes the NEXT apply exchange-free too. That is the
+    Delta/Iceberg MERGE cost model: O(changes) shuffled, base co-located,
+    never a full rewrite of unmatched partitions."""
+    from ..sources.files import write_bucketed_table
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("day", F.expr("ts_us div 86400000000"))
+        .withColumn("ok", padded_order_key("ts_us", "event_id"))
+    )
+    b = e.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    e2 = e.crossJoin(F.broadcast(b))
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max("ts_us").alias("last_ts_us"),
+            F.max_by("event_id", "ok").alias("last_event_id"),
+            F.max_by("cents", "ok").alias("last_cents"),
+        )
+
+    write_bucketed_table(
+        fold(e2.filter(F.col("day") < F.col("mid"))),
+        _MERGE_BASE_TABLE,
+        "user_id",
+        n_buckets=8,
+    )
+    second = e2.filter(F.col("day") >= F.col("mid")).select(
+        "user_id", "ts_us", "event_id", "cents", "ok"
+    )
+    chg_events = second.filter(
+        F.col("user_id") % _MERGE_KEEP_MOD != 4
+    ).unionAll(
+        second.filter(F.col("user_id") % _MERGE_NEW_MOD == 5).withColumn(
+            "user_id", -(F.col("user_id") + 1)
+        )
+    )
+    merged = merge_into_frame(
+        spark.table(_MERGE_BASE_TABLE),
+        fold(chg_events).withColumn(
+            "op",
+            F.when(F.col("user_id") % _MERGE_DELETE_MOD == 0, F.lit("d"))
+            .otherwise(F.lit("u")),
+        ),
+    )
+    write_bucketed_table(merged, _MERGE_RESULT_TABLE, "user_id", n_buckets=8)
+    return spark.table(_MERGE_RESULT_TABLE)
+
+
+cdc_merge_apply.__doc__ = cdc_merge_apply.__doc__.format(mod=_MERGE_DELETE_MOD)
+
+
+def merge_into_frame(base: DataFrame, chg: DataFrame) -> DataFrame:
+    """The pure MERGE plan (factored out so tests can pin it without the
+    write): full-outer on user_id, change-wins resolution, 'd' tombstones
+    drop the row. `base` columns: user_id, n_versions, last_ts_us,
+    last_event_id, last_cents; `chg` adds op ('u'|'d')."""
+    c = chg.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("n_versions").alias("c_n_versions"),
+        F.col("last_ts_us").alias("c_last_ts_us"),
+        F.col("last_event_id").alias("c_last_event_id"),
+        F.col("last_cents").alias("c_last_cents"),
+        "op",
+    )
+    j = base.join(c, base["user_id"] == c["c_user_id"], "full_outer")
+    chg_absent = F.col("c_user_id").isNull()
+    return (
+        j.filter(F.col("op").isNull() | (F.col("op") != "d"))
+        .select(
+            F.coalesce(F.col("c_user_id"), F.col("user_id")).alias("user_id"),
+            F.when(chg_absent, F.col("n_versions"))
+            .otherwise(
+                F.coalesce(F.col("n_versions"), F.lit(0)) + F.col("c_n_versions")
+            )
+            .alias("n_versions"),
+            F.when(chg_absent, F.col("last_ts_us"))
+            .otherwise(F.col("c_last_ts_us"))
+            .alias("last_ts_us"),
+            F.when(chg_absent, F.col("last_event_id"))
+            .otherwise(F.col("c_last_event_id"))
+            .alias("last_event_id"),
+            F.when(chg_absent, F.col("last_cents"))
+            .otherwise(F.col("c_last_cents"))
+            .alias("last_cents"),
+            F.when(chg_absent, F.lit("keep"))
+            .when(F.col("user_id").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )

