@@ -1337,6 +1337,13 @@ def stream_topk_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: shard = hash(user) % 8 spreads counters across state
     partitions; k scales with the n/k error target, never with
     cardinality."""
+    return _spacesaving_summary(spark, sf_dir)
+
+
+def _spacesaving_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the Space-Saving fold and return each shard's FINAL summary
+    (the max-n_seen emission per shard) — shared by the rows-only
+    surface query and its exact-audit twin."""
     stream = events_stream(spark, sf_dir).select(
         "user_id", (F.col("user_id") % 8).alias("shard")
     )
@@ -1355,6 +1362,97 @@ def stream_topk_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("_mx", mx)
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("shard", "user_id", "count_hat", "err_max", "n_seen")
+    )
+
+
+@register(
+    "stream_topk_exact_audit",
+    group="streaming",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 8 AS shard, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT shard, CAST(SUM(cnt) AS BIGINT) AS n_seen FROM s GROUP BY 1
+    )
+    SELECT t.shard, t.n_seen,
+           t.n_seen // {_SS_K} AS thresh_floor,
+           CAST(SUM(CASE WHEN s.cnt * {_SS_K} > t.n_seen THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heavy_true,
+           CAST(0 AS BIGINT) AS n_heavy_missing,
+           CAST(0 AS BIGINT) AS n_bound_violations
+    FROM t JOIN s ON s.shard = t.shard
+    GROUP BY t.shard, t.n_seen
+    """,
+)
+def stream_topk_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT audit of [[stream_topk_spacesaving]]'s deterministic
+    guarantees (VERDICT r15 #5 — the stream_watermark_dedupe projection
+    trick applied again): WHICH near-threshold keys survive the k=64
+    counters is arrival-order dependent (hence that query's rows-only
+    contract), but the Space-Saving THEOREMS are order-independent —
+    every key with true count > n/k is present in the summary, and every
+    summary key's true count lies in [count_hat − err_max, count_hat].
+    So the audit projection IS deterministic: per shard, the event total,
+    the floor(n/k) threshold, the number of truly-heavy keys (pure SQL),
+    and two violation counts the algorithm guarantees to be ZERO —
+    heavy keys missing from the summary, and summary keys whose true
+    count escapes their declared bounds. A buggy fold (wrong eviction,
+    dropped err inheritance, state truncation) breaks one of the zeros
+    and with it hash parity; the oracle emits the same invariants
+    directly from the batch truth.
+
+    Shape at scale: the stream side is the same bounded-k fold; the
+    audit joins the O(shards·k) summary against the per-key batch
+    rollup — the summary side broadcasts, the rollup is one
+    partial-agg shuffle."""
+    summary = _spacesaving_summary(spark, sf_dir)
+    tc = (
+        table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 8).alias("shard"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ns = summary.groupBy("shard").agg(F.max("n_seen").alias("n_seen"))
+    skeys = summary.select("shard", "user_id", "count_hat", "err_max")
+    heavy = tc.join(F.broadcast(ns), "shard").filter(
+        F.col("cnt") * _SS_K > F.col("n_seen")
+    )
+    # per-shard audit metrics, renamed join keys so the shared-lineage
+    # frames (ns/skeys/heavy all derive from summary) never collide
+    missing = (
+        heavy.join(skeys.select("shard", "user_id"), ["shard", "user_id"], "left_anti")
+        .groupBy(F.col("shard").alias("shard_m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_heavy_missing"))
+    )
+    viol = (
+        skeys.join(tc, ["shard", "user_id"], "left")
+        .filter(
+            F.col("cnt").isNull()
+            | (F.col("cnt") > F.col("count_hat"))
+            | (F.col("cnt") < F.col("count_hat") - F.col("err_max"))
+        )
+        .groupBy(F.col("shard").alias("shard_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bound_violations"))
+    )
+    n_heavy = heavy.groupBy(F.col("shard").alias("shard_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_heavy_true")
+    )
+    return (
+        ns.join(n_heavy, ns["shard"] == n_heavy["shard_h"], "left")
+        .join(missing, ns["shard"] == missing["shard_m"], "left")
+        .join(viol, ns["shard"] == viol["shard_v"], "left")
+        .select(
+            "shard",
+            "n_seen",
+            F.expr(f"n_seen div {_SS_K}").alias("thresh_floor"),
+            F.coalesce("n_heavy_true", F.lit(0)).cast("long").alias("n_heavy_true"),
+            F.coalesce("n_heavy_missing", F.lit(0))
+            .cast("long")
+            .alias("n_heavy_missing"),
+            F.coalesce("n_bound_violations", F.lit(0))
+            .cast("long")
+            .alias("n_bound_violations"),
+        )
     )
 
 

@@ -171,3 +171,33 @@ def test_merge_join_base_side_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t_base}")
         spark.sql(f"DROP TABLE IF EXISTS {t_chg}")
+
+
+# ---------------------------------------------------------------------------
+# stream_topk_exact_audit (r16)
+
+
+def test_topk_exact_audit_matches_python_truth(spark, sf_dir):
+    """The audit's SQL-computable columns recomputed in pure python from
+    the raw events (per-shard totals, floor(n/k) threshold, truly-heavy
+    count), and the two guarantee columns MUST be zero — the fold's
+    Space-Saving theorems are order-independent, so any non-zero is an
+    implementation bug, not noise."""
+    from collections import Counter
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    K = 64
+    per_shard = {}
+    for uid in ev.user_id:
+        per_shard.setdefault(uid % 8, Counter())[uid] += 1
+    rows = REGISTRY["stream_topk_exact_audit"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(per_shard)
+    for r in rows:
+        c = per_shard[r.shard]
+        n = sum(c.values())
+        assert r.n_seen == n
+        assert r.thresh_floor == n // K
+        assert r.n_heavy_true == sum(1 for v in c.values() if v * K > n)
+        assert r.n_heavy_missing == 0
+        assert r.n_bound_violations == 0
+    assert any(r.n_heavy_true > 0 for r in rows), "fixture degenerate: no heavy keys"
