@@ -121,12 +121,13 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap
-    (session_window — the streaming primitive — in batch mode: streaming
-    session windows support only append output, which on a bounded
-    single-file replay never advances the watermark past the final
-    sessions, so the deterministic oracle-checked variant runs the same
-    operator in batch; the oracle rebuilds sessions with the classic
-    lag+cumsum islands trick)."""
+    (session_window — the streaming primitive — in batch mode; the TRUE
+    streaming run with the decided-subset exact oracle is
+    [[stream_session_window_native]], r16 — only the tail sessions still
+    open at the final watermark are undecided on a bounded replay. This
+    batch variant keeps the full-corpus view including those tails; the
+    oracle rebuilds sessions with the classic lag+cumsum islands
+    trick)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -136,6 +137,77 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
             "n_events",
         )
+    )
+
+
+@register(
+    "stream_session_window_native",
+    group="streaming",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER uw IS NULL
+                   OR ts - LAG(ts) OVER uw >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 35 MINUTE < (SELECT w FROM wm)
+    """,
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window running in TRUE streaming append
+    mode — the upgrade of [[stream_session_counts]]'s batch variant
+    (whose docstring declared streaming sessions non-deterministic on a
+    bounded replay) using the [[stream_stream_join_outer]]
+    decided-subset trick: a session window is final once the watermark
+    passes its end (= last event + 30min gap), and the availableNow
+    drain's trailing no-data microbatch flushes exactly those; only the
+    tail sessions whose windows are still open at the final watermark
+    are undecided. Both engines restrict to sessions ending 5 minutes
+    clear of the final watermark (max event time − 10min delay), on
+    which the streaming emission equals the batch lag+cumsum islands
+    sessionization EXACTLY — oracle hash-checked, gap-merge boundary
+    included (an event at exactly last+gap starts a NEW session:
+    session windows are [start, last+gap), mirrored by the oracle's
+    `>=` break).
+
+    Shape at scale: one shuffle on user_id into the session-merging
+    state store; state is O(open sessions), evicted at watermark — the
+    canonical Structured Streaming sessionization, no custom fold."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    drained = run_to_memory(agg, "stream_session_window_native", output_mode="append")
+    bound = (
+        table(spark, sf_dir, "events")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.lit(15 * 60 * 1_000_000)).alias("bound_us")
+        )
+    )
+    return (
+        drained.crossJoin(F.broadcast(bound))
+        .filter(F.col("session_end_us") < F.col("bound_us"))
+        .drop("bound_us")
     )
 
 
