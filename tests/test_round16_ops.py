@@ -201,3 +201,28 @@ def test_topk_exact_audit_matches_python_truth(spark, sf_dir):
         assert r.n_heavy_missing == 0
         assert r.n_bound_violations == 0
     assert any(r.n_heavy_true > 0 for r in rows), "fixture degenerate: no heavy keys"
+
+
+# ---------------------------------------------------------------------------
+# cdc_ivm_agg (r16)
+
+
+def test_ivm_agg_deltas_actually_flow(spark, sf_dir):
+    """The oracle's from-scratch recompute vs the Spark side's delta-only
+    maintenance is the correctness proof (hash parity in the sweep); this
+    unit pins non-degeneracy: the maintained view differs from the base
+    view (so the delta path did work), totals stay positive, and entity
+    conservation holds — total entities = base + inserts - deletes,
+    recomputed independently from the raw events."""
+    from cdc_dedupe_spark.queries.cdc import cdc_ivm_agg
+
+    got = {r.event_type: (r.n_entities, r.sum_cents) for r in cdc_ivm_agg(spark, sf_dir).collect()}
+    assert got and all(n > 0 and s > 0 for n, s in got.values())
+
+    base, chg = _merge_folds(sf_dir)
+    n_expected = (
+        len(base)
+        + sum(1 for u in chg if u not in base and _c_mod(u, 13) != 0)
+        - sum(1 for u in chg if u in base and _c_mod(u, 13) == 0)
+    )
+    assert sum(n for n, _ in got.values()) == n_expected
