@@ -933,3 +933,78 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_snapshot_diff.__doc__ = pipeline_snapshot_diff.__doc__.format(
     nm=_SNAP_NEW_MOD, rm=_SNAP_REV_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_schema_evolution — additive evolution + mergeSchema read-back (r16)
+
+_EVO_DIR = "pipeline_schema_evo"
+_EVO_QUAL_MOD = 100  # planted new-column value: n_chars % 100
+
+
+@register(
+    "pipeline_schema_evolution",
+    group="pipeline-ops",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id % 2 AS gen, lang, n_chars,
+             CASE WHEN doc_id % 2 = 1
+                  THEN n_chars % {_EVO_QUAL_MOD} END AS quality
+      FROM documents
+    )
+    SELECT gen, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_quality,
+           CAST(SUM(COALESCE(quality, -1)) AS BIGINT) AS sum_quality_filled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM g GROUP BY 1, 2
+    """,
+)
+def pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive SCHEMA EVOLUTION through the lake write/read path — the
+    table-format capability every long-lived 100 TB corpus needs (new
+    extractor version starts emitting a column; historical files keep
+    the old schema forever, a rewrite being economically impossible):
+    generation 0 (even doc_ids) is written WITHOUT the `quality` column,
+    generation 1 (odd doc_ids) WITH it, each under its own gen=N
+    partition directory; the read-back uses parquet schema merging
+    (`mergeSchema`), which must union the footers, surface `quality` as
+    nullable, and backfill generation-0 rows with NULL — never a
+    mis-bound column or a dropped row. The returned frame is the
+    per-(gen, lang) audit over the MERGED read (row counts, null
+    accounting of the evolved column, a COALESCE(-1) default fill, and
+    a carried-through old column), so the oracle hash-checks the whole
+    evolution round trip from the raw documents table.
+
+    Shape at scale: schema merge is a FOOTER operation (per-file
+    metadata union), not a data pass; the audit is one partial-agg
+    rollup. The gen=N directory layout is exactly how production lakes
+    stage evolved writes, and partition pruning on gen still applies.
+    Overwrite mode keeps the query idempotent per (session, warehouse)."""
+    import os as _os
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = _os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        _EVO_DIR,
+    )
+    gen0 = base.filter(F.col("doc_id") % 2 == 0)
+    gen1 = base.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % _EVO_QUAL_MOD).cast("long")
+    )
+    gen0.write.mode("overwrite").parquet(f"{root}/gen=0")
+    gen1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy("gen", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_quality"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(-1)))
+        .cast("long")
+        .alias("sum_quality_filled"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

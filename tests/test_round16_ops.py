@@ -226,3 +226,37 @@ def test_ivm_agg_deltas_actually_flow(spark, sf_dir):
         - sum(1 for u in chg if u in base and _c_mod(u, 13) == 0)
     )
     assert sum(n for n, _ in got.values()) == n_expected
+
+
+# ---------------------------------------------------------------------------
+# pipeline_schema_evolution (r16)
+
+
+def test_schema_evolution_merge_and_pruning(spark, sf_dir):
+    """mergeSchema must surface the evolved column as nullable with
+    generation-0 rows backfilled NULL (never a mis-bound column), and the
+    gen partition column must still prune: a gen=1 filter's scan carries
+    the partition predicate so gen=0 files are never read."""
+    import os
+
+    from cdc_dedupe_spark.queries.registry import REGISTRY
+    from cdc_dedupe_spark.queries.pipeline_ops import _EVO_DIR
+
+    rows = REGISTRY["pipeline_schema_evolution"].spark(spark, sf_dir).collect()
+    by_gen = {}
+    for r in rows:
+        g = by_gen.setdefault(r.gen, [0, 0])
+        g[0] += r.n_rows
+        g[1] += r.n_null_quality
+    assert set(by_gen) == {0, 1}
+    assert by_gen[0][0] == by_gen[0][1] > 0  # gen0: every quality is NULL
+    assert by_gen[1][1] == 0 and by_gen[1][0] > 0  # gen1: none NULL
+
+    root = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), _EVO_DIR
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert dict(merged.dtypes)["quality"] == "bigint"
+    pruned = merged.filter(F.col("gen") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "gen" in plan.split("PartitionFilters")[1][:120], plan
