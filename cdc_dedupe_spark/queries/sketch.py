@@ -539,3 +539,128 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_kmv_distinct.__doc__ = agg_kmv_distinct.__doc__.format(k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_setops — set algebra on KMV sketches (round 16)
+
+_KSO_K = 64
+_KSO_NUM = repr(float((_KSO_K - 1) * (1 << 60)))
+
+_KSO_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_KSO_ORACLE = f"""
+    WITH a AS (
+      SELECT DISTINCT {_KSO_HASH_DUCK} AS hv FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT DISTINCT {_KSO_HASH_DUCK} AS hv FROM events WHERE event_type = 'purchase'
+    ), ska AS (SELECT hv FROM a ORDER BY hv LIMIT {_KSO_K}),
+    skb AS (SELECT hv FROM b ORDER BY hv LIMIT {_KSO_K}),
+    sku AS (
+      SELECT hv FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+      ORDER BY hv LIMIT {_KSO_K}
+    ), th AS (SELECT MAX(hv) AS theta, CAST(COUNT(*) AS BIGINT) AS ku FROM sku),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_sketch
+      FROM sku WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)
+    ), ex AS (
+      SELECT CAST((SELECT COUNT(*) FROM (SELECT hv FROM a UNION SELECT hv FROM b))
+                  AS BIGINT) AS exact_union,
+             CAST((SELECT COUNT(*) FROM a WHERE hv IN (SELECT hv FROM b))
+                  AS BIGINT) AS exact_inter
+    )
+    SELECT th.ku AS n_union_sketch, th.theta AS union_kth_hv,
+           inter.n_inter_sketch,
+           (round({_KSO_NUM} / th.theta, 1) + 0.0) AS union_est,
+           (round(inter.n_inter_sketch * ({_KSO_NUM} / th.theta) / th.ku, 1) + 0.0)
+             AS inter_est,
+           ex.exact_union, ex.exact_inter,
+           CAST(CASE WHEN abs({_KSO_NUM} / th.theta - ex.exact_union)
+                          <= 5.0 * ex.exact_union / sqrt({_KSO_K} - 2)
+                     THEN 1 ELSE 0 END AS BIGINT) AS union_within_5sd
+    FROM th, inter, ex
+    """
+
+
+@register("sketch_kmv_setops", group="sketch", oracle=_KSO_ORACLE)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET ALGEBRA on KMV sketches — the operation [[agg_kmv_distinct]]'s
+    docstring promises ("intersect = bottom-k of the union's hash sets")
+    now exercised end-to-end: sketch the click-user and purchase-user
+    domains independently (bottom-K={k} of the fixed 60-bit md5 family,
+    bit-reproducible), then compute |A∪B| and |A∩B| estimates FROM THE
+    SKETCHES ALONE — union sketch = bottom-K of the two sketches' union
+    (the fleet-merge operation itself), θ = its K-th hash, union_est =
+    (K−1)·2^60/θ, and the Theta-sketch intersection ρ·union_est where ρ
+    counts union-sketch hashes present in BOTH input sketches (sound
+    because θ ≤ min(θ_A, θ_B): any union-sketch member belonging to A is
+    below A's own K-th hash, hence inside A's sketch — no false
+    negatives from truncation). Exact counts ride along as audit
+    columns with a 5-sd acceptance flag.
+
+    Shape at scale: each input sketch is a distinct + TakeOrdered(K) —
+    fully parallel pre-trim, K rows cross the wire per set; every
+    set-op then rides O(K) rows on the driver-free broadcast plan. This
+    is how a 1000-source fleet answers "distinct users who did BOTH"
+    without ever co-shuffling raw ids."""
+    ev = spread_scan(table(spark, sf_dir, "events"), "event_id")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+    def sketch(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(hv.alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KSO_K)
+        )
+
+    ska, skb = sketch("click"), sketch("purchase")
+    sku = ska.unionAll(skb).distinct().orderBy("hv").limit(_KSO_K)
+    th = sku.agg(
+        F.max("hv").alias("theta"), F.count(F.lit(1)).cast("long").alias("ku")
+    )
+    inter = (
+        sku.join(ska.select(F.col("hv").alias("ha")), F.col("hv") == F.col("ha"), "left_semi")
+        .join(skb.select(F.col("hv").alias("hb")), F.col("hv") == F.col("hb"), "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_sketch"))
+    )
+    fa = ev.filter(F.col("event_type") == "click").select(hv.alias("hv")).distinct()
+    fb = ev.filter(F.col("event_type") == "purchase").select(hv.alias("hv")).distinct()
+    ex = (
+        fa.unionAll(fb)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        .crossJoin(
+            fa.join(fb.select(F.col("hv").alias("h2")), F.col("hv") == F.col("h2"), "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+        )
+    )
+    est = F.lit(float(_KSO_NUM)) / F.col("theta")
+    return (
+        th.crossJoin(inter)
+        .crossJoin(ex)
+        .select(
+            F.col("ku").alias("n_union_sketch"),
+            F.col("theta").alias("union_kth_hv"),
+            "n_inter_sketch",
+            round_pos(est, 1).alias("union_est"),
+            round_pos(F.col("n_inter_sketch") * est / F.col("ku"), 1).alias(
+                "inter_est"
+            ),
+            "exact_union",
+            "exact_inter",
+            (
+                F.abs(est - F.col("exact_union"))
+                <= F.lit(5.0) * F.col("exact_union") / F.lit(float((_KSO_K - 2) ** 0.5))
+            )
+            .cast("long")
+            .alias("union_within_5sd"),
+        )
+    )
