@@ -93,6 +93,11 @@ HEADLINE = [
     "multimodal_ahash_neardup",
     "stats_cramers_v_matrix",
     "ml_calibration_reliability",
+    "cdc_merge_apply",
+    "cdc_ivm_agg",
+    "pipeline_schema_evolution",
+    "sketch_kmv_setops",
+    "stream_topk_exact_audit",
 ]
 
 
