@@ -1008,3 +1008,84 @@ def pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_quality_filled"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_partition_prune_dynamic — DPP through the lake layout (r16)
+
+_DPP_DIR = "pipeline_dpp_events"
+
+
+@register(
+    "pipeline_partition_prune_dynamic",
+    group="pipeline-ops",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), a AS (SELECT AVG(CAST(cnt AS DOUBLE)) AS avg_cnt FROM c),
+    sel AS (SELECT event_type FROM c, a WHERE CAST(cnt AS DOUBLE) > avg_cnt)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e JOIN sel USING (event_type)
+    GROUP BY 1
+    """,
+)
+def pipeline_partition_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning through the lake layout — the runtime
+    dual of [[pipeline_corpus_write_readback]]'s static pruning and the
+    feature that makes star-schema joins survive 100 TB: the fact table
+    is persisted partitionBy(event_type), and the probe's partition
+    filter is NOT a literal — it is the runtime result of an analytic
+    gate (event types whose distinct-user count exceeds the cross-type
+    average), so only DPP can skip the unselected partitions (Catalyst
+    cannot constant-fold the dim side at plan time). Spark broadcasts
+    the dim, REUSES the broadcast as a dynamic pruning filter on the
+    fact scan's PartitionFilters, and the unselected type directories
+    are never opened — pinned in tests/test_round16_ops.py by the
+    `dynamicpruning` expression in the executed plan AND a
+    files-read delta. The returned per-type rollup over the pruned join
+    is hash-checked against the oracle computing the same gate directly.
+
+    Shape at scale: the dim side is an O(|types|) aggregate; the fact
+    side reads ONLY selected partitions — I/O proportional to output,
+    not table size. Overwrite mode keeps the query idempotent."""
+    import os as _os
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    root = _os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        _DPP_DIR,
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(root)
+    fact = spark.read.parquet(root)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # the gate rides a global window over the O(|types|) stats frame (NOT a
+    # crossJoin against a 1-row aggregate: the PartitionPruning rule only
+    # recognizes a selective predicate on the dim side through
+    # Filter/Project/Window/Aggregate nodes, and the join form hid it —
+    # probed in-round; the window form plans the dynamicpruningexpression)
+    sel = (
+        stats.withColumn(
+            "avg_cnt", F.avg(F.col("cnt").cast("double")).over(Window.partitionBy())
+        )
+        .filter(F.col("cnt").cast("double") > F.col("avg_cnt"))
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(sel), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -260,3 +260,36 @@ def test_schema_evolution_merge_and_pruning(spark, sf_dir):
     pruned = merged.filter(F.col("gen") == 1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "gen" in plan.split("PartitionFilters")[1][:120], plan
+
+
+# ---------------------------------------------------------------------------
+# pipeline_partition_prune_dynamic (r16)
+
+
+def test_dpp_prunes_unselected_partitions(spark, sf_dir):
+    """Dynamic partition pruning must actually engage: the executed plan
+    carries a dynamicpruningexpression on the fact scan's
+    PartitionFilters, the returned types are exactly the above-average
+    cohort recomputed in python (>=1 selected, >=1 pruned — max > avg >
+    min whenever counts differ), and the per-type numbers match a direct
+    pandas rollup."""
+    from collections import Counter
+
+    from cdc_dedupe_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["pipeline_partition_prune_dynamic"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cnt = Counter(ev.event_type)
+    avg = sum(cnt.values()) / len(cnt)
+    want_types = {t for t, c in cnt.items() if c > avg}
+    rows = {r.event_type: r for r in df.collect()}
+    assert set(rows) == want_types
+    assert 0 < len(want_types) < len(cnt), "gate degenerate"
+    for t in want_types:
+        sub = ev[ev.event_type == t]
+        assert rows[t].n_rows == len(sub)
+        assert rows[t].n_users == sub.user_id.nunique()
+        assert rows[t].sum_cents == int((sub.value * 100).round().astype("int64").sum())
