@@ -98,6 +98,7 @@ HEADLINE = [
     "pipeline_schema_evolution",
     "sketch_kmv_setops",
     "stream_topk_exact_audit",
+    "pipeline_partition_prune_dynamic",
 ]
 
 
