@@ -296,3 +296,83 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(ln, 8).cast("long").alias("shifted_up"),
         F.bit_count(ok).cast("long").alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched scalar pandas UDF + python UDTF (round 16) — completing the
+# declared Python-extension surface: row UDF (udf_python) -> vectorized
+# scalar (here) -> grouped aggregate (udaf_pandas) -> table function (here).
+
+
+@register(
+    "udf_pandas_vectorized",
+    group="scalar",
+    oracle="""
+    SELECT c_custkey,
+           (c_custkey * c_custkey) % 1000003
+             + CAST(length(c_name) AS BIGINT) AS vhash
+    FROM customer
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched SCALAR pandas UDF (declared surface) vs its
+    closed-form SQL oracle — the vectorized middle rung of the Python
+    ladder: ~10-100x the row UDF's throughput because whole Arrow
+    batches cross the boundary and the math runs as numpy kernels, yet
+    still off the JVM fast path (the docstring contract: reach for
+    built-ins first, this only when expression trees can't say it).
+    Integer math only, exact in both engines; int64 is safe because
+    c_custkey^2 stays far below 2^63 at any TPC-H scale that fits keys
+    in int64's square root (~3e9 keys)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def vhash(key: pd.Series, name: pd.Series) -> pd.Series:
+        return (key * key) % 1000003 + name.str.len().astype("int64")
+
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", vhash("c_custkey", "c_name").alias("vhash"))
+
+
+@register(
+    "udtf_python",
+    group="scalar",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEAST(16, d.n_tok - g.chunk_idx * 16) AS BIGINT) AS n_tokens
+    FROM d, (SELECT unnest(generate_series(0, 4095)) AS chunk_idx) g
+    WHERE g.chunk_idx * 16 < d.n_tok
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, declared surface): one input doc row
+    fans out to N output rows — the 16-token chunk plan per document,
+    the lateral-join shape (`FROM docs, LATERAL chunker(...)`) that
+    row- and batch-UDFs cannot express because their cardinality is
+    fixed at 1:1. The oracle reproduces the fan-out with
+    generate_series. Deliberately the slow path (row-python, like
+    [[udf_python]]): the set-based twin is doc_chunk_tokens /
+    text_bpe_tokenize's budget arithmetic; this exists to declare the
+    UDTF capability with exact parity. Map-side only — the fan-out
+    happens inside the scan task, no shuffle at any scale."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx long, n_tokens long")
+    class Chunker:
+        def eval(self, text: str):
+            n = len(text.split(" "))
+            for i in range(0, (n + 15) // 16):
+                yield i, min(16, n - i * 16)
+
+    spark.udtf.register("doc_chunker_udtf", Chunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens
+        FROM udtf_docs d, LATERAL doc_chunker_udtf(d.text) c
+        """
+    )
