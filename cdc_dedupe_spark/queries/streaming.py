@@ -476,6 +476,108 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_full_outer",
+    group="streaming",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           CASE WHEN p.ts IS NULL THEN 'click_only'
+                WHEN c.ts IS NULL THEN 'purchase_only'
+                ELSE 'both' END AS side
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    WHERE (c.ts IS NOT NULL AND c.ts + INTERVAL 70 MINUTE < (SELECT w FROM wm))
+       OR (c.ts IS NULL AND p.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+    """,
+)
+def stream_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completing the join-
+    mode family next to the inner [[stream_stream_join]] and the left
+    [[stream_stream_join_outer]]: BOTH sides null-pad at watermark
+    expiry (a click with no purchase in the following hour, and a
+    purchase no click preceded within the hour — the orphan-order shape
+    of the reference's duplicate side-channel, WatchStream.java:275-279,
+    applied symmetrically).
+
+    The two sides have DIFFERENT eviction horizons and therefore
+    different decided-subset bounds: a click is decided once the global
+    watermark passes click_ts + 60min (no future purchase can match);
+    a purchase is decided once the watermark passes purchase_ts itself
+    (any matching click precedes it, and clicks below the watermark can
+    no longer arrive). Both engines restrict matched + click-orphan
+    rows to clicks 70min clear of the final watermark and
+    purchase-orphan rows to purchases 10min clear — on that subset the
+    drained streaming output equals the batch full-outer join EXACTLY.
+
+    Shape at scale: same single user_id co-shuffle as the inner form;
+    per-side state bounded by its own eviction horizon; the decided-
+    subset filters ride one 2-column broadcast bound."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.when(F.col("purchase_ts").isNull(), F.lit("click_only"))
+        .when(F.col("click_ts").isNull(), F.lit("purchase_only"))
+        .otherwise(F.lit("both"))
+        .alias("side"),
+    )
+    drained = run_to_memory(
+        joined, "stream_stream_join_full_outer", output_mode="append"
+    )
+    ev = table(spark, sf_dir, "events")
+    wm_us = F.unix_micros(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        )
+    ) - F.lit(10 * 60 * 1_000_000)
+    bounds = ev.agg(
+        (wm_us - F.lit(70 * 60 * 1_000_000)).alias("click_bound_us"),
+        (wm_us - F.lit(10 * 60 * 1_000_000)).alias("purchase_bound_us"),
+    )
+    return (
+        drained.crossJoin(F.broadcast(bounds))
+        .filter(
+            (
+                F.col("click_us").isNotNull()
+                & (F.col("click_us") < F.col("click_bound_us"))
+            )
+            | (
+                F.col("click_us").isNull()
+                & (F.col("purchase_us") < F.col("purchase_bound_us"))
+            )
+        )
+        .drop("click_bound_us", "purchase_bound_us")
+    )
+
+
+@register(
     "stream_ohlc_candles",
     group="streaming",
     oracle=f"""
