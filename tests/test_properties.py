@@ -371,3 +371,66 @@ def test_url_canonicalizer_twins_agree_cross_engine(spark, urls):
         con.execute("SELECT url, " + _CANON_SQL.format(url="url") + " FROM t").fetchall()
     )
     assert got_spark == got_duck
+
+
+# ---------------------------------------------------------------------------
+# cdc_merge_apply's merge algebra (round 16)
+
+_MERGE_BASE = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # user_id (collision-heavy)
+        st.integers(min_value=1, max_value=5),  # n_versions
+        st.integers(min_value=0, max_value=1000),  # last_ts_us
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+_MERGE_CHG = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1001, max_value=2000),
+        st.sampled_from(["u", "d"]),
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(base=_MERGE_BASE, chg=_MERGE_CHG)
+@_SETTINGS
+def test_merge_into_frame_algebra(spark, base, chg):
+    """Property twin of the MERGE rules on arbitrary key-disjoint-per-side
+    frames: change-wins resolution, tombstones drop present keys and
+    no-op on absent ones, untouched base rows pass through as 'keep',
+    and the output key set is exactly (base ∪ upserts) − tombstones."""
+    from cdc_dedupe_spark.queries.cdc import merge_into_frame
+
+    cols = "user_id long, n_versions long, last_ts_us long, last_event_id long, last_cents long"
+    bdf = spark.createDataFrame(
+        [(u, n, t, u * 10, u * 100) for u, n, t in base] or [(0, 1, 0, 0, 0)], cols
+    ).filter(F.lit(bool(base)))
+    cdf = spark.createDataFrame(
+        [(u, n, t, u * 10 + 1, u * 100 + 1, op) for u, n, t, op in chg]
+        or [(0, 1, 1001, 1, 1, "u")],
+        cols + ", op string",
+    ).filter(F.lit(bool(chg)))
+
+    got = {
+        r.user_id: (r.n_versions, r.last_ts_us, r.action)
+        for r in merge_into_frame(bdf, cdf).collect()
+    }
+    bm = {u: (n, t) for u, n, t in base}
+    expected = {}
+    for u, (n, t) in bm.items():
+        expected[u] = (n, t, "keep")
+    for u, n, t, op in chg:
+        if op == "d":
+            expected.pop(u, None)
+        elif u in bm:
+            expected[u] = (bm[u][0] + n, t, "update")
+        else:
+            expected[u] = (n, t, "insert")
+    assert got == expected
