@@ -293,3 +293,81 @@ def test_dpp_prunes_unselected_partitions(spark, sf_dir):
         assert rows[t].n_rows == len(sub)
         assert rows[t].n_users == sub.user_id.nunique()
         assert rows[t].sum_cents == int((sub.value * 100).round().astype("int64").sum())
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_join_full_outer (r16)
+
+
+def test_full_outer_purchase_orphan_emission_timing(spark, tmp_path):
+    """The purchase-side orphan (a purchase no click preceded within the
+    hour) must emit its null-click row only after the watermark passes
+    purchase_ts — never in the ingest batch — while a matched pair emits
+    watermark-independently and an undecided late purchase never emits."""
+    import json, os, time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch0 = [
+        {"user_id": 3, "ts": "2024-01-01 10:00:00", "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 10:30:00", "event_type": "purchase"},
+    ]
+    batch1 = [
+        {"user_id": 100, "ts": "2024-01-01 13:00:00", "event_type": "click"},
+        {"user_id": 200, "ts": "2024-01-01 13:00:00", "event_type": "purchase"},
+    ]
+    for i, batch in enumerate([batch0, batch1]):
+        p = src / f"{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("uid"), "click_ts", "purchase_ts"
+    )
+
+    emitted = []
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            emitted.append((bid, r.uid, r.click_ts, r.purchase_ts))
+
+    q = joined.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    by_uid = {}
+    for bid, uid, cts, pts in emitted:
+        by_uid.setdefault(uid, []).append((bid, cts, pts))
+    # matched pair: exactly once, both sides present
+    assert len(by_uid.get(2, [])) == 1
+    assert by_uid[2][0][1] is not None and by_uid[2][0][2] is not None
+    # purchase orphan: exactly one row, null click, AFTER the ingest batch
+    assert len(by_uid.get(3, [])) == 1
+    bid3, cts3, pts3 = by_uid[3][0]
+    assert cts3 is None and pts3 is not None
+    ingest_bid = min(b for b, *_ in emitted)
+    assert bid3 > ingest_bid, f"orphan emitted in ingest batch: {emitted}"
+    # undecided late rows never emit
+    assert 100 not in by_uid and 200 not in by_uid, emitted
