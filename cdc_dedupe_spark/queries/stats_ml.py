@@ -4858,7 +4858,11 @@ def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cardinalities here are ≤20; high-card categoricals get hashed into
     bands first, exactly as the qty/disc bands demonstrate."""
     feats = [F.expr(expr.format(fdiv="div")).alias(name) for name, expr in _CV_VARS]
-    base = table(spark, sf_dir, "lineitem").select(*feats)
+    # spread_scan: the fused one-scan design concentrates the whole 6-way
+    # explode + partial agg on the corpus scan tasks, which the local
+    # single-row-group layout serializes (r16 skew flag); identity on any
+    # multi-file corpus
+    base = spread_scan(table(spark, sf_dir, "lineitem").select(*feats))
     names = [n for n, _ in _CV_VARS]
     cell_structs = F.array(
         *[
