@@ -461,9 +461,13 @@ def test_no_global_sorts_or_stray_python_udfs_anywhere(spark, sf_dir):
     """Registry-wide scale-smell sweep (the round-9 plan audit, made
     permanent): no batch query may compile to a global range-partitioned
     sort (top-k must be TakeOrderedAndProject; windows partition on a
-    key), and row-at-a-time Python evaluation may appear ONLY in the one
-    query that deliberately declares the Python-UDF surface."""
-    allowed_python = {"udf_python"}
+    key), and row-at-a-time Python evaluation may appear ONLY in the two
+    queries that deliberately declare the Python row surface: the row UDF
+    and the table-function UDTF (whose BatchEvalPythonUDTF node carries
+    the same prefix). The Arrow-batched rungs (udf_pandas_vectorized,
+    udaf_pandas) plan ArrowEvalPython / FlatMapGroupsInPandas and stay
+    outside this ban by design."""
+    allowed_python = {"udf_python", "udtf_python"}
     for name, q in REGISTRY.items():
         if q.group == "streaming" or name == "cdc_dedupe_stream":
             continue
