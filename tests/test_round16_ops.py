@@ -371,3 +371,24 @@ def test_full_outer_purchase_orphan_emission_timing(spark, tmp_path):
     assert bid3 > ingest_bid, f"orphan emitted in ingest batch: {emitted}"
     # undecided late rows never emit
     assert 100 not in by_uid and 200 not in by_uid, emitted
+
+
+def test_new_streaming_ops_match_under_rocksdb(spark, sf_dir, monkeypatch):
+    """The three new state-heavy streaming queries (outer join state,
+    session-window merge state, full-outer two-side state) must return
+    identical results under SPARK_GRAFT_STATE_STORE=rocksdb — the
+    cluster-deploy switch for billion-key state."""
+    for name in (
+        "stream_stream_join_outer",
+        "stream_session_window_native",
+        "stream_stream_join_full_outer",
+    ):
+        q = REGISTRY[name].spark
+        # null-safe sort key: outer rows carry None in the padded columns
+        key = lambda r: tuple((v is None, v) for v in r)
+        monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+        default_rows = sorted(map(tuple, q(spark, sf_dir).collect()), key=key)
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+        rocks_rows = sorted(map(tuple, q(spark, sf_dir).collect()), key=key)
+        monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+        assert rocks_rows == default_rows, name
