@@ -794,8 +794,12 @@ def cdc_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("cents", "ok").alias("last_cents"),
         )
 
-    base_state = fold(e2.filter(F.col("day") < F.col("mid")))
-    # the previous materialization: computed once here, persisted in prod
+    # the previous materialization: persisted in prod; locally materialized
+    # ONCE (lazy localCheckpoint) so the view_base rollup and the delta
+    # join's prev-state probe don't each re-fold the first half
+    base_state = fold(e2.filter(F.col("day") < F.col("mid"))).localCheckpoint(
+        eager=False
+    )
     view_base = base_state.groupBy(
         F.col("last_event_type").alias("event_type")
     ).agg(
