@@ -99,6 +99,7 @@ HEADLINE = [
     "sketch_kmv_setops",
     "stream_topk_exact_audit",
     "pipeline_partition_prune_dynamic",
+    "pipeline_dq_checks",
 ]
 
 
