@@ -392,3 +392,35 @@ def test_new_streaming_ops_match_under_rocksdb(spark, sf_dir, monkeypatch):
         rocks_rows = sorted(map(tuple, q(spark, sf_dir).collect()), key=key)
         monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
         assert rocks_rows == default_rows, name
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dq_checks (r16)
+
+
+def test_dq_checks_match_pandas_twin_and_fire(spark, sf_dir):
+    """Every check's counts recomputed in pandas; the suite must be LIVE
+    on this corpus (>=1 failing and >=1 passing check) so it demonstrably
+    distinguishes rather than rubber-stamping."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    expected = {
+        "lineitem.pk_unique": (len(li), len(li) - len(li[["l_orderkey", "l_linenumber"]].drop_duplicates())),
+        "lineitem.qty_in_1_50": (len(li), int(((li.l_quantity < 1) | (li.l_quantity > 50)).sum())),
+        "lineitem.fk_orders": (len(li), int((~li.l_orderkey.isin(od.o_orderkey)).sum())),
+        "orders.fk_customer": (len(od), int((~od.o_custkey.isin(cu.c_custkey)).sum())),
+        "events.user_id_complete": (len(ev), int(ev.user_id.isna().sum())),
+        "events.value_in_0_100": (len(ev), int(((ev.value < 0) | (ev.value >= 100)).sum())),
+        "events.event_id_unique": (len(ev), len(ev) - ev.event_id.nunique()),
+    }
+    got = {
+        r.check_name: (r.n_checked, r.n_violations, r.passed)
+        for r in REGISTRY["pipeline_dq_checks"].spark(spark, sf_dir).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == expected
+    for k, (n, viol, passed) in got.items():
+        assert passed == (1 if viol == 0 else 0), k
+    verdicts = {p for *_, p in got.values()}
+    assert verdicts == {0, 1}, f"suite not live: {got}"
