@@ -1039,7 +1039,7 @@ def pipeline_partition_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
     feature that makes star-schema joins survive 100 TB: the fact table
     is persisted partitionBy(event_type), and the probe's partition
     filter is NOT a literal — it is the runtime result of an analytic
-    gate (event types whose distinct-user count exceeds the cross-type
+    gate (event types whose per-type row count exceeds the cross-type
     average), so only DPP can skip the unselected partitions (Catalyst
     cannot constant-fold the dim side at plan time). Spark broadcasts
     the dim, REUSES the broadcast as a dynamic pruning filter on the

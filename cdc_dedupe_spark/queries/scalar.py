@@ -339,12 +339,18 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="scalar",
     oracle="""
     WITH d AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (  -- fan-out bound derived from the data, not a silent cap
+      SELECT CAST(CEIL(MAX(n_tok) / 16.0) AS BIGINT) AS max_chunks FROM d
     )
     SELECT d.doc_id,
            CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
            CAST(LEAST(16, d.n_tok - g.chunk_idx * 16) AS BIGINT) AS n_tokens
-    FROM d, (SELECT unnest(generate_series(0, 4095)) AS chunk_idx) g
+    FROM d,
+         (SELECT unnest(generate_series(0, (SELECT max_chunks FROM b)))
+            AS chunk_idx) g
     WHERE g.chunk_idx * 16 < d.n_tok
     """,
 )
@@ -364,6 +370,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx long, n_tokens long")
     class Chunker:
         def eval(self, text: str):
+            if text is None:  # NULL text fans out to zero rows
+                return
             n = len(text.split(" "))
             for i in range(0, (n + 15) // 16):
                 yield i, min(16, n - i * 16)

@@ -1932,7 +1932,8 @@ def _quantile_hist_fold(
             # Lower clamp too (ADVICE r15): a negative value would make
             # cents // _SQ_W negative and Python would NEGATIVE-INDEX into
             # the tail of the state list, silently corrupting high buckets
-            # while the oracle emits a distinct negative pos row. The
+            # (before the matching GREATEST(0, ...) clamp was added, the
+            # oracle would have emitted a distinct negative pos row). The
             # current generator emits [0,100) only, but the fold must not
             # depend on that.
             counts[max(0, min(cents // _SQ_W, _SQ_B - 1))] += 1
