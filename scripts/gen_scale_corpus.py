@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Generate an sf1-scale `documents` + `embeddings` corpus for LOCAL
-scaling measurements (SCALING.md's measured table): /root/testdata tops
-out at sf0.1, and the three historically-superlinear queries
-(dedup_minhash_exact, dedup_embed_cluster, ann_knn_graph) need one
-measured point beyond it (VERDICT r8 "Next round" #8).
+"""Generate an sf1-scale corpus (documents, embeddings, and — as of
+round 17 — the FULL star schema: customer, orders, lineitem, part,
+supplier, nation, region, plus events) for LOCAL scaling measurements
+(SCALING.md's measured table): /root/testdata tops out at sf0.1, and the
+three historically-superlinear queries (dedup_minhash_exact,
+dedup_embed_cluster, ann_knn_graph) need one measured point beyond it
+(VERDICT r8 "Next round" #8; star schema is VERDICT r16 ask #1).
 
 NOT driver test data and NOT used by correctness runs — the shapes follow
 the observed driver corpus (unit-norm dim-64 float32 embeddings with 10
@@ -87,17 +89,32 @@ def main() -> int:
         ),
         str(out / "embeddings.parquet"),
     )
-    # --- customer (round 10: join_fuzzy_band's input) --------------------
+    # --- customer (round 10: join_fuzzy_band's input; round 17: full
+    # star-schema columns for the FK/dq family) ---------------------------
     # Driver-corpus shape: sequential keys, fixed-width 'Customer#%09d'
     # names (sf0.1 has 15k rows -> sf1 is 150k). The fixed format means
     # band blocks (all but the last 2 chars) are runs of <= 100
     # consecutive keys — the banding structure the fuzzy join exploits.
+    # The round-17 columns draw from a SEPARATE rng stream so every table
+    # generated before round 17 stays byte-identical (the SCALING.md wave
+    # rows measured on them remain reproducible).
+    rng17 = np.random.default_rng(20260816)
     n_cust = n_docs * 3
+    segments = np.array(
+        ["MACHINERY", "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+    )
     pq.write_table(
         pa.table(
             {
                 "c_custkey": pa.array(range(n_cust), pa.int64()),
                 "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+                "c_nationkey": pa.array(
+                    rng17.integers(0, 25, n_cust).astype("int32"), pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    np.round(rng17.random(n_cust) * 11000 - 1000, 2), pa.float64()
+                ),
+                "c_mktsegment": pa.array(rng17.choice(segments, n_cust)),
             }
         ),
         str(out / "customer.parquet"),
@@ -189,10 +206,105 @@ def main() -> int:
         str(out / "part.parquet"),
     )
 
+    # --- orders / supplier / nation / region (round 17: the full star
+    # schema, VERDICT r16 ask #1 — sf1 wave rows for pipeline_dq_checks
+    # and the relational/FK family need coherent FK edges) ----------------
+    # Orders cover exactly the l_orderkey range the lineitem generator
+    # emitted, so lineitem->orders referential integrity holds, and every
+    # o_custkey references the customer table (orders->customer holds) —
+    # the same invariants the driver corpus has (verified sf0.1: zero
+    # orphans on both edges). Draws come from the round-17 rng stream;
+    # the pre-r17 tables above are untouched bytes.
+    n_orders = int(okeys.max()) + 1
+    span_days = (2001 - 1995) * 365 + 213  # 1995-01-01 .. 2001-08-01ish
+    base_day_us = 788_918_400_000_000  # 1995-01-01T00:00:00Z
+    o_dates = base_day_us + rng17.integers(0, span_days, n_orders) * (
+        24 * 3600 * 1_000_000
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_orders), pa.int64()),
+                "o_custkey": pa.array(
+                    rng17.integers(0, n_cust, n_orders), pa.int64()
+                ),
+                "o_orderstatus": pa.array(
+                    rng17.choice(np.array(["O", "P", "F"]), n_orders)
+                ),
+                "o_totalprice": pa.array(
+                    np.round(rng17.random(n_orders) * 499000 + 1000, 2),
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(o_dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    rng17.choice(
+                        np.array(
+                            [
+                                "1-URGENT",
+                                "2-HIGH",
+                                "3-MEDIUM",
+                                "4-NOT SPECIFIED",
+                                "5-LOW",
+                            ]
+                        ),
+                        n_orders,
+                    )
+                ),
+            }
+        ),
+        str(out / "orders.parquet"),
+    )
+    # Supplier pool 10x the sf0.1 corpus (1k -> 10k). lineitem.l_suppkey
+    # (generated pre-r17, range 0..n_parts//20-1 = 0..999) references a
+    # PREFIX of this pool — referential integrity holds; the tail suppliers
+    # simply have no lines, like a dim with inactive members.
+    n_supp = 10_000
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+                "s_nationkey": pa.array(
+                    rng17.integers(0, 25, n_supp).astype("int32"), pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    np.round(rng17.random(n_supp) * 11000 - 1000, 2), pa.float64()
+                ),
+            }
+        ),
+        str(out / "supplier.parquet"),
+    )
+    # nation / region: fixed tiny dims, same values as the driver corpus.
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(np.arange(25, dtype="int32"), pa.int32()),
+                "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+                "n_regionkey": pa.array(
+                    (np.arange(25) % 5).astype("int32"), pa.int32()
+                ),
+            }
+        ),
+        str(out / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(np.arange(5, dtype="int32"), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+                ),
+            }
+        ),
+        str(out / "region.parquet"),
+    )
+
     print(
         f"wrote {out}/documents.parquet ({n_docs}), embeddings.parquet "
         f"({n_vecs}), customer.parquet ({n_cust}), events.parquet "
-        f"({n_events}), lineitem.parquet ({n_lines}) and part.parquet ({n_part})"
+        f"({n_events}), lineitem.parquet ({n_lines}), part.parquet "
+        f"({n_part}), orders.parquet ({n_orders}), supplier.parquet "
+        f"({n_supp}), nation.parquet (25), region.parquet (5)"
     )
     return 0
 
