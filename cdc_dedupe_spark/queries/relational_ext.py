@@ -2207,3 +2207,144 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_p75_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-native optimizer features (round 17, VERDICT r16 asks #3/#4): the
+# built-in twins of the hand-rolled mitigations above — the knobs a 100 TB
+# run actually flips instead of rewriting queries.
+
+
+@register(
+    "join_skew_aqe",
+    group="relational-ext",
+    oracle=f"""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem JOIN part
+      ON (CASE WHEN l_partkey % 10 < 3 THEN 0 ELSE l_partkey END) = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE skew-join handling — the AQE twin of the manual
+    [[join_skew_salted]] (operators/skew.py): a deliberately planted
+    power-law key (30% of all lineitem rows collapse onto partkey 0; the
+    rest stay uniform) makes one shuffle partition a straggler, and
+    instead of salting we let `OptimizeSkewedJoin` split the oversized
+    partition at runtime — the split is pinned in
+    tests/test_round17_ops.py via `skew=true` on the executed
+    SortMergeJoin node. The oracle is the PLAIN join on the same derived
+    key: splitting must never change the logical result.
+
+    The join EXECUTES inside a temp-conf block (broadcast disabled so
+    the shuffle join exists at local scale; split thresholds lowered
+    from their 256 MB/64 MB cluster defaults in the same proportion as
+    the corpus is smaller than a cluster workload) and is materialized
+    with an eager localCheckpoint before the confs are restored, so the
+    shared session's knobs are untouched for every other registry entry.
+
+    At 100 TB this — not manual salting — is the first lever: zero query
+    rewrite, split sizes chosen from runtime MapOutputStatistics, and
+    the dim side replicated only for the split partitions. Salting
+    (operators/skew.py) remains the declared fallback for paths AQE
+    cannot touch (streaming joins, pre-bucketed shuffles)."""
+    from ..session import temp_sql_confs
+
+    # spread_scan matters here beyond the usual parallelism-inheritance
+    # fix: AQE can only split a skewed reduce partition at MAP-OUTPUT
+    # boundaries, and the local single-row-group corpus gives the fact
+    # scan ONE map task — an unsplittable hot partition. The round-robin
+    # spread puts 32 map outputs behind the join shuffle, restoring the
+    # multi-file map-side granularity a real cluster scan has (where
+    # spread_scan is an identity no-op).
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    ).select(
+        F.when(F.col("l_partkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_partkey"))
+        .alias("sk"),
+        "l_quantity",
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(p, F.col("sk") == F.col("p_partkey")).select(
+        "p_brand", "l_quantity"
+    )
+    with temp_sql_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        },
+    ):
+        mat = joined.localCheckpoint(eager=True)
+    return mat.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "join_bloom_runtime",
+    group="relational-ext",
+    oracle="""
+    SELECT l.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey = 9
+    GROUP BY l.l_suppkey
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE runtime bloom filter — the built-in twin of the
+    hand-rolled [[join_bloom_prefilter]] (same query contract, same
+    oracle, deliberately): Spark's `InjectRuntimeFilter` rule builds a
+    bloom over the SELECTIVE side's join keys (suppliers from one
+    nation) and plants a `bloom_filter_might_contain` predicate on the
+    fact side's scan, so non-matching lineitem rows die MAP-SIDE before
+    the join shuffle — exactly what the manual variant constructs by
+    hand. Pinned in tests/test_round17_ops.py: the executed plan carries
+    the injected bloom probe AND the result is row-identical to the
+    plain join (false positives only ever pass extra rows to the exact
+    join; never drop).
+
+    Executes inside a temp-conf block: broadcast disabled (the engine
+    does not bother injecting a bloom under a broadcast join — the hash
+    probe already prunes) and the application-side scan-size floor
+    lowered from its 10 GB cluster default so the rule fires at local
+    corpus scale; eager localCheckpoint materializes under those knobs,
+    then the session is restored.
+
+    At 100 TB the flags are on by default and the thresholds are
+    already right: any dim-filtered fact join whose dim side fits the
+    creation threshold gets the bloom for free — no rewrite, and the
+    wire sees only surviving fact rows."""
+    from ..session import temp_sql_confs
+
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 9)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    joined = li.join(sup, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_suppkey", "l_extendedprice"
+    )
+    with temp_sql_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        },
+    ):
+        mat = joined.localCheckpoint(eager=True)
+    return mat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )

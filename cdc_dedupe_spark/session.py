@@ -70,6 +70,36 @@ def get_spark(app_name: str = "cdc-dedupe-spark") -> SparkSession:
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def temp_sql_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime SQL confs for the duration of the block, restoring the
+    previous values (or unsetting, if previously unset) afterwards — for
+    queries that must EXECUTE part of their plan under non-default
+    engine knobs (AQE skew-split thresholds, runtime bloom filter) while
+    leaving the shared session untouched for every other registry entry.
+    Anything lazily returned to the caller must be materialized inside
+    the block (e.g. ``localCheckpoint(eager=True)``): confs are read at
+    execution time, not plan-build time."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable parity/perf confs to an externally provided
     session (the driver hands us its own SparkSession; master/memory are
