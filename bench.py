@@ -26,9 +26,169 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _maybe_rechunk(sf_dir: str, parts: int = 8) -> tuple[str, bool]:
+    """Re-chunk the bench corpus into multi-row-group files (VERDICT r16
+    ask #5): the driver writes each table as ONE row group, so a file is
+    one scan task no matter what — the standing SKEW_LOCAL.json artifact
+    flags on whole-corpus aggregates (TESTDATA.md r16 note). Rewriting
+    each table with ~``parts`` row groups (same rows, same order, same
+    schema — pyarrow read->write, values untouched) plus the matching
+    ``maxPartitionBytes`` in the bench session restores the multi-task
+    scan granularity a multi-file 100 TB table has natively, so probe
+    flags become signal instead of layout noise.
+
+    Cached under .localdata/bench_rechunk keyed by source sizes+mtimes;
+    opt out with SPARK_GRAFT_BENCH_RECHUNK=0. Single files (not
+    directories) so the streaming replay's pathGlobFilter and the
+    parquet-footer ts tripwire keep working unchanged."""
+    if os.environ.get("SPARK_GRAFT_BENCH_RECHUNK", "1") != "1":
+        return sf_dir, False
+    try:
+        import hashlib
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        src = Path(sf_dir)
+        files = sorted(src.glob("*.parquet"))
+        if not files:
+            return sf_dir, False
+        key = ";".join(
+            f"{f.name}:{f.stat().st_size}:{f.stat().st_mtime_ns}" for f in files
+        ) + f";parts={parts}"
+        digest = hashlib.md5(key.encode()).hexdigest()[:12]
+        out = Path(_REPO) / ".localdata" / "bench_rechunk" / f"{src.name}-{digest}"
+        if (out / "_MANIFEST").exists():
+            return str(out), True
+        tmp = out.parent / (out.name + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for f in files:
+            t = pq.read_table(f)
+            rg = max(1, -(-t.num_rows // parts))  # ceil division
+            pq.write_table(t, tmp / f.name, row_group_size=rg)
+        (tmp / "_MANIFEST").write_text(key + "\n")
+        shutil.rmtree(out, ignore_errors=True)
+        tmp.rename(out)
+        # drop stale siblings for the same source corpus
+        for old in out.parent.glob(f"{src.name}-*"):
+            if old != out:
+                shutil.rmtree(old, ignore_errors=True)
+        return str(out), True
+    except Exception as e:  # corpus layout is an optimization, never a gate
+        print(f"bench rechunk failed (using original corpus): {e}", file=sys.stderr)
+        return sf_dir, False
+
+
+_LATENCY_CONFIG = """\
+source:
+  format: compact
+  prefix: "m2.m2."
+  group: cdc
+  consumer: cdc
+  acknowledge: simple
+buffers:
+  source: {size: 2000, time: 1000}
+  dedupe: {size: 100000, time: 5000}
+  target: {size: 1000, time: 1000}
+target:
+  prefix: "target."
+mapping:
+  catalog_category_entity:
+    entity_id:
+      - catalog_product_flat
+      - catalog_category_product
+"""
+
+
+def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
+    """BASELINE.md's reference-parity latency row (VERDICT r16 ask #6):
+    run the WATCH pipeline under a real processing-time trigger
+    (trigger='5 seconds' mirroring the reference's config.yaml:17) with
+    the RocksDB state-store provider, and report p50/p99 micro-batch
+    commit latency from the engine's own progress events. The source is
+    the file-backed fake Redis client pre-loaded with ``n_events``
+    compact envelopes; the config's buffers.source.size (2000) is the
+    per-batch admission cap, so the preload drains as ~10 paced
+    micro-batches — the reference's poll-cap pacing, not one availableNow
+    gulp. Latency = durationMs.triggerExecution (source poll -> dedupe ->
+    pack -> sink + checkpoint commit, the full batch critical path)."""
+    import json as _json
+    import tempfile
+    import time as _time
+
+    from cdc_dedupe_spark.config import load_config
+    from cdc_dedupe_spark.streaming.pipeline import watch
+    from cdc_dedupe_spark.streaming.run import STATE_STORE_PROVIDERS, _PROVIDER_CONF
+    from tests.fake_redis import FakeRedis
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench-latency-"))
+    (tmp / "config.yaml").write_text(_LATENCY_CONFIG)
+    cfg = load_config(tmp / "config.yaml")
+    redis_dir = tmp / "redis"
+    fake = FakeRedis(str(redis_dir))
+    stream = "m2.m2.catalog_category_entity"
+    for i in range(n_events):
+        payload = _json.dumps(
+            {"before": {"entity_id": i % 997, "v": 1}, "after": {"entity_id": i % 997, "v": 1}}
+        )
+        fake.xadd(stream, {"key": payload})
+
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, STATE_STORE_PROVIDERS["rocksdb"])
+    want_batches = -(-n_events // 2000)  # admission cap in _LATENCY_CONFIG
+    try:
+        handles = watch(
+            spark,
+            cfg,
+            source_dir=None,
+            work_dir=str(tmp / "work"),
+            available_now=False,
+            trigger_seconds=trigger_sec,
+            redis_options={
+                "client_factory": "tests.fake_redis:make_client",
+                "fake_dir": str(redis_dir),
+            },
+        )
+        q = handles.query
+        deadline = _time.time() + (want_batches + 4) * trigger_sec + 60
+        while _time.time() < deadline:
+            lp = q.lastProgress
+            if lp is not None and lp["batchId"] >= want_batches + 1:
+                break
+            _time.sleep(1.0)
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev_provider)
+
+    commits = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in progresses)
+    if not commits:
+        raise RuntimeError("latency probe produced no non-empty micro-batches")
+
+    def _pct(q_: float) -> float:
+        return commits[min(len(commits) - 1, int(q_ * (len(commits) - 1) + 0.999))]
+
+    return {
+        "trigger_sec": trigger_sec,
+        "state_store": "rocksdb",
+        "n_events": n_events,
+        "n_batches": len(commits),
+        "p50_commit_sec": round(commits[len(commits) // 2], 3),
+        "p99_commit_sec": round(_pct(0.99), 3),
+        "max_commit_sec": round(commits[-1], 3),
+        "baseline_p50_ceiling_sec": 10.0,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else -1.0
+    sf_dir, rechunked = _maybe_rechunk(sf_dir)
 
     # Parallelism-defect probe (diag.py, VERDICT r13 #5a): run under an
     # event log so single-task stages are flagged post-run. ALWAYS a
@@ -48,6 +208,13 @@ def main() -> int:
     from cdc_dedupe_spark.session import get_spark
 
     spark = get_spark("cdc-dedupe-spark-bench")
+    if rechunked:
+        # Size byte-range splits to the re-chunked row groups (~1-3 MiB
+        # each at sf0.1) — row groups only become separate scan tasks
+        # when maxPartitionBytes is below the file size. Bench-session
+        # only; parity/tests keep engine defaults.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import MapType
@@ -163,6 +330,10 @@ def main() -> int:
         "eval": "full-plan-hash",
         "queries": per_query,
         "sf": sf,
+        # r17: multi-row-group corpus copy + 2 MiB split size (see
+        # _maybe_rechunk) — scan-task granularity changed vs r16 and
+        # earlier BENCH artifacts.
+        "corpus": "rechunked-8rg" if rechunked else "driver-original",
     }
     if count_eval:
         # Per-query eval-mode record (ADVICE r13 #1): these map-typed
@@ -181,6 +352,14 @@ def main() -> int:
     if "cdc_dedupe_stream" in per_query and per_query["cdc_dedupe_stream"] > 0:
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         result["stream_events_per_s"] = round(n_events / per_query["cdc_dedupe_stream"], 1)
+    # BASELINE.md row "p50 batch commit <= 10 s under trigger='5 seconds'"
+    # (VERDICT r16 ask #6): measured under a REAL processing-time trigger;
+    # adds ~(n_batches * trigger) wall, opt out with SPARK_GRAFT_BENCH_LATENCY=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_LATENCY", "1") == "1":
+        try:
+            result["microbatch_latency"] = _latency_probe(spark)
+        except Exception as e:
+            print(f"latency probe failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
     if failures:
         result["failures"] = failures
 
