@@ -23,6 +23,7 @@ HEADLINE = [
     "agg_groupby",
     "join_broadcast",
     "join_skew_salted",
+    "join_skew_aqe",
     "join_asof",
     "window_range_frame",
     "sessionize_events",
@@ -51,6 +52,7 @@ HEADLINE = [
     "agg_hll_registers",
     "vec_pq_encode",
     "join_bloom_prefilter",
+    "join_bloom_runtime",
     "join_fuzzy_band",
     "pipeline_quality_gate",
     "ts_ewma_hourly",
