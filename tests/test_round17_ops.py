@@ -323,3 +323,88 @@ def test_outer_join_restart_mid_stream(spark, tmp_path, how, provider):
     # completeness: nothing else emitted, nothing lost
     want_uids = {1, 5, 9} | ({6} if how == "full_outer" else set())
     assert set(by_uid) == want_uids
+
+
+# ---------------------------------------------------------------------------
+# AQE runtime join-strategy demotion (r17): the third engine-native knob
+
+
+def test_aqe_runtime_broadcast_conversion(spark, sf_dir):
+    """With static broadcast OFF, a statically-planned SortMergeJoin whose
+    build side turns out tiny at runtime (selective p_size filter) must be
+    CONVERTED to a BroadcastHashJoin by AQE using actual shuffle stats —
+    the initial plan says SortMergeJoin, the final executed plan says
+    BroadcastHashJoin. This is the runtime half of the broadcast
+    discipline SCALING.md's global posture declares; result identity vs
+    the conversion-disabled run rides along."""
+    def build():
+        li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+        p = (
+            table(spark, sf_dir, "part")
+            .filter(F.col("p_size") == 1)
+            .select("p_partkey", "p_brand")
+        )
+        return li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+            "p_brand", "l_quantity"
+        )
+
+    base = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    j = build()
+    with temp_sql_confs(
+        spark, {**base, "spark.sql.adaptive.autoBroadcastJoinThreshold": "10m"}
+    ):
+        rows_on = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    initial = plan.split("== Initial Plan ==")[1] if "== Initial Plan ==" in plan else ""
+    assert "SortMergeJoin" in initial, plan
+    assert "BroadcastHashJoin" in final, plan
+
+    j_b = build()
+    with temp_sql_confs(
+        spark, {**base, "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    ):
+        rows_off = j_b.collect()
+        plan_off = j_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_off.split("== Initial Plan ==")[0]
+    assert sorted(map(tuple, rows_on)) == sorted(map(tuple, rows_off))
+
+
+# ---------------------------------------------------------------------------
+# bench corpus rechunk (r17): layout changed, values must not
+
+
+def test_bench_rechunk_value_identity(tmp_path):
+    """_maybe_rechunk must produce byte-equal VALUES (same rows, order,
+    schema) in >1 row group, cache by source fingerprint, and fall back
+    to the original dir when opted out."""
+    import os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bench
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    t = pa.table({"a": list(range(1000)), "b": [f"s{i}" for i in range(1000)]})
+    pq.write_table(t, src / "t1.parquet")  # single row group by default
+
+    out, did = bench._maybe_rechunk(str(src), parts=8)
+    assert did and out != str(src)
+    f = pq.ParquetFile(Path(out) / "t1.parquet")
+    assert f.metadata.num_row_groups >= 4
+    assert pq.read_table(Path(out) / "t1.parquet").equals(t)
+
+    # cached: second call returns the same directory without rewriting
+    out2, did2 = bench._maybe_rechunk(str(src), parts=8)
+    assert (out2, did2) == (out, True)
+
+    # opt-out env
+    os.environ["SPARK_GRAFT_BENCH_RECHUNK"] = "0"
+    try:
+        out3, did3 = bench._maybe_rechunk(str(src), parts=8)
+        assert (out3, did3) == (str(src), False)
+    finally:
+        del os.environ["SPARK_GRAFT_BENCH_RECHUNK"]
