@@ -85,10 +85,11 @@ def temp_sql_confs(spark: SparkSession, confs: dict[str, str]):
     execution time, not plan-build time."""
     saved: dict[str, str | None] = {}
     for k, v in confs.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        # get(k, None) is None unless the conf was EXPLICITLY set —
+        # get(k) would return Spark's built-in default, and restoring
+        # that as an explicit set leaves the session polluted (caught by
+        # test_streaming's provider-unset hygiene assert).
+        saved[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         yield
