@@ -158,6 +158,7 @@ def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
                 break
             _time.sleep(1.0)
         progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        run_id = str(q.runId)
         q.stop()
         q.awaitTermination()
     finally:
@@ -176,6 +177,10 @@ def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
     return {
         "trigger_sec": trigger_sec,
         "state_store": "rocksdb",
+        # streaming stages carry the query run id as their job group —
+        # recorded so the skew-flag sweep can exclude the probe's stages
+        # (a paced 5 s trigger is SUPPOSED to have busy single batches)
+        "query_run_id": run_id,
         "n_events": n_events,
         "n_batches": len(commits),
         "p50_commit_sec": round(commits[len(commits) // 2], 3),
@@ -370,7 +375,12 @@ def main() -> int:
     try:
         from cdc_dedupe_spark.diag import skew_flags
 
-        flags = [f for f in skew_flags(evlog_dir, min_task_sec=1.0) if f["query"] != "warmup"]
+        probe_run = (result.get("microbatch_latency") or {}).get("query_run_id", "\x00")
+        flags = [
+            f
+            for f in skew_flags(evlog_dir, min_task_sec=1.0)
+            if f["query"] != "warmup" and probe_run not in f["query"]
+        ]
         Path(_REPO, "SKEW_LOCAL.json").write_text(
             json.dumps({"sf": sf, "min_task_sec": 1.0, "flags": flags}, indent=1) + "\n"
         )
