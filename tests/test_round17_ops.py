@@ -408,3 +408,19 @@ def test_bench_rechunk_value_identity(tmp_path):
         assert (out3, did3) == (str(src), False)
     finally:
         del os.environ["SPARK_GRAFT_BENCH_RECHUNK"]
+
+
+def test_aqe_partition_coalescing(spark, sf_dir):
+    """The fourth AQE runtime feature, completing the pinned set (skew
+    split, runtime broadcast conversion, DPP in r16, THIS): a shuffle
+    whose 32 hash partitions come out tiny at runtime must be coalesced
+    by AQE into fewer post-shuffle partitions — visible as
+    'AQEShuffleRead coalesced' in the final executed plan, and as an
+    actual reduction of result-stage partitions vs the static width."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    with temp_sql_confs(spark, {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m"}):
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "AQEShuffleRead coalesced" in final, plan
