@@ -679,3 +679,100 @@ def sample_host_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sample_host_capped.__doc__ = sample_host_capped.__doc__.format(cap=_HOST_CAP)
+
+
+# --- domain-suffix blocklist filter (round 17) ------------------------------
+
+# External input in a real pipeline (a curated blocklist file); a FIXED
+# literal here so both engines see the identical list. Entries are DNS
+# suffixes: an entry blocks the exact host and every subdomain of it.
+# The last entry matches nothing on this corpus — the no-op lane that
+# proves matching is driven by the list, not by the corpus.
+_BLOCKLIST = (
+    "src3.example.com",
+    "src7.example.com",
+    "src11.example.com",
+    "malware.example.net",
+)
+
+
+@register(
+    "curation_domain_blocklist",
+    group="web-dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             regexp_extract({_CANON_SQL.format(url=_URL_SQL)}, '^[^/]+')
+               AS host
+      FROM documents
+    ), b AS (
+      SELECT unnest(ARRAY{list(_BLOCKLIST)!r}) AS d
+    ), m AS (
+      SELECT h.*, EXISTS (SELECT 1 FROM b
+                          WHERE h.host = b.d OR h.host LIKE '%.' || b.d)
+               AS blocked
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           (round(CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) + 0.0) AS block_rate
+    FROM m GROUP BY source
+    """,
+)
+def curation_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist filter — the crawl pipeline's policy gate
+    (CCNet/RefinedWeb both run a URL/domain blocklist before any content
+    work): an entry blocks its exact host and every subdomain. Reported
+    as a per-source (n_docs, n_blocked, n_kept, block_rate) audit — the
+    row a curation run logs before dropping anything.
+
+    Scale shape: the SCALABLE suffix-match form, not a LIKE chain — each
+    host explodes into its O(#labels) DNS suffixes map-side
+    (src3.example.com -> [src3.example.com, example.com, com]) and
+    equi-joins the BROADCAST blocklist, so a 100k-entry production
+    blocklist costs one broadcast hash probe per label, independent of
+    list length; the oracle states the same semantics as an EXISTS
+    suffix predicate. Matches collapse through the boolean max inside
+    the per-source partial agg — a doc matching several entries counts
+    once. No shuffle carries more than the per-source rollup."""
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", "lang"  # lang feeds the derived-URL path segment
+    )
+    h = d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract(_canon_col(_url_col()), "^[^/]+", 0).alias("host"),
+    )
+    labels = F.split(F.col("host"), "\\.")
+    sufs = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels)), "."),
+    )
+    bl = F.broadcast(
+        spark.createDataFrame([(x,) for x in _BLOCKLIST], "d string")
+    )
+    hit = (
+        h.select("doc_id", F.explode(sufs).alias("suf"))
+        .join(bl, F.col("suf") == F.col("d"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    m = h.join(hit, "doc_id", "left").select(
+        "source", F.coalesce("blocked", F.lit(False)).alias("blocked")
+    )
+    n_blocked = F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("long")
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n_blocked.alias("n_blocked"),
+        F.sum(F.when(F.col("blocked"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        round_pos(
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("block_rate"),
+    )

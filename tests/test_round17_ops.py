@@ -424,3 +424,39 @@ def test_aqe_partition_coalescing(spark, sf_dir):
         plan = agg._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "AQEShuffleRead coalesced" in final, plan
+
+
+# ---------------------------------------------------------------------------
+# curation_domain_blocklist (r17)
+
+
+def test_domain_blocklist_matches_python_twin_and_broadcasts(spark, sf_dir):
+    """Per-source block counts recomputed with an independent pure-python
+    suffix matcher over the same derived URLs; the blocked sources are
+    exactly the blocklist's (src3/src7/src11 at 100%), the no-op entry
+    matches nothing, and the blocklist join is a BROADCAST hash join
+    (the list must never shuffle the corpus)."""
+    from cdc_dedupe_spark.queries.web_dedup import _BLOCKLIST
+
+    df = REGISTRY["curation_domain_blocklist"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    got = {r.source: (r.n_docs, r.n_blocked, r.n_kept) for r in df.collect()}
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def blocked(source: str) -> bool:
+        host = f"{source}.example.com".lower()  # canonical host for every doc
+        return any(host == d or host.endswith("." + d) for d in _BLOCKLIST)
+
+    want = {}
+    for source, g in docs.groupby("source"):
+        b = len(g) if blocked(source) else 0
+        want[source] = (len(g), b, len(g) - b)
+    assert got == want
+    blocked_sources = {s for s in want if want[s][1] > 0}
+    assert blocked_sources == {"src3", "src7", "src11"}
+    # rate column consistency
+    for r in df.collect():
+        assert abs(r.block_rate - round(r.n_blocked / r.n_docs, 4)) < 1e-9
