@@ -1609,3 +1609,161 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- IVF recall/cost curve (round 17) ---------------------------------------
+
+_RC_PROBES = (1, 2, 4, 8)
+_RC_K = 10
+_RC_NQ = 8  # query vectors: vec_id 8..15 (the 8 seeds below 8 are centroids)
+
+_IVF_RECALL_ORACLE = f"""
+    WITH sc AS (
+      SELECT vec_id, {SQL_ISCALE.format(a='embedding')} AS se FROM embeddings
+    ), centroids AS (
+      SELECT vec_id AS cid, se AS sce FROM sc WHERE vec_id < 8
+    ), assign AS (
+      SELECT s.vec_id,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_SQL_IL2.format(sa='s.se', sb='c.sce')} ASC, c.cid ASC
+              LIMIT 1) AS cid
+      FROM sc s
+    ), queries AS (
+      SELECT vec_id AS qid, se AS qse FROM sc WHERE vec_id BETWEEN 8 AND 15
+    ), crank AS (
+      SELECT q.qid, c.cid,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_SQL_IL2.format(sa='q.qse', sb='c.sce')} ASC, c.cid ASC
+             ) AS BIGINT) AS crank
+      FROM queries q, centroids c
+    ), pairs AS (
+      SELECT q.qid, s.vec_id,
+             {SQL_ICOSINE.format(sa='s.se', sb='q.qse')} AS cos_r,
+             cr.crank
+      FROM sc s
+      JOIN assign a ON a.vec_id = s.vec_id
+      JOIN queries q ON s.vec_id <> q.qid
+      JOIN crank cr ON cr.qid = q.qid AND cr.cid = a.cid
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_r DESC, vec_id) AS rn
+        FROM pairs) WHERE rn <= {_RC_K}
+    ), cand AS (
+      SELECT p.nprobe, pr.qid, pr.vec_id, pr.cos_r
+      FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe) p
+      JOIN pairs pr ON pr.crank <= p.nprobe
+    ), ivf AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT nprobe, qid, vec_id,
+               row_number() OVER (PARTITION BY nprobe, qid
+                                  ORDER BY cos_r DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= {_RC_K}
+    ), nc AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY nprobe
+    ), h AS (
+      SELECT i.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM ivf i JOIN truth t ON t.qid = i.qid AND t.vec_id = i.vec_id
+      GROUP BY i.nprobe
+    )
+    SELECT CAST(nc.nprobe AS BIGINT) AS nprobe, nc.n_candidates, h.hits,
+           (round(h.hits / {_RC_NQ * _RC_K}.0, 4) + 0.0) AS recall
+    FROM nc JOIN h ON nc.nprobe = h.nprobe
+    """
+
+
+@register("ann_ivf_recall_curve", group="llm-ext", oracle=_IVF_RECALL_ORACLE)
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall/cost TUNING CURVE — the measured-vs-budget audit an ANN
+    deployment runs before fixing nprobe (the IVF twin of
+    [[dedup_lsh_tuning_curve]]'s banding S-curve): for 8 query vectors,
+    exact brute-force top-{k} is the truth set, and for each
+    nprobe in {probes} the IVF search (top-{k} by cosine within the
+    nprobe nearest coarse cells) reports its candidate mass (the cost
+    axis) and recall@{k} (the quality axis). All arithmetic
+    integer-scaled, ties broken by vec_id — bit-identical to the oracle.
+
+    Scale shape: coarse assignment rides the shared [[ann_ivf_topk]]
+    broadcast-argmin (never shuffles the corpus); the query set and the
+    64-row (query, cell) rank table broadcast; the only row expansion is
+    corpus × |queries| for the truth baseline — the declared brute-force
+    audit cost, run on a SAMPLE of queries by construction (8 here), not
+    per production query. Per-(nprobe, query) top-k is a bounded window
+    over the candidate subset."""
+    assigned = _ivf_assigned(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(idot(F.col("se"), F.col("se")).cast("double"))
+    )
+    queries = F.broadcast(
+        assigned.filter((F.col("vec_id") >= 8) & (F.col("vec_id") <= 15)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("se").alias("qse"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cents = F.broadcast(
+        assigned.filter(F.col("vec_id") < 8).select(
+            F.col("cid").alias("ccid"), F.col("se").alias("sce")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy("d2", "ccid")
+    crank = F.broadcast(
+        queries.crossJoin(cents)
+        .select("qid", "ccid", il2(F.col("qse"), F.col("sce")).alias("d2"))
+        .select(
+            "qid",
+            F.col("ccid").alias("cid"),
+            F.row_number().over(wq).cast("long").alias("crank"),
+        )
+    )
+    cos_r = round_pos(
+        idot(F.col("se"), F.col("qse")).cast("double")
+        / (F.col("nrm") * F.col("qnrm")),
+        4,
+    )
+    pairs = (
+        assigned.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(crank, ["qid", "cid"])
+        .select("qid", "vec_id", cos_r.alias("cos_r"), "crank")
+    )
+    wt = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "vec_id")
+    truth = (
+        pairs.select("qid", "vec_id", F.row_number().over(wt).alias("rn"))
+        .filter(F.col("rn") <= _RC_K)
+        .select("qid", "vec_id")
+    )
+    cand = (
+        pairs.withColumn(
+            "nprobe", F.explode(F.array(*[F.lit(p) for p in _RC_PROBES]))
+        )
+        .withColumn("nprobe", F.col("nprobe").cast("long"))
+        .filter(F.col("crank") <= F.col("nprobe"))
+    )
+    wi = Window.partitionBy("nprobe", "qid").orderBy(F.col("cos_r").desc(), "vec_id")
+    ivf = (
+        cand.select("nprobe", "qid", "vec_id", F.row_number().over(wi).alias("rn"))
+        .filter(F.col("rn") <= _RC_K)
+        .select("nprobe", "qid", "vec_id")
+    )
+    ncand = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hits = (
+        ivf.join(truth, ["qid", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return ncand.join(hits, "nprobe").select(
+        "nprobe",
+        "n_candidates",
+        "hits",
+        round_pos(F.col("hits") / F.lit(float(_RC_NQ * _RC_K)), 4).alias("recall"),
+    )
+
+
+ann_ivf_recall_curve.__doc__ = ann_ivf_recall_curve.__doc__.format(
+    k=_RC_K, probes=set(_RC_PROBES)
+)

@@ -460,3 +460,61 @@ def test_domain_blocklist_matches_python_twin_and_broadcasts(spark, sf_dir):
     # rate column consistency
     for r in df.collect():
         assert abs(r.block_rate - round(r.n_blocked / r.n_docs, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_recall_curve (r17)
+
+
+def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
+    """Structural guarantees of the IVF tuning curve: candidate mass and
+    hits are NON-DECREASING in nprobe (probing more cells can only add
+    candidates, and top-k over a superset can only match more of the
+    truth it converges to), and at nprobe = #cells (8) the search is
+    exhaustive so recall@k is EXACTLY 1.0. A numpy twin recomputes the
+    full curve from the raw embeddings."""
+    import numpy as np
+
+    rows = {
+        r.nprobe: (r.n_candidates, r.hits, r.recall)
+        for r in REGISTRY["ann_ivf_recall_curve"].spark(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    for a, b in zip([1, 2, 4], [2, 4, 8]):
+        assert rows[a][0] <= rows[b][0]
+        assert rows[a][1] <= rows[b][1]
+    assert rows[8][2] == 1.0
+
+    # numpy twin (integer-scaled like functions.vector.iscale: round(x*2^14))
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.array([np.array(x) for x in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    order = np.argsort(ids)
+    v, ids = v[order], ids[order]
+    s = np.round(v * (1 << 14)).astype("int64")
+    cents = s[ids < 8]
+    d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)  # argmin takes lowest index on ties = lowest cid
+    K = 10
+    want = {p: [0, 0] for p in (1, 2, 4, 8)}  # n_candidates, hits
+    for qid in range(8, 16):
+        q = s[qid]
+        qrank = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
+        rank_of_cid = np.empty(8, dtype=int)
+        rank_of_cid[qrank] = np.arange(1, 9)
+        cos = (s @ q) / (np.sqrt((s * s).sum(axis=1)) * np.sqrt(q @ q))
+        cos = np.round(cos, 4)
+        mask_not_self = ids != qid
+        def topk(mask):
+            cand_ids = ids[mask]
+            cand_cos = cos[mask]
+            o = np.lexsort((cand_ids, -cand_cos))
+            return set(cand_ids[o[:K]])
+        truth = topk(mask_not_self)
+        for p in (1, 2, 4, 8):
+            m = mask_not_self & (rank_of_cid[cid] <= p)
+            want[p][0] += int(m.sum())
+            want[p][1] += len(topk(m) & truth)
+    for p in (1, 2, 4, 8):
+        assert rows[p][0] == want[p][0], (p, rows[p], want[p])
+        assert rows[p][1] == want[p][1], (p, rows[p], want[p])
