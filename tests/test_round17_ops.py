@@ -518,3 +518,48 @@ def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
     for p in (1, 2, 4, 8):
         assert rows[p][0] == want[p][0], (p, rows[p], want[p])
         assert rows[p][1] == want[p][1], (p, rows[p], want[p])
+
+
+# ---------------------------------------------------------------------------
+# pipeline_incremental_ingest (r17)
+
+
+def test_incremental_ingest_reads_only_new_files(spark, sf_dir):
+    """The manifest mechanics the oracle can't see: round 2's landing
+    listing strictly grows, the round-2 increment is disjoint from the
+    round-1 file set, per-round counts equal a pandas recomputation of
+    the day-split, and the running total is consistent (so no file was
+    re-read or missed)."""
+    import os
+
+    df = REGISTRY["pipeline_incremental_ingest"].spark(spark, sf_dir)
+    rows = df.collect()
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    day = ev.ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    mid = (day.min() + day.max() + 1) // 2
+    first = ev[day < mid].groupby("event_type").size().to_dict()
+    second = ev[day >= mid].groupby("event_type").size().to_dict()
+
+    got = {(r.ingest_round, r.event_type): r.n_rows_ingested for r in rows}
+    for t, n in first.items():
+        assert got[(1, t)] == n
+    for t, n in second.items():
+        assert got[(2, t)] == n
+    assert len(got) == len(first) + len(second)
+
+    # running totals: every round-2 row carries the grand total
+    n1, n2 = sum(first.values()), sum(second.values())
+    for r in rows:
+        assert r.n_rows_total_after == (n1 if r.ingest_round == 1 else n1 + n2)
+
+    # landing dir holds BOTH generations; a second full read double-counts
+    # vs the audit — proving the audit really read only the increments
+    landing = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "incremental_ingest_landing",
+        "landing",
+    )
+    total_on_disk = spark.read.parquet(landing).count()
+    assert total_on_disk == n1 + n2
+    assert sum(r.n_rows_ingested for r in rows) == n1 + n2
