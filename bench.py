@@ -70,9 +70,13 @@ def _maybe_rechunk(sf_dir: str, parts: int = 8) -> tuple[str, bool]:
         (tmp / "_MANIFEST").write_text(key + "\n")
         shutil.rmtree(out, ignore_errors=True)
         tmp.rename(out)
-        # drop stale siblings for the same source corpus
+        # Drop stale siblings for the same source corpus — but only ones
+        # untouched for >1 day: a concurrent bench process may still be
+        # scanning a cache directory keyed by an older corpus mtime, and
+        # deleting it mid-run would fail that run mid-query (ADVICE r17).
+        now = time.time()
         for old in out.parent.glob(f"{src.name}-*"):
-            if old != out:
+            if old != out and now - old.stat().st_mtime > 86_400:
                 shutil.rmtree(old, ignore_errors=True)
         return str(out), True
     except Exception as e:  # corpus layout is an optimization, never a gate
@@ -114,6 +118,7 @@ def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
     gulp. Latency = durationMs.triggerExecution (source poll -> dedupe ->
     pack -> sink + checkpoint commit, the full batch critical path)."""
     import json as _json
+    import shutil as _shutil
     import tempfile
     import time as _time
 
@@ -122,6 +127,9 @@ def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
     from cdc_dedupe_spark.streaming.run import STATE_STORE_PROVIDERS, _PROVIDER_CONF
     from tests.fake_redis import FakeRedis
 
+    # Probe working dir (config, fake-redis stream, checkpoint/work dirs) is
+    # removed in the finally below once the query has stopped — every bench
+    # run used to leak a multi-MB directory into /tmp (ADVICE r17).
     tmp = Path(tempfile.mkdtemp(prefix="bench-latency-"))
     (tmp / "config.yaml").write_text(_LATENCY_CONFIG)
     cfg = load_config(tmp / "config.yaml")
@@ -166,6 +174,7 @@ def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
             spark.conf.unset(_PROVIDER_CONF)
         else:
             spark.conf.set(_PROVIDER_CONF, prev_provider)
+        _shutil.rmtree(tmp, ignore_errors=True)
 
     commits = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in progresses)
     if not commits:

@@ -1322,6 +1322,18 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(landing)
         new_files = sorted(_list_files() - manifest)
         manifest.update(new_files)
+        if not new_files:
+            # ADVICE r17: a generation can land zero rows (e.g. an events
+            # corpus spanning a single day makes round 1 empty) — the
+            # partitioned write then emits no files and reading an empty
+            # path list would raise. Degrade to an empty round audit, the
+            # same zero-row contribution the oracle's day-split computes.
+            audits.append(
+                spark.createDataFrame(
+                    [], "event_type string, n_rows_ingested long, ingest_round long"
+                )
+            )
+            continue
         # process ONLY the new files — basePath keeps the partition column
         inc = (
             spark.read.option("basePath", landing)
