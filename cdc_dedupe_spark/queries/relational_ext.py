@@ -2348,3 +2348,121 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     )
+
+
+# Columns ANALYZEd per catalog twin: the join keys, the filter columns
+# (selectivity estimates drive the reorder), and the agg input.
+_CBO_STATS_COLS = {
+    "lineitem": "l_orderkey, l_extendedprice",
+    "orders": "o_orderkey, o_custkey, o_orderpriority",
+    "customer": "c_custkey, c_nationkey, c_mktsegment",
+    "nation": "n_nationkey, n_name",
+}
+
+
+def cbo_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Catalog twins of the star-schema parquet files with COLUMN
+    STATISTICS — the prerequisite CBO shares with every real warehouse:
+    cost-based reordering only sees relations the catalog has row counts,
+    NDVs, and min/max for, and path-based reads carry none of that. Each
+    table is EXTERNAL (``LOCATION`` points at the driver corpus — no data
+    copy) and named per sf_dir digest so scales never collide; the
+    ``ANALYZE TABLE .. COMPUTE STATISTICS FOR COLUMNS`` pass runs once
+    per (session, sf_dir) and is skipped when the table already exists.
+
+    At 100 TB this is the nightly `ANALYZE` every lakehouse schedules —
+    stats collection is one scan amortized over every query that plans
+    against the table, not a per-query cost."""
+    import hashlib
+
+    dig = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names: dict[str, str] = {}
+    for t, cols in _CBO_STATS_COLS.items():
+        tn = f"cbo_{t}_{dig}"
+        names[t] = tn
+        if not spark.catalog.tableExists(tn):
+            spark.sql(
+                f"CREATE TABLE {tn} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+            )
+            spark.sql(f"ANALYZE TABLE {tn} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    return names
+
+
+@register(
+    "join_cbo_reorder",
+    group="relational-ext",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderpriority = '1-URGENT' AND c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name
+    """,
+)
+def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED join reordering — the last engine-native optimizer
+    feature in the family ([[join_skew_aqe]], [[join_bloom_runtime]],
+    DPP): a 4-way star join ([[join_multiway]]'s shape, plus selective
+    dim filters) written in the deliberately COST-BLIND order
+    fact-first (lineitem ⋈ orders ⋈ customer ⋈ nation). With column
+    statistics on the catalog twins ([[cbo_tables]] ANALYZE pass) and
+    `spark.sql.cbo.enabled` + `cbo.joinReorder.enabled`, Catalyst's
+    DP reorderer rewrites the tree to dims-first —
+    ((customer ⋈ nation) ⋈ orders) ⋈ lineitem, verified live: the
+    filtered 1/5-segment customer set joins the 25-row nation first,
+    the 1/5-priority orders next, and the fact table LAST, so every
+    intermediate is the small side. Pinned in tests/test_round18_ops.py:
+    the optimized plan under CBO differs from the syntactic-order plan
+    (lineitem demoted from first to last leaf) and the result is
+    row-identical either way — reordering must never change semantics.
+    The oracle is the plain 4-way SQL join.
+
+    Executes inside a temp-conf block with an eager localCheckpoint
+    (CBO confs are read at optimization time), restoring the shared
+    session after; the stats pass itself is once-per-session via
+    [[cbo_tables]].
+
+    At 100 TB this is the zero-rewrite lever for ad-hoc star queries:
+    syntactic join order stops mattering once ANALYZE stats exist, and
+    a fact-first phrasing costs the same as the hand-optimized one —
+    the optimizer, not the author, owns join order."""
+    from ..session import temp_sql_confs
+
+    t = cbo_tables(spark, sf_dir)
+    li = spark.table(t["lineitem"]).select("l_orderkey", "l_extendedprice")
+    o = (
+        spark.table(t["orders"])
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    c = (
+        spark.table(t["customer"])
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    n = spark.table(t["nation"]).select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "l_extendedprice")
+    )
+    with temp_sql_confs(
+        spark,
+        {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        },
+    ):
+        mat = joined.localCheckpoint(eager=True)
+    return mat.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )

@@ -53,6 +53,7 @@ HEADLINE = [
     "vec_pq_encode",
     "join_bloom_prefilter",
     "join_bloom_runtime",
+    "join_cbo_reorder",
     "join_fuzzy_band",
     "pipeline_quality_gate",
     "ts_ewma_hourly",

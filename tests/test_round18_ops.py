@@ -8,9 +8,125 @@ executable plan pin and every result gets an independent twin."""
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from cdc_dedupe_spark.queries.registry import REGISTRY
+from cdc_dedupe_spark.session import temp_sql_confs
+
+
+# ---------------------------------------------------------------------------
+# join_cbo_reorder (r18): the DP reorderer must actually reorder
+
+
+def _cost_blind_join(spark, sf_dir):
+    """The exact 4-way join join_cbo_reorder materializes, pre-aggregation,
+    in its deliberately fact-first syntactic order."""
+    from cdc_dedupe_spark.queries.relational_ext import cbo_tables
+
+    t = cbo_tables(spark, sf_dir)
+    li = spark.table(t["lineitem"]).select("l_orderkey", "l_extendedprice")
+    o = (
+        spark.table(t["orders"])
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    c = (
+        spark.table(t["customer"])
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    n = spark.table(t["nation"]).select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "l_extendedprice")
+    )
+
+
+def _leaf_order(plan: str) -> list[str]:
+    """Catalog-twin leaf tables in order of first appearance in the
+    optimized-plan tree string (top-down print = join order, outermost
+    probe side first)."""
+    out: list[str] = []
+    for m in re.finditer(r"cbo_(\w+?)_[0-9a-f]{8}", plan):
+        if m.group(1) not in out:
+            out.append(m.group(1))
+    return out
+
+
+_CBO_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+}
+
+
+def test_cbo_reorder_demotes_fact_table(spark, sf_dir):
+    """With ANALYZE column stats + cbo.joinReorder, the DP reorderer must
+    rewrite the fact-first syntactic tree to dims-first: lineitem (the
+    fact, written as the FIRST leaf) ends up joined LAST, and the two
+    filtered relations join before it. Without CBO the optimized plan
+    keeps the syntactic order — that's the A/B the pin grades."""
+    with temp_sql_confs(spark, _CBO_CONFS):
+        plan_on = (
+            _cost_blind_join(spark, sf_dir)._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    plan_off = (
+        _cost_blind_join(spark, sf_dir)._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    on, off = _leaf_order(plan_on), _leaf_order(plan_off)
+    assert off[0] == "lineitem", off  # syntactic order survives without CBO
+    assert on[0] != "lineitem", plan_on  # CBO demotes the fact table
+    assert on[-1] == "lineitem", plan_on  # ... all the way to the last join
+    assert set(on) == set(off) == {"lineitem", "orders", "customer", "nation"}
+
+
+def test_cbo_reorder_result_identity(spark, sf_dir):
+    """Reordering must never change semantics: the aggregated result is
+    row-identical with CBO on vs off, and matches a pandas recomputation
+    from the raw parquet."""
+    def agg(df):
+        return df.groupBy("n_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+
+    with temp_sql_confs(spark, _CBO_CONFS):
+        got_on = {
+            r.n_name: (r.n_items, r.revenue_cents)
+            for r in agg(_cost_blind_join(spark, sf_dir)).collect()
+        }
+    got_off = {
+        r.n_name: (r.n_items, r.revenue_cents)
+        for r in agg(_cost_blind_join(spark, sf_dir)).collect()
+    }
+    assert got_on == got_off
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = (
+        li.merge(o[o.o_orderpriority == "1-URGENT"], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c[c.c_mktsegment == "BUILDING"], left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    j["cents"] = (j.l_extendedprice * 100).round().astype("int64")
+    want = {
+        name: (int(g.shape[0]), int(g.cents.sum()))
+        for name, g in j.groupby("n_name")
+    }
+    assert got_on == want
 
 
 # ---------------------------------------------------------------------------
