@@ -199,6 +199,128 @@ def _latency_probe(spark, trigger_sec: int = 5, n_events: int = 20_000) -> dict:
     }
 
 
+def _backlog_drain_probe(
+    spark, trigger_sec: int = 5, cap: int = 2000, backlog_mult: int = 10
+) -> dict:
+    """Recovery-case latency row (VERDICT r17 ask #6): the steady-state
+    probe above measures a paced drain; this one measures what happens
+    after an OUTAGE. Phase 1 runs the watch pipeline through one
+    cap-sized batch and stops it (the paused trigger); phase 2 lands a
+    ``backlog_mult``× admission-cap backlog in the source stream while
+    nothing consumes; phase 3 restarts from the checkpoint and drains.
+
+    The numbers that matter: batches_to_drain (the admission cap —
+    buffers.source.size, mirroring the reference's poll cap — must slice
+    the backlog into bounded batches), max_batch_rows (cap_respected:
+    no batch ever admits more than the cap, the bounded-buffer contrast
+    to the reference's unbounded in-flight queue, SURVEY §2A S7), and
+    peak_commit_sec (per-batch latency stays near steady-state even
+    with a 10× backlog queued — state-store and sink cost scale with
+    the BATCH, not the backlog)."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from cdc_dedupe_spark.config import load_config
+    from cdc_dedupe_spark.streaming.pipeline import watch
+    from cdc_dedupe_spark.streaming.run import STATE_STORE_PROVIDERS, _PROVIDER_CONF
+    from tests.fake_redis import FakeRedis
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench-drain-"))
+    run_ids: list[str] = []
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, STATE_STORE_PROVIDERS["rocksdb"])
+    try:
+        (tmp / "config.yaml").write_text(_LATENCY_CONFIG)
+        cfg = load_config(tmp / "config.yaml")
+        redis_dir = tmp / "redis"
+        fake = FakeRedis(str(redis_dir))
+        stream = "m2.m2.catalog_category_entity"
+
+        def _add(n: int, base: int) -> None:
+            for i in range(n):
+                payload = _json.dumps(
+                    {
+                        "before": {"entity_id": (base + i) % 997, "v": 1},
+                        "after": {"entity_id": (base + i) % 997, "v": 1},
+                    }
+                )
+                fake.xadd(stream, {"key": payload})
+
+        def _start():
+            return watch(
+                spark,
+                cfg,
+                source_dir=None,
+                work_dir=str(tmp / "work"),
+                available_now=False,
+                trigger_seconds=trigger_sec,
+                redis_options={
+                    "client_factory": "tests.fake_redis:make_client",
+                    "fake_dir": str(redis_dir),
+                },
+            ).query
+
+        # Phase 1: steady state — one cap-sized batch through, then stop.
+        _add(cap, 0)
+        q = _start()
+        deadline = _time.time() + 10 * trigger_sec + 60
+        while _time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= cap:
+                break
+            _time.sleep(1.0)
+        run_ids.append(str(q.runId))
+        q.stop()
+        q.awaitTermination()
+
+        # Phase 2: the outage — a 10×-cap backlog lands, nothing consumes.
+        backlog = cap * backlog_mult
+        _add(backlog, cap)
+
+        # Phase 3: restart from the checkpoint; measure the drain.
+        want_batches = -(-backlog // cap)
+        t0 = _time.time()
+        q = _start()
+        deadline = _time.time() + (want_batches + 6) * trigger_sec + 120
+        while _time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= backlog:
+                break
+            _time.sleep(1.0)
+        drain_wall = _time.time() - t0
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        run_ids.append(str(q.runId))
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev_provider)
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    if not progresses:
+        raise RuntimeError("backlog-drain probe produced no non-empty micro-batches")
+    commits = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in progresses)
+    rows = [p["numInputRows"] for p in progresses]
+    return {
+        "trigger_sec": trigger_sec,
+        "state_store": "rocksdb",
+        "query_run_ids": run_ids,
+        "admission_cap": cap,
+        "backlog_events": backlog,
+        "batches_to_drain": len(progresses),
+        "max_batch_rows": max(rows),
+        "cap_respected": max(rows) <= cap,
+        "peak_commit_sec": round(commits[-1], 3),
+        "p50_commit_sec": round(commits[len(commits) // 2], 3),
+        "drain_wall_sec": round(drain_wall, 3),
+        # trigger-paced floor: a 5 s trigger idles between sub-5s batches,
+        # so wall ≈ batches × trigger even when commits are fast
+        "trigger_paced_floor_sec": want_batches * trigger_sec,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else -1.0
@@ -312,36 +434,62 @@ def main() -> int:
     except Exception as e:
         print(f"stream overhead probe failed (continuing): {e}", file=sys.stderr)
 
-    per_query: dict[str, float] = {}
+    # Median-of-N suite runs (VERDICT r17 ask #2): r17's committed headline
+    # (392.5 s) was one run under afternoon host load while three same-HEAD
+    # runs sat at 300.9-356.6 s — a single-number headline turns host noise
+    # into phantom regressions. Run the full suite N times (default 3,
+    # SPARK_GRAFT_BENCH_RUNS to override), publish the MEDIAN run's wall as
+    # the headline and its per-query map as "queries", and keep every
+    # run's total in "runs" so the spread is in the artifact itself.
+    # Runs 2..N measure a warmer engine than run 1 — that is the point:
+    # BASELINE.md's targets are warm-JVM numbers, and the median discards
+    # whichever single run a load spike (or residual JIT) distorted.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     failures: dict[str, str] = {}
     count_eval: list[str] = []
-    total = 0.0
-    for name in sorted(REGISTRY):
-        q = REGISTRY[name]
-        # Tag the query's jobs so diag.skew_flags can attribute flagged
-        # stages (streaming micro-batch jobs set their own group; those
-        # flags carry the stream's run id instead — still readable).
-        spark.sparkContext.setJobGroup(name, name)
-        t0 = time.perf_counter()
-        try:
-            mode = force_full_plan(q.spark(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            per_query[name] = round(dt, 3)
-            total += dt
-            if mode == "count":
-                count_eval.append(name)
-        except Exception as e:  # record and continue; a failed query must not hide the rest
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
+    run_walls: list[float] = []
+    run_queries: list[dict[str, float]] = []
+    for run_i in range(n_runs):
+        per_query: dict[str, float] = {}
+        total = 0.0
+        for name in sorted(REGISTRY):
+            if name in failures:
+                continue  # failed once; re-running N times hides nothing new
+            q = REGISTRY[name]
+            # Tag the query's jobs so diag.skew_flags can attribute flagged
+            # stages (streaming micro-batch jobs set their own group; those
+            # flags carry the stream's run id instead — still readable).
+            spark.sparkContext.setJobGroup(name, name)
+            t0 = time.perf_counter()
+            try:
+                mode = force_full_plan(q.spark(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                per_query[name] = round(dt, 3)
+                total += dt
+                if run_i == 0 and mode == "count":
+                    count_eval.append(name)
+            except Exception as e:  # record and continue; a failed query must not hide the rest
+                failures[name] = f"{type(e).__name__}: {e}"[:200]
+        run_walls.append(round(total, 3))
+        run_queries.append(per_query)
+
+    med_i = sorted(range(n_runs), key=lambda i: run_walls[i])[n_runs // 2]
+    per_query = run_queries[med_i]
 
     result = {
         "metric": "declared_query_suite_wall",
-        "value": round(total, 3),
+        "value": run_walls[med_i],
         "unit": "sec",
         # r13+: per-query time forces FULL plan evaluation (hash-fold of
         # every output column), where earlier rounds used count() and
         # under-measured pruned map-only kernels. Cross-round per-query
         # comparisons straddle that boundary.
         "eval": "full-plan-hash",
+        # r18+: value = the MEDIAN run's wall; queries = that run's
+        # per-query map; runs[] carries every run's total (host-load
+        # spread stays visible). Earlier BENCH artifacts are single runs.
+        "runs": run_walls,
+        "median_run_index": med_i,
         "queries": per_query,
         "sf": sf,
         # r17: multi-row-group corpus copy + 2 MiB split size (see
@@ -374,6 +522,11 @@ def main() -> int:
             result["microbatch_latency"] = _latency_probe(spark)
         except Exception as e:
             print(f"latency probe failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
+        # Recovery twin (VERDICT r17 ask #6): restart-under-backlog drain.
+        try:
+            result["backlog_drain"] = _backlog_drain_probe(spark)
+        except Exception as e:
+            print(f"backlog-drain probe failed (continuing): {type(e).__name__}: {e}", file=sys.stderr)
     if failures:
         result["failures"] = failures
 
@@ -384,12 +537,36 @@ def main() -> int:
     try:
         from cdc_dedupe_spark.diag import skew_flags
 
-        probe_run = (result.get("microbatch_latency") or {}).get("query_run_id", "\x00")
-        flags = [
+        probe_runs = tuple(
+            rid
+            for rid in (
+                (result.get("microbatch_latency") or {}).get("query_run_id"),
+                (result.get("backlog_drain") or {}).get("query_run_ids", ()),
+            )
+            for rid in (rid if isinstance(rid, (list, tuple)) else (rid,))
+            if rid
+        )
+        raw = [
             f
             for f in skew_flags(evlog_dir, min_task_sec=1.0)
-            if f["query"] != "warmup" and probe_run not in f["query"]
+            if f["query"] != "warmup"
+            and not any(rid in f["query"] for rid in probe_runs)
         ]
+        # N suite runs replay every stage N times — collapse repeats of the
+        # same defect to one flag (the worst occurrence) with a count, so
+        # "skew_flags: 3" still means three DISTINCT defects, not one seen
+        # three times.
+        by_defect: dict[tuple, dict] = {}
+        for f in raw:
+            k = (f["query"], f["kind"])
+            if k not in by_defect or f["max_task_sec"] > by_defect[k]["max_task_sec"]:
+                prev = by_defect.get(k, {}).get("occurrences", 0)
+                by_defect[k] = {**f, "occurrences": prev + 1}
+            else:
+                by_defect[k]["occurrences"] += 1
+        flags = sorted(
+            by_defect.values(), key=lambda f: -f["max_task_sec"]
+        )
         Path(_REPO, "SKEW_LOCAL.json").write_text(
             json.dumps({"sf": sf, "min_task_sec": 1.0, "flags": flags}, indent=1) + "\n"
         )

@@ -28,6 +28,7 @@ class QueryDef:
     spark: QueryFn
     oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
     doc: str = ""
+    module: str = ""  # defining module — parity_sweep --changed maps git diffs to queries
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -51,7 +52,7 @@ def register(name: str, group: str, oracle: str | None = None, doc: str = ""):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = QueryDef(name=name, group=group, spark=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QueryDef(name=name, group=group, spark=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), module=fn.__module__)
         return fn
 
     return deco

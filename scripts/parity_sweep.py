@@ -18,6 +18,25 @@ Targeted mode: `python scripts/parity_sweep.py name1 name2 ...` sweeps
 only those queries and does NOT write PARITY_LOCAL.json (the committed
 artifact must always be a full-surface run) — the fast path for
 verifying a new or edited query before the full sweep.
+
+Changed mode (VERDICT r17 ask #7): `python scripts/parity_sweep.py
+--changed [BASE]` sweeps the queries whose DEFINING MODULE differs from
+BASE (default: the git head recorded in the last committed
+PARITY_LOCAL.json, i.e. everything touched since the last full-surface
+evidence) plus the driver's current 50-query rotation window — the
+mid-round iteration loop at ~1/4 the full sweep's cost. Infra edits
+(session/tables/operators/functions) print a warning: only the full
+sweep proves those. Never writes the artifact.
+
+Golden mode (VERDICT r17 ask #5, SCALING.md trade-off #3 made real):
+`python scripts/parity_sweep.py --golden write|check` runs the
+GOLDEN_QUERIES sample (every group represented) at the local sf1 corpus
+(.localdata/sf1 or $SPARK_GRAFT_GOLDEN_SF_DIR) and stores/validates
+per-query row counts + schema + a canonical value hash in
+GOLDEN_SF1.json — the oracle substitute at scales where DuckDB
+side-by-side is impractical. `write` is only valid from a clean tree
+(the golden file is committed evidence); `check` compares and exits 1
+on any drift.
 """
 
 from __future__ import annotations
@@ -39,16 +58,239 @@ if str(_REPO) not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
+# The sf1 golden sample: every group represented, moderate per-query cost
+# at 1M-order scale (the five dedup/graph heavies have their own SCALING.md
+# wave; golden is the broad drift tripwire, not the stress test).
+GOLDEN_QUERIES = [
+    # cdc
+    "cdc_dedupe_first", "cdc_merge_apply",
+    # curation
+    "text_pii_scrub", "split_train_holdout",
+    # llm
+    "sim_cosine_topk", "text_tfidf",
+    # llm-ext
+    "dedup_exact_hash", "dedup_minhash_exact", "ann_ivf_topk", "graph_pagerank",
+    # pipeline-ops
+    "pipeline_dq_checks", "text_pmi_bigrams",
+    # relational
+    "agg_groupby", "join_multiway", "window_rank",
+    # relational-ext
+    "join_cbo_reorder", "agg_percentile", "sessionize_events",
+    # scalar
+    "fn_json", "udf_pandas_vectorized",
+    # sketch
+    "agg_kmv_distinct",
+    # stats-ml
+    "agg_quantile_2pass", "stats_corr_matrix", "ml_logreg_irls",
+    # streaming
+    "stream_watermark_dedupe", "stream_tumbling_counts",
+    # web-dedup
+    "dedup_url_canonical", "pipeline_web_funnel",
+]
+
+GOLDEN_FILE = _REPO / "GOLDEN_SF1.json"
+
+
+def _canon_value(v) -> str:
+    """Canonical, dtype-independent serialization of one cell — the same
+    value must hash identically whether pandas materialized it as a numpy
+    scalar, a Python scalar, or an object column; repr() on the unwrapped
+    Python value keeps -0.0 vs 0.0 and int vs float distinct (the driver
+    hash's bit-sensitivity)."""
+    import math
+
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "\\N"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{_canon_value(k)}:{_canon_value(v[k])}" for k in sorted(v)
+        ) + "}"
+    return repr(v)
+
+
+def _golden_row(sdf_spark) -> dict:
+    """rows + schema + canonical value hash for one query result."""
+    import hashlib
+
+    pdf = sdf_spark.toPandas()
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\x1f".join(_canon_value(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    schema = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in sorted(sdf_spark.schema.fields, key=lambda f: f.name))
+    h = hashlib.sha256()
+    h.update(schema.encode())
+    for ln in lines:
+        h.update(b"\n")
+        h.update(ln.encode())
+    return {"rows": len(pdf), "schema": schema, "value_sha256": h.hexdigest()}
+
+
+def golden_mode(action: str) -> int:
+    """Run GOLDEN_QUERIES at the sf1 corpus; write or check GOLDEN_SF1.json."""
+    from cdc_dedupe_spark.queries import REGISTRY
+    from cdc_dedupe_spark.session import get_spark
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_GOLDEN_SF_DIR", str(_REPO / ".localdata" / "sf1")
+    )
+    if not os.path.isdir(sf_dir):
+        print(
+            f"golden corpus missing: {sf_dir} — generate with "
+            "scripts/gen_scale_corpus.py first",
+            file=sys.stderr,
+        )
+        return 2
+    if action == "write":
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=_REPO, capture_output=True, text=True
+        ).stdout.strip()
+        dirty = "\n".join(
+            l for l in dirty.splitlines() if not l.endswith("GOLDEN_SF1.json")
+        )
+        if dirty:
+            print(
+                "refusing --golden write from a dirty tree (the golden file is "
+                "committed evidence; commit first):\n" + dirty,
+                file=sys.stderr,
+            )
+            return 2
+
+    spark = get_spark("cdc-dedupe-golden")
+    t0 = time.time()
+    rows: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    for name in GOLDEN_QUERIES:
+        try:
+            rows[name] = _golden_row(REGISTRY[name].spark(spark, sf_dir))
+        except Exception as ex:
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+    head = subprocess.run(
+        ["git", "describe", "--always", "--dirty"], cwd=_REPO, capture_output=True, text=True
+    ).stdout.strip()
+
+    if action == "write":
+        if errors:
+            print(f"golden write aborted — errors: {errors}", file=sys.stderr)
+            return 1
+        GOLDEN_FILE.write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "git_head": head,
+                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                    "wall_sec": round(time.time() - t0, 1),
+                    "queries": rows,
+                },
+                indent=1,
+            )
+            + "\n"
+        )
+        print(f"wrote {GOLDEN_FILE.name}: {len(rows)} queries, {round(time.time()-t0,1)} s")
+        return 0
+
+    # check
+    if not GOLDEN_FILE.exists():
+        print("no GOLDEN_SF1.json — run --golden write first", file=sys.stderr)
+        return 2
+    want = json.loads(GOLDEN_FILE.read_text())["queries"]
+    drift = sorted(
+        n for n in rows
+        if n in want and rows[n] != want[n]
+    )
+    missing = sorted(set(GOLDEN_QUERIES) - set(want))
+    for n in drift:
+        print(f"GOLDEN DRIFT {n}: want {want[n]} got {rows[n]}", file=sys.stderr)
+    print(
+        f"golden check: {len(rows) - len(drift)}/{len(want)} match, "
+        f"drift={drift} error={sorted(errors)} new_unbaselined={missing} "
+        f"({round(time.time()-t0,1)} s)"
+    )
+    return 1 if drift or errors else 0
+
+
+def changed_queries(base: str | None) -> tuple[list[str], list[str]]:
+    """Queries whose defining module differs from ``base`` (default: the
+    git head of the last committed full sweep), plus any infra files
+    changed (returned separately as a warning list)."""
+    from cdc_dedupe_spark.queries import REGISTRY
+
+    if base is None:
+        try:
+            base = json.loads((_REPO / "PARITY_LOCAL.json").read_text())[
+                "git_head"
+            ].removesuffix("-dirty")
+        except Exception:
+            base = "HEAD"
+    files = set(
+        subprocess.run(
+            ["git", "diff", "--name-only", base],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    )
+    files |= {
+        l[3:]
+        for l in subprocess.run(
+            ["git", "status", "--porcelain"], cwd=_REPO, capture_output=True, text=True
+        ).stdout.splitlines()
+        if l.startswith("?? ") and l.endswith(".py")
+    }
+    mods = {
+        f.removesuffix(".py").removesuffix("/__init__").replace("/", ".")
+        for f in files
+        if f.startswith("cdc_dedupe_spark/") and f.endswith(".py")
+    }
+    hit = sorted(n for n, q in REGISTRY.items() if q.module in mods)
+    infra = sorted(
+        f
+        for f in files
+        if f.startswith(("cdc_dedupe_spark/", "tests/parity.py"))
+        and f.endswith(".py")
+        and not f.startswith("cdc_dedupe_spark/queries/")
+    )
+    return hit, infra
+
+
 def main() -> int:
     import duckdb
 
     from tests.parity import assert_frames_match, duck_strict_df, spark_kinds
 
-    from cdc_dedupe_spark.queries import REGISTRY
+    from cdc_dedupe_spark.queries import REGISTRY, driver_order
     from cdc_dedupe_spark.session import get_spark
     from cdc_dedupe_spark.tables import TABLE_NAMES
 
     only = sys.argv[1:]
+    if only and only[0] == "--golden":
+        if len(only) != 2 or only[1] not in ("write", "check"):
+            print("usage: parity_sweep.py --golden write|check", file=sys.stderr)
+            return 2
+        return golden_mode(only[1])
+    if only and only[0] == "--changed":
+        base = only[1] if len(only) > 1 else None
+        hit, infra = changed_queries(base)
+        window = driver_order()[:50]
+        if infra:
+            print(
+                f"NOTE: infra files changed ({infra}) — --changed only proves "
+                "the query modules + driver window; run the full sweep before "
+                "committing the artifact.",
+                file=sys.stderr,
+            )
+        only = sorted(set(hit) | set(window))
+        print(
+            f"--changed: {len(hit)} changed-module queries + 50-query driver "
+            f"window -> {len(only)} to sweep"
+        )
     unknown = [n for n in only if n not in REGISTRY]
     if unknown:
         print(f"unknown query names: {unknown}; have {sorted(REGISTRY)}", file=sys.stderr)

@@ -19,6 +19,64 @@ from cdc_dedupe_spark.session import temp_sql_confs
 
 
 # ---------------------------------------------------------------------------
+# parity_sweep --golden / --changed plumbing (r18, VERDICT r17 asks #5/#7)
+
+
+def _sweep_mod():
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "parity_sweep.py"
+    spec = importlib.util.spec_from_file_location("parity_sweep", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_canon_value_is_bit_and_type_sensitive():
+    """The golden hash must distinguish everything the driver's value hash
+    does: -0.0 vs 0.0, int vs float, None/NaN collapse, bytes, nesting."""
+    import numpy as np
+
+    c = _sweep_mod()._canon_value
+    assert c(0.0) != c(-0.0)
+    assert c(1) != c(1.0)
+    assert c(None) == c(float("nan")) == "\\N"
+    assert c(np.float64(-0.0)) == c(-0.0)  # numpy scalars unwrap
+    assert c(np.int64(7)) == c(7)
+    assert c(b"\x00\xff") == "0x00ff"
+    assert c([1, [2.5, None]]) == "[1,[2.5,\\N]]"
+    assert c({"b": 1, "a": 2}) == c({"a": 2, "b": 1})  # dict order-free
+
+
+def test_golden_sample_spans_every_group_with_oracles():
+    """Every registry group is represented in GOLDEN_QUERIES and every
+    sampled query has an exact oracle (golden is a value-drift tripwire;
+    rows-only queries can't pin values)."""
+    g = _sweep_mod()
+    groups = {REGISTRY[n].group for n in g.GOLDEN_QUERIES}
+    assert groups == {q.group for q in REGISTRY.values()}
+    assert all(REGISTRY[n].oracle is not None for n in g.GOLDEN_QUERIES)
+
+
+def test_registry_module_field_maps_to_query_files():
+    """--changed maps git-diff paths to defining modules via
+    QueryDef.module: every entry must carry a real module under
+    cdc_dedupe_spark.queries so a changed file selects its queries."""
+    import importlib
+
+    mods = {q.module for q in REGISTRY.values()}
+    assert all(m.startswith("cdc_dedupe_spark.queries.") for m in mods), mods
+    for m in mods:
+        importlib.import_module(m)  # path round-trips
+    # the path -> module translation --changed performs
+    assert (
+        "cdc_dedupe_spark/queries/relational_ext.py".removesuffix(".py").replace("/", ".")
+        == REGISTRY["join_cbo_reorder"].module
+    )
+
+
+# ---------------------------------------------------------------------------
 # join_cbo_reorder (r18): the DP reorderer must actually reorder
 
 
