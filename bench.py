@@ -445,11 +445,27 @@ def main() -> int:
     # BASELINE.md's targets are warm-JVM numbers, and the median discards
     # whichever single run a load spike (or residual JIT) distorted.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Wall budget (seconds) for the suite-runs loop: if the NEXT run's
+    # projected cost (the slowest completed run) would cross it, stop and
+    # publish the median of the runs that finished — a slow host degrades
+    # the evidence from median-of-3 to median-of-fewer instead of the
+    # whole bench being killed mid-run with no artifact at all.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
     failures: dict[str, str] = {}
     count_eval: list[str] = []
     run_walls: list[float] = []
     run_queries: list[dict[str, float]] = []
+    loop_t0 = time.perf_counter()
     for run_i in range(n_runs):
+        if run_walls and (
+            time.perf_counter() - loop_t0 + max(run_walls) > budget
+        ):
+            print(
+                f"bench budget ({budget:.0f} s): stopping after "
+                f"{len(run_walls)}/{n_runs} suite runs",
+                file=sys.stderr,
+            )
+            break
         per_query: dict[str, float] = {}
         total = 0.0
         for name in sorted(REGISTRY):
@@ -473,7 +489,8 @@ def main() -> int:
         run_walls.append(round(total, 3))
         run_queries.append(per_query)
 
-    med_i = sorted(range(n_runs), key=lambda i: run_walls[i])[n_runs // 2]
+    done = len(run_walls)
+    med_i = sorted(range(done), key=lambda i: run_walls[i])[done // 2]
     per_query = run_queries[med_i]
 
     result = {
