@@ -231,12 +231,20 @@ def changed_queries(base: str | None) -> tuple[list[str], list[str]]:
             ].removesuffix("-dirty")
         except Exception:
             base = "HEAD"
-    files = set(
-        subprocess.run(
-            ["git", "diff", "--name-only", base],
-            cwd=_REPO, capture_output=True, text=True, check=True,
-        ).stdout.split()
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", base],
+        cwd=_REPO, capture_output=True, text=True,
     )
+    if diff.returncode != 0 and base != "HEAD":
+        # recorded head unreachable (rebase/GC) — widen to everything
+        # uncommitted rather than failing the fast loop
+        print(f"--changed: base {base!r} unresolvable, falling back to HEAD",
+              file=sys.stderr)
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", "HEAD"],
+            cwd=_REPO, capture_output=True, text=True, check=True,
+        )
+    files = set(diff.stdout.split())
     files |= {
         l[3:]
         for l in subprocess.run(
