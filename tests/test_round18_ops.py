@@ -187,6 +187,47 @@ def test_cbo_reorder_result_identity(spark, sf_dir):
     assert got_on == want
 
 
+def test_histogram_stats_fix_skewed_selectivity(spark, sf_dir):
+    """The other half of the CBO stats story: basic column stats assume
+    UNIFORM value distribution (estimate = rows / NDV), so a filter on a
+    planted power-law key (the join_skew_aqe shape: 30% of lineitem rows
+    on one key) is under-estimated by orders of magnitude — the estimate
+    that feeds joinReorder and broadcast decisions. With
+    `spark.sql.statistics.histogram.enabled` the ANALYZE pass builds an
+    equi-height histogram and the hot-key estimate lands within 25% of
+    actual. Measured at sf0.01 while building this pin: basic 45 vs
+    histogram 18,189 against an actual 18,165 — a 400× estimation error
+    closed by one ANALYZE flag."""
+    t = "hist_probe_r18"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    skewed = li.select(
+        F.when(F.col("l_partkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_partkey"))
+        .alias("sk")
+    )
+    try:
+        skewed.write.mode("overwrite").saveAsTable(t)
+        actual = spark.table(t).filter(F.col("sk") == 0).count()
+
+        def estimate(with_hist: bool) -> int:
+            with temp_sql_confs(
+                spark,
+                {"spark.sql.statistics.histogram.enabled": str(with_hist).lower()},
+            ):
+                spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS sk")
+            df = spark.table(t).filter(F.col("sk") == 0)
+            with temp_sql_confs(spark, {"spark.sql.cbo.enabled": "true"}):
+                rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+                assert rc.isDefined()
+                return int(str(rc.get()))
+
+        basic, hist = estimate(False), estimate(True)
+        assert basic < actual / 10, (basic, actual)  # uniformity lie
+        assert abs(hist - actual) <= 0.25 * actual, (hist, actual)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 # ---------------------------------------------------------------------------
 # pipeline_incremental_ingest: empty-increment round (ADVICE r17)
 
