@@ -58,10 +58,14 @@ if str(_REPO) not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
-# The sf1 golden sample: every group represented, moderate per-query cost
-# at 1M-order scale (the five dedup/graph heavies have their own SCALING.md
-# wave; golden is the broad drift tripwire, not the stress test).
+# The sf1 golden sample: every group represented, plus the five
+# dedup/graph heavies (the suite's most complex composed pipelines —
+# exactly where silent drift at scale would hide; their timings live in
+# the SCALING.md wave, their VALUES are pinned here).
 GOLDEN_QUERIES = [
+    # the heavy family (banded-LSH + connected-components compositions)
+    "pipeline_dedup_full", "dedup_minhash_cluster", "dedup_minhash_incremental",
+    "dedup_cluster_histogram", "graph_cc_sizes",
     # cdc
     "cdc_dedupe_first", "cdc_merge_apply",
     # curation
