@@ -2173,39 +2173,76 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the median unit SOLD", not the median line item (a line with 50
     units counts 50×): the inventory/revenue planning number plain
     percentiles get wrong. Lower weighted quantile by the exact integer
-    rule k·cum >= j·W over the value-domain rollup cumulative (the
-    [[agg_quantile_2pass]] family, weights instead of counts) — no
-    global sort, no interpolation, no float anywhere.
+    rule 4·cum >= j·W (j = 1, 2, 3) — no global sort, no interpolation,
+    no float anywhere.
 
-    One rollup shuffle + a cumulative window over O(distinct cents)
-    rows + a one-row pick."""
-    v = (
-        table(spark, sf_dir, "lineitem")
-        .select(
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-            F.round("l_quantity").cast("long").alias("qty"),
-        )
-        .groupBy("cents")
+    TWO-PASS since r18 (the [[agg_quantile_2pass]] selection with
+    weights instead of counts): the r17-era single cumulative window
+    over the per-cents rollup was a serial stage over O(distinct cents)
+    rows, and prices are NEAR-UNIQUE — at sf1 the domain barely
+    compresses (6M rows → 4.4M distinct cents, flagged by the sf1 skew
+    probe). Pass 1 buckets the cents into ~160 fixed-width ranges (one
+    partial-agg shuffle of O(buckets) rows; the only serial window is
+    over that tiny table) and locates each quartile's bucket from the
+    cumulative WEIGHT; pass 2 re-scans only the ≤3 matched buckets,
+    rolls up per-cents within them (≤ bucket-width distinct values per
+    quartile partition), and picks the first cents whose offset
+    cumulative crosses the rule. Identical integers to the oracle's
+    full-domain cumulative — the plan changed, the contract didn't."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    width = 65536
+    tot = li.agg(F.sum("qty").alias("tot"))
+    # pass 1: bucket weight histogram + cumulative (O(buckets) rows)
+    bw = (
+        li.groupBy(F.expr(f"cents div {width}").alias("bucket"))
         .agg(F.sum("qty").alias("w"))
     )
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
-    c = v.select(
-        "cents",
-        F.sum("w").over(wc).alias("cum"),
-        F.sum("w").over(wt).alias("tot"),
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bw.select(
+        "bucket",
+        F.sum("w").over(wb).alias("cum"),
+        (F.sum("w").over(wb) - F.col("w")).alias("cum_prev"),
     )
-    return c.agg(
+    js = tot.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"), "tot"
+    )
+    # locate each quartile's bucket: FIRST bucket with 4*cum >= j*tot
+    t = (
+        js.join(F.broadcast(cum), 4 * F.col("cum") >= F.col("j") * F.col("tot"))
+        .groupBy("j", "tot")
+        .agg(F.min(F.struct("bucket", "cum_prev")).alias("m"))
+        .select(
+            "j",
+            "tot",
+            F.col("m.bucket").alias("bucket"),
+            F.col("m.cum_prev").alias("base"),
+        )
+    )
+    # pass 2: per-cents rollup within ONLY the matched buckets, offset
+    # cumulative, first crossing wins
+    hit = (
+        li.withColumn("bucket", F.expr(f"cents div {width}"))
+        .join(F.broadcast(t), "bucket")
+        .groupBy("j", "tot", "base", "cents")
+        .agg(F.sum("qty").alias("w"))
+    )
+    wj = Window.partitionBy("j").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    picks = (
+        hit.withColumn("cum", F.col("base") + F.sum("w").over(wj))
+        .filter(4 * F.col("cum") >= F.col("j") * F.col("tot"))
+        .groupBy("j")
+        .agg(F.min("cents").alias("q"), F.max("tot").alias("tot"))
+    )
+    return picks.agg(
         F.max("tot").cast("long").alias("total_weight"),
-        F.min(F.when(4 * F.col("cum") >= F.col("tot"), F.col("cents"))).alias(
-            "w_p25_cents"
-        ),
-        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))).alias(
-            "w_median_cents"
-        ),
-        F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("cents"))).alias(
-            "w_p75_cents"
-        ),
+        F.min(F.when(F.col("j") == 1, F.col("q"))).alias("w_p25_cents"),
+        F.min(F.when(F.col("j") == 2, F.col("q"))).alias("w_median_cents"),
+        F.min(F.when(F.col("j") == 3, F.col("q"))).alias("w_p75_cents"),
     )
 
 

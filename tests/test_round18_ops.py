@@ -228,6 +228,28 @@ def test_histogram_stats_fix_skewed_selectivity(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_weighted_median_is_two_pass(spark, sf_dir):
+    """r18 rewrite pin: agg_weighted_median's old single cumulative window
+    ran serially over the per-cents rollup, and prices are near-unique —
+    at sf1 that was a 4.4M-row single task (the last standing skew-flag
+    class). The two-pass selection's structural signature: the fact table
+    is scanned more than once (bucket histogram pass + matched-bucket
+    re-scan), the bucket targets reach pass 2 as a BROADCAST join (never
+    a shuffle), and the bucketing expression runs map-side. Values are
+    unchanged — the DuckDB oracle still computes the full-domain
+    cumulative."""
+    plan = (
+        REGISTRY["agg_weighted_median"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") >= 2, plan  # two-pass, not one
+    assert plan.count("BroadcastHashJoin") == 1, plan  # targets broadcast
+    assert "div 65536" in plan, plan  # map-side bucketing
+
+
 # ---------------------------------------------------------------------------
 # pipeline_incremental_ingest: empty-increment round (ADVICE r17)
 
