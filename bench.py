@@ -506,6 +506,11 @@ def main() -> int:
         # per-query map; runs[] carries every run's total (host-load
         # spread stays visible). Earlier BENCH artifacts are single runs.
         "runs": run_walls,
+        # Per-run coverage (ADVICE r18 #4): a query that fails in run 1
+        # is skipped in later runs, so runs[] walls can cover different
+        # query sets — the counts make any coverage difference explicit
+        # instead of letting the median silently exclude failures.
+        "runs_n_queries": [len(m) for m in run_queries],
         "median_run_index": med_i,
         "queries": per_query,
         "sf": sf,

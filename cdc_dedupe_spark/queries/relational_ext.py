@@ -2405,7 +2405,11 @@ def cbo_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     table is EXTERNAL (``LOCATION`` points at the driver corpus — no data
     copy) and named per sf_dir digest so scales never collide; the
     ``ANALYZE TABLE .. COMPUTE STATISTICS FOR COLUMNS`` pass runs once
-    per (session, sf_dir) and is skipped when the table already exists.
+    per (session, sf_dir) and is skipped only when the catalog already
+    holds COLUMN stats for the table — a bare tableExists gate would
+    let a run that died between CREATE and ANALYZE (or a warehouse
+    carried over from an earlier process) pin a stats-less table
+    forever, and CBO then silently never reorders (ADVICE r18 #1).
 
     At 100 TB this is the nightly `ANALYZE` every lakehouse schedules —
     stats collection is one scan amortized over every query that plans
@@ -2417,12 +2421,30 @@ def cbo_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     for t, cols in _CBO_STATS_COLS.items():
         tn = f"cbo_{t}_{dig}"
         names[t] = tn
-        if not spark.catalog.tableExists(tn):
-            spark.sql(
-                f"CREATE TABLE {tn} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
-            )
-            spark.sql(f"ANALYZE TABLE {tn} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        if spark.catalog.tableExists(tn) and _has_column_stats(
+            spark, tn, cols.split(",")[0].strip()
+        ):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {tn}")
+        spark.sql(
+            f"CREATE TABLE {tn} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+        )
+        spark.sql(f"ANALYZE TABLE {tn} COMPUTE STATISTICS FOR COLUMNS {cols}")
     return names
+
+
+def _has_column_stats(spark: SparkSession, table_name: str, col: str) -> bool:
+    """True when the catalog holds COLUMN statistics (a distinct_count)
+    for ``col`` — the signal ANALYZE actually completed. DESCRIBE
+    EXTENDED <table> <col> is a catalog-metadata lookup (~10 fixed rows,
+    no data scan), so collecting it driver-side is O(1) and not a
+    distributed-plan collect."""
+    try:
+        rows = spark.sql(f"DESCRIBE EXTENDED {table_name} {col}").collect()
+    except Exception:
+        return False
+    info = {r[0]: r[1] for r in rows}
+    return info.get("distinct_count") not in (None, "NULL")
 
 
 @register(

@@ -219,7 +219,20 @@ def golden_mode(action: str) -> int:
         f"drift={drift} error={sorted(errors)} new_unbaselined={missing} "
         f"({round(time.time()-t0,1)} s)"
     )
-    return 1 if drift or errors else 0
+    if drift or errors:
+        return 1
+    if missing:
+        # Queries newly added to GOLDEN_QUERIES but absent from the
+        # committed baseline: exiting 0 here would let golden coverage
+        # silently shrink relative to the declared sample (ADVICE r18
+        # #2) — distinct exit so round checklists must re-write.
+        print(
+            f"golden check: {len(missing)} declared queries unbaselined — "
+            "run --golden write to extend GOLDEN_SF1.json",
+            file=sys.stderr,
+        )
+        return 3
+    return 0
 
 
 def changed_queries(base: str | None) -> tuple[list[str], list[str]]:
@@ -235,8 +248,13 @@ def changed_queries(base: str | None) -> tuple[list[str], list[str]]:
             ].removesuffix("-dirty")
         except Exception:
             base = "HEAD"
+    # NUL-delimited plumbing throughout (ADVICE r18 #3): split() broke
+    # paths with spaces, '?? dir/' hid new modules inside untracked
+    # directories (-uall lists the files), and rename records dropped
+    # the target (--no-renames lists a rename as delete+add, so the new
+    # path is always present).
     diff = subprocess.run(
-        ["git", "diff", "--name-only", base],
+        ["git", "diff", "--name-only", "--no-renames", "-z", base],
         cwd=_REPO, capture_output=True, text=True,
     )
     if diff.returncode != 0 and base != "HEAD":
@@ -245,17 +263,32 @@ def changed_queries(base: str | None) -> tuple[list[str], list[str]]:
         print(f"--changed: base {base!r} unresolvable, falling back to HEAD",
               file=sys.stderr)
         diff = subprocess.run(
-            ["git", "diff", "--name-only", "HEAD"],
+            ["git", "diff", "--name-only", "--no-renames", "-z", "HEAD"],
             cwd=_REPO, capture_output=True, text=True, check=True,
         )
-    files = set(diff.stdout.split())
-    files |= {
-        l[3:]
-        for l in subprocess.run(
-            ["git", "status", "--porcelain"], cwd=_REPO, capture_output=True, text=True
-        ).stdout.splitlines()
-        if l.startswith("?? ") and l.endswith(".py")
-    }
+    files = {f for f in diff.stdout.split("\0") if f}
+    status = [
+        e
+        for e in subprocess.run(
+            ["git", "status", "--porcelain", "-z", "-uall"],
+            cwd=_REPO, capture_output=True, text=True,
+        ).stdout.split("\0")
+        if e
+    ]
+    i = 0
+    while i < len(status):
+        entry = status[i]
+        xy, path = entry[:2], entry[3:]
+        if xy and xy[0] in "RC":
+            # rename/copy record: this entry is the NEW path, the next
+            # NUL field is the old path — keep the target, skip the old
+            files.add(path)
+            i += 2
+            continue
+        if xy == "??":
+            if path.endswith(".py"):
+                files.add(path)
+        i += 1
     mods = {
         f.removesuffix(".py").removesuffix("/__init__").replace("/", ".")
         for f in files
