@@ -384,3 +384,157 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL doc_chunker_udtf(d.text) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT JSON path + SQL-defined functions (round 19) — the declarative
+# top rungs of the extension ladder: binary-encoded semi-structured access
+# (parse once, typed extraction) and CREATE FUNCTION SQL UDF/UDTF (pure
+# Catalyst expressions, no Python boundary at all).
+
+
+@register(
+    "fn_json_variant",
+    group="scalar",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT JSON path (VERDICT r18 ask #3): `parse_json` decodes the
+    props string ONCE into Spark's binary VARIANT encoding, then every
+    extraction (`try_variant_get`) is a typed offset lookup instead of a
+    re-parse — the 100 TB answer to [[fn_json]]'s per-path
+    `get_json_object`, which tokenizes the same string once PER PATH.
+    Three typed projections of the same field (bigint/string/double)
+    plus a missing path (NULL, never an error under the try_ form) pin
+    the cast matrix; the unit pin (tests/test_round19_ops.py) asserts
+    result identity against the [[fn_json]] string form, so the encoding
+    switch is proven semantics-preserving.
+
+    At 100 TB the VARIANT column is the storage answer too: shredded
+    binary beats JSON strings for scan width, and a single decode
+    amortizes across every downstream extraction. Map-side only — no
+    shuffle at any scale."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.k", "double").alias("k_dbl"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+    )
+
+
+@register(
+    "fn_sql_udf_scalar",
+    group="scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS disc_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined SCALAR function (CREATE FUNCTION ... RETURN expr,
+    Spark 4.x) — the declarative rung ABOVE every Python UDF on the
+    extension ladder ([[udf_python]] row → [[udf_pandas_vectorized]]
+    Arrow → this): the body is inlined into the Catalyst plan at
+    resolution time, so the "UDF" costs exactly what the hand-written
+    expression costs — whole-stage codegen, pushdown, no serialization
+    boundary. The classic discounted-price kernel as a reusable named
+    abstraction; the oracle inlines the same arithmetic (identical
+    IEEE-double product order, exact integer cents after round).
+
+    At 100 TB this is how a platform team ships business logic: named,
+    catalog-registered, and free — versus the Python rungs, each of
+    which pays a per-batch (or per-row) interpreter boundary."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(p * (1.0 - d) * 100) AS BIGINT)
+        """
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS disc_cents
+        FROM sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "fn_sql_udtf_table",
+    group="scalar",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), x AS (
+      SELECT o.o_orderkey, g.i,
+             o.cents // 4
+               + (CASE WHEN g.i <= o.cents % 4 THEN 1 ELSE 0 END)
+               AS amount_cents
+      FROM o, (SELECT UNNEST(generate_series(1, 4)) AS i) g
+    )
+    SELECT CAST(i AS BIGINT) AS installment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+    FROM x GROUP BY i
+    """,
+)
+def fn_sql_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (CREATE FUNCTION ... RETURNS TABLE,
+    Spark 4.x) — the declarative twin of [[udtf_python]]: a 1→N fan-out
+    (order total split into 4 exact installments, remainder cents spread
+    over the leading installments) expressed as a pure SQL body that
+    Catalyst inlines as a LATERAL correlated subquery — codegen'd
+    sequence+explode inside the scan task, zero Python, zero shuffle
+    for the fan-out itself. The conservation property is built into the
+    arithmetic (div + spread remainder sums back to cents exactly);
+    the rollup checks it across every order. Oracle: the same fan-out
+    via generate_series UNNEST.
+
+    At 100 TB: the fan-out rides the scan (map-side lateral), and the
+    single rollup shuffle carries 4 groups — the named-table-function
+    abstraction costs nothing over the inlined form."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_installments(
+            cents BIGINT, n INT)
+        RETURNS TABLE(i BIGINT, amount_cents BIGINT)
+        RETURN SELECT CAST(x AS BIGINT) AS i,
+                      cents div n
+                        + (CASE WHEN x <= cents % n THEN 1 ELSE 0 END)
+                        AS amount_cents
+               FROM (SELECT explode(sequence(1, n)) AS x)
+        """
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sqludtf_orders")
+    return spark.sql(
+        """
+        SELECT b.i AS installment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(b.amount_cents) AS BIGINT) AS total_cents
+        FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM sqludtf_orders) o,
+             LATERAL order_installments(o.cents, 4) b
+        GROUP BY b.i
+        """
+    )

@@ -1,0 +1,112 @@
+"""Round-19 operator tests: the VARIANT JSON path pin (encoding switch is
+semantics-preserving vs the get_json_object form), the SQL-defined
+function pair (scalar UDF inlines into the plan with no Python boundary;
+table UDTF conserves cents exactly across the fan-out), plus pins for the
+transformWithStateInPandas sessionizer (timer-fired eviction), statestore
+reconciliation, and compaction-apply (added as those land this round).
+
+Same discipline as test_round15..18_ops: every scale claim gets an
+executable plan pin and every result gets an independent twin."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from cdc_dedupe_spark.queries.registry import REGISTRY
+from cdc_dedupe_spark.tables import table
+
+
+def _pdf(df, cols):
+    return (
+        df.toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_json_variant — VARIANT encoding is semantics-preserving
+
+
+def test_variant_matches_get_json_object_form(spark, sf_dir):
+    """The binary-VARIANT extraction must be row-identical to the string
+    re-parse form (fn_json's get_json_object) on the shared columns —
+    the pin that makes the encoding switch safe to roll out."""
+    via_variant = REGISTRY["fn_json_variant"].spark(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    via_string = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("double").alias("k_dbl"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+    cols = ["event_id", "k_int", "k_str", "k_dbl", "missing"]
+    pd.testing.assert_frame_equal(_pdf(via_variant, cols), _pdf(via_string, cols))
+
+
+def test_variant_missing_path_is_null_not_error(spark, sf_dir):
+    """try_variant_get on an absent path yields NULL for every row (the
+    try_ contract; the throwing form would fail the whole scan)."""
+    out = REGISTRY["fn_json_variant"].spark(spark, sf_dir)
+    assert out.filter(F.col("missing").isNotNull()).count() == 0
+    assert out.filter(F.col("k_int").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fn_sql_udf_scalar — SQL UDF inlines: no Python boundary in the plan
+
+
+def test_sql_udf_plan_has_no_python_boundary(spark, sf_dir):
+    """The CREATE FUNCTION body must be inlined into the Catalyst plan:
+    no BatchEvalPython / ArrowEvalPython / PythonUDF node anywhere —
+    that absence IS the scale claim (codegen'd expression, zero
+    serialization boundary), vs udf_python whose plan carries one."""
+    out = REGISTRY["fn_sql_udf_scalar"].spark(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    # and the inlined arithmetic matches the hand-written expression
+    li = table(spark, sf_dir, "lineitem")
+    twin = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).cast("long").alias("disc_cents"),
+    )
+    cols = ["l_returnflag", "n_items", "disc_cents"]
+    pd.testing.assert_frame_equal(_pdf(out, cols), _pdf(twin, cols))
+
+
+# ---------------------------------------------------------------------------
+# fn_sql_udtf_table — exact conservation across the lateral fan-out
+
+
+def test_sql_udtf_conserves_cents_and_fans_out_exactly(spark, sf_dir):
+    """Summing the 4 installments over all orders must reproduce the
+    total order cents EXACTLY (div + remainder-spread arithmetic), and
+    every order contributes exactly 4 rows."""
+    out = REGISTRY["fn_sql_udtf_table"].spark(spark, sf_dir).toPandas()
+    o = table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    total_cents = (
+        o.select(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+        ).toPandas()["c"][0]
+    )
+    assert sorted(out["installment"]) == [1, 2, 3, 4]
+    assert (out["n_orders"] == n_orders).all()
+    assert int(out["total_cents"].sum()) == int(total_cents)
+    # remainder spread: installment 1 carries >= installment 4's total
+    by_i = out.set_index("installment")["total_cents"]
+    assert by_i[1] >= by_i[4]
+
+
+def test_sql_udtf_plan_has_no_python_boundary(spark, sf_dir):
+    """The SQL table function must also inline — the LATERAL fan-out is
+    codegen'd explode, not a Python UDTF eval node."""
+    out = REGISTRY["fn_sql_udtf_table"].spark(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
