@@ -103,6 +103,22 @@ def write_bucketed_table(
     the Hadoop FS API (works on any filesystem, not just local disk)
     after dropping whatever entry this session does have."""
     spark = df.sparkSession
+    drop_table_and_location(spark, table_name)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def drop_table_and_location(spark, table_name: str) -> None:
+    """Drop a managed table AND clear its storage location: with the
+    default in-memory catalog a previous session's managed LOCATION
+    survives on storage while its catalog entry does not, and saveAsTable
+    then fails with LOCATION_ALREADY_EXISTS — cleared through the Hadoop
+    FS API (works on any filesystem, not just local disk)."""
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(
@@ -110,10 +126,23 @@ def write_bucketed_table(
     )
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(path, True)
+
+
+def write_partitioned_single_file_bins(
+    df: DataFrame, table_name: str, partition_by: tuple[str, ...]
+) -> None:
+    """Persist a frame partitioned by ``partition_by`` with EXACTLY ONE
+    file per partition-key combination — the compaction-rewrite layout
+    (Delta OPTIMIZE / Iceberg rewriteDataFiles output contract): a hash
+    repartition on the partition columns puts every combo in exactly one
+    task, and the partitioned writer then emits one file per combo per
+    task. File count == distinct-combo count by construction, pinned in
+    tests/test_round19_ops.py."""
+    spark = df.sparkSession
+    drop_table_and_location(spark, table_name)
     (
-        df.write.mode("overwrite")
+        df.repartition(*partition_by)
+        .write.mode("overwrite")
         .partitionBy(*partition_by)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
         .saveAsTable(table_name)
     )

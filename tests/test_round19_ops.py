@@ -110,3 +110,61 @@ def test_sql_udtf_plan_has_no_python_boundary(spark, sf_dir):
     out = REGISTRY["fn_sql_udtf_table"].spark(spark, sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# pipeline_compaction_apply — the rewrite honors the plan's bin layout
+
+
+def test_compaction_apply_file_count_equals_plan_bins(spark, sf_dir):
+    """The OPTIMIZE contract (VERDICT r18 ask #5): after the rewrite,
+    the physical file count under the compacted table equals the plan's
+    bin count exactly — one output file per (lang, bin_id) bin — and
+    the read-back rollup agrees with the plan's per-bin audit."""
+    import os
+
+    plan = REGISTRY["pipeline_compaction_plan"].spark(spark, sf_dir).toPandas()
+    applied = REGISTRY["pipeline_compaction_apply"].spark(spark, sf_dir).toPandas()
+    bins = plan[["lang", "bin_id"]].drop_duplicates()
+    assert len(applied) == len(bins)
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    root = os.path.join(wh, "compacted_corpus")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == len(bins), (len(files), len(bins))
+
+    # read-back bin payloads equal the plan's (same aggregation grain)
+    plan_bins = (
+        plan.groupby(["lang", "bin_id"], as_index=False)
+        .agg(bin_docs=("bin_docs", "first"), bin_bytes=("bin_bytes", "first"),
+             bin_inputs=("bin_inputs", "first"))
+        .sort_values(["lang", "bin_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        applied[["lang", "bin_id", "bin_docs", "bin_bytes", "bin_inputs"]]
+        .sort_values(["lang", "bin_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, plan_bins[["lang", "bin_id", "bin_docs", "bin_bytes", "bin_inputs"]]
+    )
+
+
+def test_compaction_apply_no_file_exceeds_two_targets(spark, sf_dir):
+    """Every rewritten bin's payload respects the greedy binning bound:
+    a bin exceeds the ~16 KB target only when a SINGLE input unit does
+    (greedy running-total binning never splits a unit)."""
+    from cdc_dedupe_spark.queries.pipeline_ops import _COMPACT_TARGET, _compaction_bins
+
+    b = _compaction_bins(spark, sf_dir).toPandas()
+    per_bin = b.groupby(["lang", "bin_id"])["part_bytes"].sum()
+    single = b.groupby(["lang", "bin_id"])["part_bytes"].max()
+    over = per_bin[per_bin > 2 * _COMPACT_TARGET]
+    for key in over.index:
+        assert single[key] > _COMPACT_TARGET, (key, per_bin[key], single[key])
