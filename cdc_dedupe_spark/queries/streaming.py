@@ -15,10 +15,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -2091,3 +2093,221 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_quantile_histogram.__doc__ = stream_quantile_histogram.__doc__.format(
     b=_SQ_B, w=_SQ_W
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize_state_tws — arbitrary state v2 (transformWithState) with
+# timer-fired eviction (round 19, VERDICT r18 ask #1)
+
+_TWS_GAP_MS = _SESS_GAP_US // 1000
+
+_TWS_STATE = (
+    "open_start_us LONG, open_last_us LONG, open_n LONG, closed_sessions LONG,"
+    " closed_dur_us LONG, max_n LONG, n_total LONG, emit_seq LONG"
+)
+
+_TWS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("emit_seq", LongType()),
+        StructField("via_timer", BooleanType()),
+        StructField("n_closed", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_session_events", LongType()),
+        StructField("total_duration_us", LongType()),
+    ]
+)
+
+
+class SessTwsProcessor(StatefulProcessor):
+    """StatefulProcessor for [[stream_sessionize_state_tws]]: the SAME
+    bounded fold as _sess_fold (open session + closed rollups, 8 longs
+    per user forever), but sessions are ALSO closed by a registered
+    EVENT-TIME TIMER when the 30-minute gap elapses with NO further
+    input for the key — the eviction contract the in-fold gap check
+    cannot express (it only runs when the key receives rows). This is
+    the state-v2 mirror of the reference's in-flight ledger GC
+    (WatchStream.java:222-227: entries retire on a condition, not on
+    traffic).
+
+    Timer discipline: one timer per key, re-armed to open_last + gap on
+    every input batch; handleExpiredTimer closes the open session only
+    when its gap has truly elapsed at the fired watermark (a stale
+    timer that raced a newer batch is a no-op). Emissions carry a
+    strictly increasing per-key emit_seq so the final state is the
+    max_by(emit_seq) row under ANY batch split; via_timer/n_closed are
+    audit columns for the eviction pin (tests/test_round19_ops.py) and
+    are dropped from the declared result."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("sess", _TWS_STATE)
+
+    def close(self) -> None:
+        pass
+
+    def _snapshot(self, key, via_timer: bool) -> pd.DataFrame:
+        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = self.state.get()
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "emit_seq": seq,
+                    "via_timer": via_timer,
+                    "n_closed": c_sess,
+                    "n_sessions": c_sess + (1 if o_s >= 0 else 0),
+                    "n_events": n_total,
+                    "max_session_events": max(max_n, o_n),
+                    "total_duration_us": c_dur + (o_l - o_s if o_s >= 0 else 0),
+                }
+            ]
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        st = self.state.get() if self.state.exists() else (-1, -1, 0, 0, 0, 0, 0, 0)
+        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = st
+        chunks = [c for c in rows if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"]
+            )
+            ts = pdf["ts_us"].to_numpy(dtype="int64")
+            n_total += len(ts)
+            brk = np.empty(len(ts), dtype=bool)
+            brk[0] = o_s < 0 or ts[0] - o_l >= _SESS_GAP_US
+            if len(ts) > 1:
+                brk[1:] = np.diff(ts) >= _SESS_GAP_US
+            starts = np.flatnonzero(brk)
+            if len(starts) == 0:
+                o_l, o_n = int(ts[-1]), o_n + len(ts)
+            else:
+                if o_s >= 0:
+                    head = int(starts[0])
+                    o_l, o_n = (
+                        (int(ts[head - 1]), o_n + head) if head else (o_l, o_n)
+                    )
+                    c_sess += 1
+                    c_dur += o_l - o_s
+                    max_n = max(max_n, o_n)
+                ends = np.append(starts[1:], len(ts))
+                for s, e in zip(starts[:-1], ends[:-1]):
+                    c_sess += 1
+                    c_dur += int(ts[e - 1] - ts[s])
+                    max_n = max(max_n, int(e - s))
+                s = int(starts[-1])
+                o_s, o_l, o_n = int(ts[s]), int(ts[-1]), len(ts) - s
+        seq += 1
+        self.state.update((o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq))
+        # re-arm: exactly one pending timer per key, at open-gap expiry
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        if o_s >= 0:
+            self.handle.registerTimer(o_l // 1000 + _TWS_GAP_MS)
+        yield self._snapshot(key, False)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if not self.state.exists():
+            return
+        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = self.state.get()
+        if o_s >= 0 and o_l // 1000 + _TWS_GAP_MS <= expiredTimerInfo.getExpiryTimeInMs():
+            c_sess += 1
+            c_dur += o_l - o_s
+            max_n = max(max_n, o_n)
+            o_s, o_l, o_n = -1, -1, 0
+            seq += 1
+            self.state.update((o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq))
+            yield self._snapshot(key, True)
+
+
+def sessionize_tws(stream: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas plan of
+    [[stream_sessionize_state_tws]], factored so tests can drive it over
+    a multi-batch replay with their own watermark pacing. Input needs
+    (user_id, ts timestamp, event_id); emits every per-key snapshot
+    (update mode) with audit columns."""
+    s = stream.select(
+        "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    ).withWatermark("ts", "0 seconds")
+    return s.groupBy("user_id").transformWithStateInPandas(
+        SessTwsProcessor(),
+        outputStructType=_TWS_OUT,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
+@register(
+    "stream_sessionize_state_tws",
+    group="streaming",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e FROM events
+    ), m AS (
+      SELECT user_id, e,
+             CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                    OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) >= {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), g AS (
+      SELECT user_id, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    ), s AS (
+      SELECT user_id, sid, COUNT(*) AS n, MAX(e) - MIN(e) AS dur
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur) AS BIGINT) AS total_duration_us
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_sessionize_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization on the ARBITRARY STATE V2 API
+    (transformWithStateInPandas, Spark 4.x) — the declared twin of
+    [[stream_sessionize_state]] with the piece applyInPandasWithState
+    cannot express: REGISTERED EVENT-TIME TIMERS close a session when
+    its 30-minute gap elapses with no further input for that user
+    (timer-fired eviction, pinned in tests/test_round19_ops.py), where
+    the v1 fold can only close sessions when the key happens to receive
+    rows. Same bounded state (8 longs per user forever), same fold
+    discipline (concat-then-sort per batch), same islands oracle — the
+    final max_by(emit_seq) snapshot per user is batch-split invariant,
+    so the result hash-matches the batch rollup exactly.
+
+    Requires the RocksDB state store (the v2 operator's provider) and a
+    python protobuf runtime in the workers (streaming/pb_shim.py
+    bootstraps the vendored one on this container). At 100 TB: one
+    shuffle on user_id, O(users) state rows, one pending timer per
+    user; timers keep completed-user state from living forever — the
+    eviction half of the state-sizing story, the same contract as the
+    reference's in-flight ledger GC (WatchStream.java:222-227)."""
+    from ..streaming.pb_shim import ensure_tws_protobuf
+
+    ensure_tws_protobuf(spark)
+    stream = events_stream(spark, sf_dir)
+    folded = sessionize_tws(stream)
+    out = run_to_memory(
+        folded,
+        "stream_sessionize_state_tws",
+        output_mode="update",
+        state_store="rocksdb",
+    )
+    last = F.max_by(
+        F.struct("n_sessions", "n_events", "max_session_events", "total_duration_us"),
+        F.col("emit_seq"),
+    ).alias("m")
+    return (
+        out.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id", "m.n_sessions", "m.n_events",
+            "m.max_session_events", "m.total_duration_us",
+        )
+    )

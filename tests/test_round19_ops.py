@@ -168,3 +168,87 @@ def test_compaction_apply_no_file_exceeds_two_targets(spark, sf_dir):
     over = per_bin[per_bin > 2 * _COMPACT_TARGET]
     for key in over.index:
         assert single[key] > _COMPACT_TARGET, (key, per_bin[key], single[key])
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize_state_tws — timer-fired eviction (arbitrary state v2)
+
+
+def test_tws_session_closed_by_timer_with_no_further_input(spark, tmp_path):
+    """The case the v1 fold CANNOT express (VERDICT r18 ask #1): user A
+    sends events only in batch 1; batch 2 carries only user B's much
+    later event, which advances the event-time watermark past A's
+    gap timer — A's open session must be closed BY THE TIMER, with no
+    further input rows for A ever arriving."""
+    from cdc_dedupe_spark.queries.streaming import sessionize_tws
+    from cdc_dedupe_spark.streaming.pb_shim import ensure_tws_protobuf
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    ensure_tws_protobuf(spark)
+    d = tmp_path / "tws_stream"
+    spark.createDataFrame(
+        [(1, 1_000_000, "a1"), (1, 1_060_000, "a2"), (2, 1_000_000, "b1")],
+        "user_id long, ts_ms long, event_id string",
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(
+        [(2, 9_000_000, "b2")], "user_id long, ts_ms long, event_id string"
+    ).coalesce(1).write.parquet(str(d / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, event_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "b*"))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = run_to_memory(
+        sessionize_tws(stream), "tws_timer_test", output_mode="update",
+        state_store="rocksdb",
+    ).toPandas()
+
+    a = out[out.user_id == 1].sort_values("emit_seq")
+    # batch-1 snapshot: open session, nothing closed yet
+    assert not a.iloc[0].via_timer and a.iloc[0].n_closed == 0
+    # final emission: TIMER-fired, session now closed, state drained
+    last_a = a.iloc[-1]
+    assert bool(last_a.via_timer), out.to_string()
+    assert last_a.n_closed == 1 and last_a.n_sessions == 1
+    assert last_a.n_events == 2 and last_a.total_duration_us == 60_000_000
+    # user B: gap closure happened IN the fold (second event arrived),
+    # two sessions total, only the first closed by arrival-time gap
+    b = out[out.user_id == 2].sort_values("emit_seq")
+    assert b.iloc[-1].n_sessions == 2
+    assert not b.iloc[-1].via_timer
+
+
+def test_tws_stale_timer_after_session_extension_is_noop(spark, tmp_path):
+    """A timer armed for an earlier open_last must NOT close a session
+    that a newer batch extended: batch 2 extends A's session (gap not
+    elapsed), so the only closure comes from the re-armed timer at the
+    NEW expiry; the session survives as one."""
+    from cdc_dedupe_spark.queries.streaming import sessionize_tws
+    from cdc_dedupe_spark.streaming.pb_shim import ensure_tws_protobuf
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    ensure_tws_protobuf(spark)
+    d = tmp_path / "tws_stream2"
+    spark.createDataFrame(
+        [(1, 1_000_000, "a1")], "user_id long, ts_ms long, event_id string"
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    # 10 minutes later: inside the 30-minute gap -> same session
+    spark.createDataFrame(
+        [(1, 1_600_000, "a2")], "user_id long, ts_ms long, event_id string"
+    ).coalesce(1).write.parquet(str(d / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, event_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "b*"))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = run_to_memory(
+        sessionize_tws(stream), "tws_timer_test2", output_mode="update",
+        state_store="rocksdb",
+    ).toPandas()
+    last = out[out.user_id == 1].sort_values("emit_seq").iloc[-1]
+    assert last.n_sessions == 1 and last.n_events == 2
+    assert last.total_duration_us == 600_000_000
