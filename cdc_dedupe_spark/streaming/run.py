@@ -49,6 +49,7 @@ def run_to_memory(
     name_prefix: str,
     output_mode: str = "append",
     state_store: str | None = None,
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to the in-memory sink until the
     availableNow trigger drains it; return the sink table.
@@ -85,13 +86,18 @@ def run_to_memory(
     if provider is not None:
         spark.conf.set(_PROVIDER_CONF, provider)
     try:
-        q = (
+        writer = (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_location is not None:
+            # an EXPLICIT checkpoint (default is a throwaway temp dir):
+            # callers that read the state back post-drain — the
+            # statestore reader path — need a known location
+            writer = writer.option("checkpointLocation", checkpoint_location)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -252,3 +252,46 @@ def test_tws_stale_timer_after_session_extension_is_noop(spark, tmp_path):
     last = out[out.user_id == 1].sort_values("emit_seq").iloc[-1]
     assert last.n_sessions == 1 and last.n_events == 2
     assert last.total_duration_us == 600_000_000
+
+
+# ---------------------------------------------------------------------------
+# stream_state_reconcile — statestore reader audits
+
+
+def test_statestore_rows_reconcile_with_streaming_sink(spark, sf_dir):
+    """The state store's rows must agree with what the streaming query
+    EMITTED (state is the source of truth the sink was derived from):
+    reconcile the statestore-reader result against the
+    stream_user_features sink fold, column for column."""
+    st = REGISTRY["stream_state_reconcile"].spark(spark, sf_dir)
+    sink = REGISTRY["stream_user_features"].spark(spark, sf_dir)
+    cols = ["user_id", "n_events", "n_purchases", "n_types",
+            "spend_cents", "last_seen_us"]
+    pd.testing.assert_frame_equal(_pdf(st, cols), _pdf(sink, cols))
+
+
+def test_statestore_partition_rowcount_audit(spark, sf_dir):
+    """Per-partition state-row-count audit (VERDICT r18 ask #2): the
+    counts must sum to the distinct-user total (no partition dropped or
+    double-read) and the store must actually spread across partitions —
+    the state-sizing signal an operator reads before re-sharding."""
+    import hashlib
+    import os
+    import tempfile
+
+    # the declared query just ran in-session (or runs now) and leaves
+    # its checkpoint at a deterministic path per sf_dir
+    REGISTRY["stream_state_reconcile"].spark(spark, sf_dir).count()
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_dedupe_state_reconcile_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    per_part = st.groupBy("partition_id").count().toPandas()
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert int(per_part["count"].sum()) == n_users
+    assert len(per_part) > 1  # spread, not a single hot store
+    # every state partition id is within the stream's shuffle width
+    assert per_part["partition_id"].between(0, 7).all()
