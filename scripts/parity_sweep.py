@@ -82,6 +82,11 @@ GOLDEN_QUERIES = [
     "join_cbo_reorder", "agg_percentile", "sessionize_events",
     # scalar
     "fn_json", "udf_pandas_vectorized",
+    # r19 additions: VARIANT + SQL-defined functions, compaction
+    # execution, arbitrary-state-v2 sessionizer, statestore reconcile
+    "fn_json_variant", "fn_sql_udf_scalar", "fn_sql_udtf_table",
+    "pipeline_compaction_apply", "stream_sessionize_state_tws",
+    "stream_state_reconcile",
     # sketch
     "agg_kmv_distinct",
     # stats-ml
