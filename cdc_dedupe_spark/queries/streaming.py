@@ -2418,3 +2418,481 @@ def stream_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("spend_sum", F.lit(0)).cast("long").alias("spend_cents"),
         "last_seen_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_user_features_bootstrap — initial-state warm start (round 19):
+# completing the arbitrary-state-v2 family (ValueState+timers above, here
+# initialState, below ListState / MapState)
+
+_SUFB_STATE = (
+    "n_events LONG, n_purchases LONG,"
+    " t_click LONG, t_error LONG, t_purchase LONG, t_signup LONG, t_view LONG,"
+    " spend_cents LONG, last_seen_us LONG, emit_seq LONG"
+)
+
+_SUFB_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("emit_seq", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("n_types", LongType()),
+        StructField("spend_cents", LongType()),
+        StructField("last_seen_us", LongType()),
+    ]
+)
+
+
+class FeaturesBootstrapProcessor(StatefulProcessor):
+    """StatefulProcessor for [[stream_user_features_bootstrap]]: state is
+    the 9-long feature buffer; `handleInitialState` seeds it from the
+    BATCH snapshot row (the warm start), `handleInputRows` folds the
+    live remainder with the same commutative arithmetic, and a
+    low-expiry event-time timer (re-armed on every input) emits exactly
+    one final snapshot per user once the watermark passes — covering
+    users the stream never mentions again (initial-state-only keys
+    cannot emit from handleInitialState, which returns nothing)."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("feat", _SUFB_STATE)
+
+    def close(self) -> None:
+        pass
+
+    def _load(self):
+        return self.state.get() if self.state.exists() else (0,) * 10
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        row = initialState.iloc[0]
+        self.state.update(
+            (
+                int(row["n_events"]), int(row["n_purchases"]),
+                int(row["t_click"]), int(row["t_error"]), int(row["t_purchase"]),
+                int(row["t_signup"]), int(row["t_view"]),
+                int(row["spend_cents"]), int(row["last_seen_us"]), 0,
+            )
+        )
+        # arm the emission timer: initial-state-only users must still
+        # surface in the final snapshot
+        self.handle.registerTimer(
+            max(1, timerValues.getCurrentWatermarkInMs() + 1)
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (n, p, tc, te, tp, tsg, tv, cents, seen, seq) = self._load()
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            et = pdf["event_type"]
+            n += len(pdf)
+            is_p = et == "purchase"
+            p += int(is_p.sum())
+            tc = max(tc, int((et == "click").any()))
+            te = max(te, int((et == "error").any()))
+            tp = max(tp, int(is_p.any()))
+            tsg = max(tsg, int((et == "signup").any()))
+            tv = max(tv, int((et == "view").any()))
+            cents += int(pdf["cents"][is_p].sum())
+            seen = max(seen, int(pdf["ts_us"].max()))
+        seq += 1
+        self.state.update((n, p, tc, te, tp, tsg, tv, cents, seen, seq))
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(
+            max(1, timerValues.getCurrentWatermarkInMs() + 1)
+        )
+        return iter(())  # emission happens on the timer, once, post-fold
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if not self.state.exists():
+            return
+        (n, p, tc, te, tp, tsg, tv, cents, seen, seq) = self._load()
+        seq += 1
+        self.state.update((n, p, tc, te, tp, tsg, tv, cents, seen, seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "emit_seq": seq,
+                    "n_events": n,
+                    "n_purchases": p,
+                    "n_types": tc + te + tp + tsg + tv,
+                    "spend_cents": cents,
+                    "last_seen_us": seen,
+                }
+            ]
+        )
+
+
+def _sufb_split():
+    """The cutover predicate: minute-of-hour parity. Deliberately
+    INTERLEAVED rather than a clean time split — commutative aggregates
+    must reproduce the full-corpus result under ANY deterministic
+    partition of the events, a strictly stronger claim than a
+    chronological cutover (the oracle never knows the split existed).
+    A function, not a module constant: Column construction needs an
+    active SparkContext, which import time does not have."""
+    return F.minute(F.col("ts")) < 30
+
+
+def features_bootstrap_plan(
+    historical: DataFrame, stream: DataFrame
+) -> DataFrame:
+    """The initial-state plan of [[stream_user_features_bootstrap]],
+    factored for tests: batch `historical` rows seed the state, `stream`
+    folds the remainder."""
+    init = historical.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        *[
+            F.max((F.col("event_type") == t).cast("long")).alias(f"t_{t}")
+            for t in _SUF_TYPES
+        ],
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))),
+            F.lit(0),
+        ).cast("long").alias("spend_cents"),
+        F.max("ts_us").alias("last_seen_us"),
+    )
+    live = stream.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).withWatermark("ts", "0 seconds")
+    return live.groupBy("user_id").transformWithStateInPandas(
+        FeaturesBootstrapProcessor(),
+        outputStructType=_SUFB_OUT,
+        outputMode="Update",
+        timeMode="EventTime",
+        initialState=init.groupBy("user_id"),
+    )
+
+
+@register(
+    "stream_user_features_bootstrap",
+    group="streaming",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+             CAST({" + ".join(
+                 f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                 for t in _SUF_TYPES)} AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS spend_cents,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_seen_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases, n_types, spend_cents, last_seen_us
+    FROM f
+    """,
+)
+def stream_user_features_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE BOOTSTRAP (transformWithStateInPandas `initialState`) — the
+    lambda→kappa MIGRATION story as an executable contract: the feature
+    store's state is warm-started from a BATCH snapshot (one half of the
+    events, aggregated by the ordinary batch path) and the stream folds
+    only the OTHER half; the final per-user rows must hash-match the
+    batch oracle over ALL events. This is exactly how a 100 TB pipeline
+    turns on streaming without replaying history: seed the state store
+    from the nightly snapshot, stream from the cutover offset.
+
+    The split is deliberately interleaved (minute-of-hour parity), a
+    STRONGER claim than a chronological cutover — commutative aggregates
+    must reproduce the full result under any deterministic partition of
+    the corpus. Initial-state-only users are surfaced by a low-expiry
+    event-time timer re-armed per input batch (handleInitialState cannot
+    emit), and emit_seq + max_by makes the fold batch-split invariant.
+
+    At 100 TB: the snapshot agg is one batch shuffle; the stream holds 9
+    longs per user; the bootstrap joins state ONCE at query start
+    instead of re-reading history on every restart (the reference's
+    cold-start replay, RedisSource.java:72-93, made incremental)."""
+    from ..streaming.pb_shim import ensure_tws_protobuf
+
+    ensure_tws_protobuf(spark)
+    ev = table(spark, sf_dir, "events")
+    historical = ev.filter(_sufb_split())
+    live = events_stream(spark, sf_dir).filter(~_sufb_split())
+    folded = features_bootstrap_plan(historical, live)
+    out = run_to_memory(
+        folded,
+        "stream_user_features_bootstrap",
+        output_mode="update",
+        state_store="rocksdb",
+    )
+    last = F.max_by(
+        F.struct("n_events", "n_purchases", "n_types", "spend_cents", "last_seen_us"),
+        F.col("emit_seq"),
+    ).alias("m")
+    return (
+        out.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id", "m.n_events", "m.n_purchases", "m.n_types",
+            "m.spend_cents", "m.last_seen_us",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_recent_events_liststate — bounded ListState buffer (round 19)
+
+_RECENT_K = 3
+
+_RECENT_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("emit_seq", LongType()),
+        StructField("rank", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+class RecentEventsProcessor(StatefulProcessor):
+    """StatefulProcessor for [[stream_recent_events_liststate]]: LIST
+    state holding at most K (ts_us, event_id) pairs per user — merge the
+    batch's rows with the stored list, keep the K latest by (ts_us,
+    event_id) and put() the truncated list back. State is O(K) per user
+    FOREVER regardless of throughput; a ValueState of packed longs could
+    not hold variable-width event ids, which is exactly what ListState
+    is for."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.recent = handle.getListState("recent", "ts_us LONG, event_id LONG")
+        self.seq = handle.getValueState("seq", "emit_seq LONG")
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [(int(t), int(e)) for (t, e) in self.recent.get()] if self.recent.exists() else []
+        for pdf in rows:
+            cur.extend(
+                zip(
+                    pdf["ts_us"].astype("int64").tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                )
+            )
+        # K latest; ties broken by event_id so the buffer is a pure
+        # function of the event SET, not arrival order
+        cur.sort(key=lambda r: (-r[0], r[1]))
+        cur = cur[:_RECENT_K]
+        self.recent.put(cur)
+        seq = (self.seq.get()[0] if self.seq.exists() else 0) + 1
+        self.seq.update((seq,))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "emit_seq": seq,
+                    "rank": i + 1,
+                    "ts_us": t,
+                    "event_id": e,
+                }
+                for i, (t, e) in enumerate(cur)
+            ]
+        )
+
+
+@register(
+    "stream_recent_events_liststate",
+    group="streaming",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                        event_id ASC
+             ) AS rank
+      FROM events
+    )
+    SELECT user_id, CAST(rank AS BIGINT) AS rank, ts_us, event_id
+    FROM o WHERE rank <= {_RECENT_K}
+    """,
+)
+def stream_recent_events_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST STATE (arbitrary state v2): the continuously-maintained
+    "last {k} events per user" buffer every personalization / debugging
+    surface keeps — a bounded ListState merged and truncated per batch,
+    so the state is O({k}) rows per user forever while the stream is
+    unbounded. The oracle is the batch top-{k}-per-user window; the
+    emitted buffer equals it under ANY batch split because merge+truncate
+    over a larger candidate set is idempotent (kept rows can only be
+    displaced by strictly later rows, which every split eventually
+    presents). Tie-break on event_id makes the buffer a pure function
+    of the event set in both engines.
+
+    At 100 TB: one shuffle on user_id; the RocksDB list column family
+    appends/rewrites O({k}) values per touched user per batch — the
+    idiom for variable-width recency buffers that a fixed-schema
+    ValueState cannot hold."""
+    from ..streaming.pb_shim import ensure_tws_protobuf
+
+    ensure_tws_protobuf(spark)
+    stream = (
+        events_stream(spark, sf_dir)
+        .select(
+            "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    folded = stream.groupBy("user_id").transformWithStateInPandas(
+        RecentEventsProcessor(),
+        outputStructType=_RECENT_OUT,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    out = run_to_memory(
+        folded,
+        "stream_recent_events_liststate",
+        output_mode="update",
+        state_store="rocksdb",
+    )
+    last = F.max_by(F.struct("ts_us", "event_id"), F.col("emit_seq")).alias("m")
+    return (
+        out.groupBy("user_id", "rank")
+        .agg(last)
+        .select("user_id", "rank", "m.ts_us", "m.event_id")
+    )
+
+
+stream_recent_events_liststate.__doc__ = stream_recent_events_liststate.__doc__.format(
+    k=_RECENT_K
+)
+
+
+# ---------------------------------------------------------------------------
+# stream_user_counts_mapstate — point-updatable MapState counters (round 19)
+
+_MAPC_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("emit_seq", LongType()),
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_users_tracked", LongType()),
+    ]
+)
+
+
+class UserCountsProcessor(StatefulProcessor):
+    """StatefulProcessor for [[stream_user_counts_mapstate]]: MAP state
+    keyed (event_type -> {user_id: count}) with POINT updates — only the
+    users present in the batch are read and written (containsKey /
+    getValue / updateValue), never the whole map; the full iterator()
+    walk happens only at emission. That asymmetry is the MapState
+    contract: per-batch cost follows the BATCH's user set, state size
+    follows the TOTAL user set."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.counts = handle.getMapState("counts", "user_id LONG", "n LONG")
+        self.seq = handle.getValueState("seq", "emit_seq LONG")
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(self, key, rows, timerValues):
+        delta: dict[int, int] = {}
+        for pdf in rows:
+            for u, c in pdf.groupby("user_id").size().items():
+                delta[int(u)] = delta.get(int(u), 0) + int(c)
+        for u, c in delta.items():
+            base = (
+                self.counts.getValue((u,))[0]
+                if self.counts.containsKey((u,))
+                else 0
+            )
+            self.counts.updateValue((u,), (base + c,))
+        seq = (self.seq.get()[0] if self.seq.exists() else 0) + 1
+        self.seq.update((seq,))
+        entries = [(int(k[0]), int(v[0])) for k, v in self.counts.iterator()]
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "emit_seq": seq,
+                    "user_id": u,
+                    "n_events": n,
+                    "n_users_tracked": len(entries),
+                }
+                for u, n in entries
+            ]
+        )
+
+
+@register(
+    "stream_user_counts_mapstate",
+    group="streaming",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n_events,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+             AS n_users_tracked
+    FROM c
+    """,
+)
+def stream_user_counts_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP STATE (arbitrary state v2): per-event_type user counters as a
+    point-updatable MapState — the per-entity counter idiom (rate
+    limiting, engagement counters, fraud velocity) where each batch must
+    touch ONLY its own users' entries, not deserialize a whole per-key
+    blob. The v1 applyInPandasWithState fold would carry the ENTIRE
+    counter dict through Arrow on every batch for every key; MapState
+    reads/writes the touched sub-keys against RocksDB directly, so
+    per-batch cost tracks the batch while state size tracks the corpus —
+    the difference between O(users) and O(batch users) per trigger at
+    100 TB. Oracle: the plain (event_type, user_id) rollup plus the
+    per-type tracked-user count the emission's iterator() walk reports.
+
+    Emissions carry emit_seq; the final map snapshot per (type, user) is
+    the max_by fold, batch-split invariant because counters only grow."""
+    from ..streaming.pb_shim import ensure_tws_protobuf
+
+    ensure_tws_protobuf(spark)
+    stream = (
+        events_stream(spark, sf_dir)
+        .select("event_type", "ts", "user_id")
+        .withWatermark("ts", "0 seconds")
+    )
+    folded = stream.groupBy("event_type").transformWithStateInPandas(
+        UserCountsProcessor(),
+        outputStructType=_MAPC_OUT,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    out = run_to_memory(
+        folded,
+        "stream_user_counts_mapstate",
+        output_mode="update",
+        state_store="rocksdb",
+    )
+    last = F.max_by(
+        F.struct("n_events", "n_users_tracked"), F.col("emit_seq")
+    ).alias("m")
+    return (
+        out.groupBy("event_type", "user_id")
+        .agg(last)
+        .select("event_type", "user_id", "m.n_events", "m.n_users_tracked")
+    )

@@ -86,7 +86,8 @@ GOLDEN_QUERIES = [
     # execution, arbitrary-state-v2 sessionizer, statestore reconcile
     "fn_json_variant", "fn_sql_udf_scalar", "fn_sql_udtf_table",
     "pipeline_compaction_apply", "stream_sessionize_state_tws",
-    "stream_state_reconcile",
+    "stream_state_reconcile", "stream_user_features_bootstrap",
+    "stream_recent_events_liststate", "stream_user_counts_mapstate",
     # sketch
     "agg_kmv_distinct",
     # stats-ml

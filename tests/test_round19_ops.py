@@ -295,3 +295,232 @@ def test_statestore_partition_rowcount_audit(spark, sf_dir):
     assert len(per_part) > 1  # spread, not a single hot store
     # every state partition id is within the stream's shuffle width
     assert per_part["partition_id"].between(0, 7).all()
+
+
+# ---------------------------------------------------------------------------
+# stream_user_features_bootstrap — initial-state warm start
+
+
+def test_bootstrap_emits_initial_state_only_users(spark, tmp_path):
+    """A user whose events are ALL in the historical batch (never seen
+    by the stream) must still surface in the final snapshot, carrying
+    exactly the batch-seeded values — the timer-driven emission path
+    for initial-state-only keys."""
+    from cdc_dedupe_spark.queries.streaming import features_bootstrap_plan
+    from cdc_dedupe_spark.streaming.pb_shim import ensure_tws_protobuf
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    ensure_tws_protobuf(spark)
+    historical = spark.createDataFrame(
+        [
+            (99, "purchase", 12.5, "2024-01-30 10:00:00"),
+            (99, "view", 0.0, "2024-01-30 10:01:00"),
+            (1, "click", 0.0, "2024-01-30 10:00:00"),
+        ],
+        "user_id long, event_type string, value double, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    d = tmp_path / "boot_stream"
+    spark.createDataFrame(
+        [(1, "purchase", 2.0, "2024-01-30 11:00:00")],
+        "user_id long, event_type string, value double, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str").write.parquet(str(d))
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, value double, ts timestamp"
+    ).parquet(str(d))
+    out = run_to_memory(
+        features_bootstrap_plan(historical, stream),
+        "boot_test", output_mode="update", state_store="rocksdb",
+    ).toPandas()
+    final = (
+        out.sort_values("emit_seq").groupby("user_id").last().reset_index()
+    )
+    u99 = final[final.user_id == 99].iloc[0]
+    assert u99.n_events == 2 and u99.n_purchases == 1
+    assert u99.n_types == 2 and u99.spend_cents == 1250
+    # streamed user merges batch seed + live fold
+    u1 = final[final.user_id == 1].iloc[0]
+    assert u1.n_events == 2 and u1.n_purchases == 1
+    assert u1.n_types == 2 and u1.spend_cents == 200
+
+
+# ---------------------------------------------------------------------------
+# stream_recent_events_liststate — bounded buffer across batches
+
+
+def test_liststate_buffer_truncates_and_merges_across_batches(spark, tmp_path):
+    """Batch 2's newer events must displace batch 1's older ones; the
+    buffer never exceeds K rows per user."""
+    from cdc_dedupe_spark.queries.streaming import (
+        _RECENT_K,
+        RecentEventsProcessor,
+        _RECENT_OUT,
+    )
+    from cdc_dedupe_spark.streaming.pb_shim import ensure_tws_protobuf
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    ensure_tws_protobuf(spark)
+    d = tmp_path / "recent_stream"
+    spark.createDataFrame(
+        [(1, 1_000_000 + i, i) for i in range(4)],
+        "user_id long, ts_ms long, event_id long",
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(
+        [(1, 2_000_000, 9), (1, 2_000_001, 8)],
+        "user_id long, ts_ms long, event_id long",
+    ).coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "b*"))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withColumn("ts_us", F.col("ts_ms") * 1000)
+        .withWatermark("ts", "0 seconds")
+    )
+    folded = stream.groupBy("user_id").transformWithStateInPandas(
+        RecentEventsProcessor(),
+        outputStructType=_RECENT_OUT,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    out = run_to_memory(
+        folded, "recent_test", output_mode="update", state_store="rocksdb"
+    ).toPandas()
+    final = out[out.emit_seq == out.emit_seq.max()].sort_values("rank")
+    assert len(final) == _RECENT_K
+    # the two batch-2 events lead; the single survivor from batch 1 is id 3
+    assert final.event_id.tolist() == [8, 9, 3]
+
+
+# ---------------------------------------------------------------------------
+# stream_user_counts_mapstate — point updates accumulate across batches
+
+
+def test_mapstate_counts_accumulate_across_batches(spark, tmp_path):
+    """User 1's counter must carry across micro-batches (point update on
+    the existing entry), and n_users_tracked reflects the full map."""
+    from cdc_dedupe_spark.queries.streaming import UserCountsProcessor, _MAPC_OUT
+    from cdc_dedupe_spark.streaming.pb_shim import ensure_tws_protobuf
+    from cdc_dedupe_spark.streaming.run import run_to_memory
+
+    ensure_tws_protobuf(spark)
+    d = tmp_path / "mapc_stream"
+    spark.createDataFrame(
+        [("click", 1_000_000, 1), ("click", 1_000_001, 1), ("click", 1_000_002, 2)],
+        "event_type string, ts_ms long, user_id long",
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(
+        [("click", 2_000_000, 1), ("click", 2_000_001, 3)],
+        "event_type string, ts_ms long, user_id long",
+    ).coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema("event_type string, ts_ms long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "b*"))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+    )
+    folded = stream.groupBy("event_type").transformWithStateInPandas(
+        UserCountsProcessor(),
+        outputStructType=_MAPC_OUT,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    out = run_to_memory(
+        folded, "mapc_test", output_mode="update", state_store="rocksdb"
+    ).toPandas()
+    final = out[out.emit_seq == out.emit_seq.max()].set_index("user_id")
+    assert final.loc[1, "n_events"] == 3  # 2 (batch 1) + 1 (batch 2)
+    assert final.loc[2, "n_events"] == 1
+    assert final.loc[3, "n_events"] == 1
+    assert (final["n_users_tracked"] == 3).all()
+
+
+# ---------------------------------------------------------------------------
+# state TTL — the other v2 eviction mechanism (wall-clock expiry)
+
+
+def test_value_state_ttl_expires_between_processing_time_triggers(spark, tmp_path):
+    """ValueState created with ttlDurationMs must be GONE after the TTL
+    elapses in wall-clock time: batch 1 seeds a counter, the second file
+    arrives after > TTL, and the batch-2 fold sees no prior state — the
+    counter restarts instead of accumulating. (The declared queries use
+    timers for *semantic* eviction; TTL is the *operational* backstop
+    that caps state lifetime even when no timer logic exists.)"""
+    import time
+
+    from pyspark.sql.streaming import StatefulProcessor
+    from cdc_dedupe_spark.streaming.pb_shim import ensure_tws_protobuf
+    from cdc_dedupe_spark.streaming.run import (
+        STATE_STORE_PROVIDERS,
+        _PROVIDER_CONF,
+    )
+
+    ensure_tws_protobuf(spark)
+
+    class TtlCounter(StatefulProcessor):
+        def init(self, handle):
+            self.count = handle.getValueState("c", "n LONG", ttlDurationMs=1000)
+
+        def close(self):
+            pass
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = sum(len(p) for p in rows)
+            had_state = self.count.exists()
+            base = self.count.get()[0] if had_state else 0
+            self.count.update((base + n_new,))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n": base + n_new, "had_state": had_state}]
+            )
+
+    d = tmp_path / "ttl_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, 1_000_000)], "user_id long, ts_ms long"
+    ).coalesce(1).write.parquet(str(d / "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "b*"))
+    )
+    folded = stream.groupBy("user_id").transformWithStateInPandas(
+        TtlCounter(),
+        outputStructType="user_id long, n long, had_state boolean",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, STATE_STORE_PROVIDERS["rocksdb"])
+    try:
+        q = (
+            folded.writeStream.format("memory")
+            .queryName("ttl_test")
+            .outputMode("update")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        time.sleep(2.5)  # > TTL since batch-1 state write
+        spark.createDataFrame(
+            [(1, 2_000_000), (1, 2_000_001)], "user_id long, ts_ms long"
+        ).coalesce(1).write.parquet(str(d / "b2"))
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM ttl_test").first()[0] >= 2:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev_provider)
+    out = spark.table("ttl_test").toPandas()
+    assert len(out) == 2, out.to_string()
+    b1 = out[out.n == 1].iloc[0]
+    b2 = out[out.n == 2].iloc[0]
+    assert not b1.had_state  # fresh key
+    assert not b2.had_state, out.to_string()  # TTL evicted batch-1 state
