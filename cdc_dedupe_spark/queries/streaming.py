@@ -2374,15 +2374,30 @@ def stream_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one task per state partition), never a replay of the stream; the
     reconcile below IS the migration-validation job you run after a
     provider or shuffle-width change."""
+    ckpt = user_features_checkpoint(spark, sf_dir)
+    return features_from_state(user_features_state_raw(spark, ckpt))
+
+
+def user_features_ckpt_path(sf_dir: str) -> str:
+    """Deterministic checkpoint location per sf_dir (idempotent reruns
+    replace it)."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
-    ckpt = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
         f"cdc_dedupe_state_reconcile_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
+
+
+def user_features_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Run [[stream_user_features]]' streaming aggregation to an explicit
+    checkpoint and return its path — the state-producing half shared by
+    [[stream_state_reconcile]] and [[stream_state_reshard]]."""
+    import shutil
+
+    ckpt = user_features_ckpt_path(sf_dir)
     shutil.rmtree(ckpt, ignore_errors=True)
     agg = user_features_agg(events_stream(spark, sf_dir))
     run_to_memory(
@@ -2391,11 +2406,16 @@ def stream_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
         checkpoint_location=ckpt,
     )
+    return ckpt
+
+
+def user_features_state_raw(spark: SparkSession, ckpt: str) -> DataFrame:
+    """Read the user-features aggregation state from a checkpoint and
+    flatten the raw buffer to named columns. The five MAX indicators all
+    surface as fields literally named "max", and name-based struct
+    expansion collapses duplicates — struct-to-struct CAST maps by
+    POSITION, which is the only stable address into a raw agg buffer."""
     st = spark.read.format("statestore").option("path", ckpt).load()
-    # the five MAX indicators all surface as fields literally named
-    # "max", and name-based struct expansion collapses duplicates —
-    # struct-to-struct CAST maps by POSITION, which is the only stable
-    # address into a raw agg buffer
     n_fields = len(st.schema["value"].dataType.fields)
     assert n_fields == len(_SUF_BUFFER_COLS) - 1, st.schema["value"]
     named = (
@@ -2403,9 +2423,14 @@ def stream_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_click:int,t_error:int,t_purchase:int,t_signup:int,t_view:int,"
         "spend_sum:bigint,last_seen_us:bigint>"
     )
-    flat = st.select(
+    return st.select(
         F.col("key.user_id"), F.col("value").cast(named).alias("v")
     ).select("user_id", "v.*")
+
+
+def features_from_state(flat: DataFrame) -> DataFrame:
+    """Project the flattened feature buffer to the declared feature row
+    (breadth summed from the indicators, spend coalesced)."""
     n_types = sum(
         (F.col(c).cast("long") for c in _SUF_BUFFER_COLS[4:8]),
         F.col(_SUF_BUFFER_COLS[3]).cast("long"),
@@ -2896,3 +2921,159 @@ def stream_user_counts_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(last)
         .select("event_type", "user_id", "m.n_events", "m.n_users_tracked")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_state_reshard — offline state-store re-shard migration (round 19):
+# the capstone composing the statestore READER with initialState SEEDING
+
+_RESHARD_PARTITIONS = 16
+
+_RESHARD_STATE = (
+    "n_events LONG, n_purchases LONG,"
+    " t_click LONG, t_error LONG, t_purchase LONG, t_signup LONG, t_view LONG,"
+    " spend_cents LONG, last_seen_us LONG"
+)
+
+
+class StateReshardProcessor(StatefulProcessor):
+    """StatefulProcessor for [[stream_state_reshard]]: a pure state
+    LOADER — handleInitialState copies each migrated row into this
+    query's own ValueState (named fields, so the target store reads
+    back without positional casts) and handleInputRows is a no-op (the
+    migration batch carries no events). timeMode "None": with no
+    timers, a processing-time mode would keep scheduling no-data
+    batches forever under availableNow (measured: 83 epochs before the
+    kill) — the migration must be exactly one batch."""
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("feat", _RESHARD_STATE)
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        r = initialState.iloc[0]
+        self.state.update(tuple(int(r[c]) for c in (
+            "n_events", "n_purchases",
+            "t_click", "t_error", "t_purchase", "t_signup", "t_view",
+            "spend_cents", "last_seen_us",
+        )))
+
+    def handleInputRows(self, key, rows, timerValues):
+        return iter(())
+
+
+@register(
+    "stream_state_reshard",
+    group="streaming",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+             CAST({" + ".join(
+                 f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                 for t in _SUF_TYPES)} AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS spend_cents,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_seen_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases, n_types, spend_cents, last_seen_us
+    FROM f
+    """,
+)
+def stream_state_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE STATE RE-SHARD — the migration Spark cannot do natively
+    (a stateful query's shuffle width is pinned into its checkpoint at
+    first start, so growing state capacity normally means replaying
+    history): READ the user-features state from its 8-partition
+    checkpoint with the statestore reader, SEED a fresh
+    transformWithStateInPandas checkpoint at {p} partitions through
+    `initialState` (one no-data migration batch, timeMode None), then
+    read the NEW store back and return the feature rows — hash-exact
+    against the batch oracle over raw events, proving the migration
+    moved every row intact THROUGH TWO state stores and a re-shard.
+    This composes the round's two primitives (reader: [[
+    stream_state_reconcile]]; seeding: [[stream_user_features_bootstrap
+    ]]) into the 100 TB ops runbook entry: double your state width
+    without replaying a byte of history.
+
+    The returned rows come FROM THE {p}-PARTITION STORE (stateVarName
+    read, named fields — this query's own state schema, no positional
+    cast). The partition audit (tests/test_round19_ops.py) pins the
+    re-shard itself: source rows spread over ≤8 partition ids, target
+    rows over >8, totals equal.
+
+    At 100 TB: cost is one state scan + one hash shuffle to the new
+    width + one state write — proportional to STATE size, not history
+    size (the reference's only alternative is a cold replay,
+    RedisSource.java:72-93)."""
+    from ..streaming.pb_shim import ensure_tws_protobuf
+
+    ensure_tws_protobuf(spark)
+    src_ckpt = user_features_checkpoint(spark, sf_dir)
+    flat = user_features_state_raw(spark, src_ckpt)
+    init = flat.select(
+        "user_id",
+        "n_events",
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        *[F.col(c).cast("long").alias(c) for c in _SUF_BUFFER_COLS[3:8]],
+        F.coalesce("spend_sum", F.lit(0)).cast("long").alias("spend_cents"),
+        "last_seen_us",
+    )
+    # the migration batch: schema-compatible stream with ZERO rows (the
+    # pushed-down user_id < 0 never matches) — state flows in solely
+    # through initialState
+    empty = events_stream(spark, sf_dir).filter(F.col("user_id") < 0)
+    migrated = empty.groupBy("user_id").transformWithStateInPandas(
+        StateReshardProcessor(),
+        outputStructType="user_id long",
+        outputMode="Update",
+        timeMode="None",
+        initialState=init.groupBy("user_id"),
+    )
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    dst_ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_dedupe_state_reshard_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(dst_ckpt, ignore_errors=True)
+    run_to_memory(
+        migrated,
+        "stream_state_reshard",
+        output_mode="update",
+        state_store="rocksdb",
+        checkpoint_location=dst_ckpt,
+        state_partitions=_RESHARD_PARTITIONS,
+    )
+    st = (
+        spark.read.format("statestore")
+        .option("path", dst_ckpt)
+        .option("stateVarName", "feat")
+        .load()
+    )
+    flat2 = st.select(F.col("key.user_id"), "value.*")
+    n_types = sum(
+        (F.col(c) for c in _SUF_BUFFER_COLS[4:8]),
+        F.col(_SUF_BUFFER_COLS[3]),
+    )
+    return flat2.select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        n_types.cast("long").alias("n_types"),
+        "spend_cents",
+        "last_seen_us",
+    )
+
+
+stream_state_reshard.__doc__ = stream_state_reshard.__doc__.format(
+    p=_RESHARD_PARTITIONS
+)

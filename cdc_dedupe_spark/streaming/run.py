@@ -50,6 +50,7 @@ def run_to_memory(
     output_mode: str = "append",
     state_store: str | None = None,
     checkpoint_location: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to the in-memory sink until the
     availableNow trigger drains it; return the sink table.
@@ -82,7 +83,13 @@ def run_to_memory(
     provider = STATE_STORE_PROVIDERS[store] if store else None
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
-    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    # state_partitions overrides the default width for queries whose
+    # POINT is a specific state layout (the re-shard migration) — the
+    # width is pinned into the checkpoint at first start
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions) if state_partitions else _STATE_PARTITIONS,
+    )
     if provider is not None:
         spark.conf.set(_PROVIDER_CONF, provider)
     try:

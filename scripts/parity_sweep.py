@@ -88,6 +88,7 @@ GOLDEN_QUERIES = [
     "pipeline_compaction_apply", "stream_sessionize_state_tws",
     "stream_state_reconcile", "stream_user_features_bootstrap",
     "stream_recent_events_liststate", "stream_user_counts_mapstate",
+    "stream_state_reshard",
     # sketch
     "agg_kmv_distinct",
     # stats-ml
