@@ -54,6 +54,10 @@ HEADLINE = [
     "join_bloom_prefilter",
     "join_bloom_runtime",
     "join_cbo_reorder",
+    "fn_json_variant",
+    "fn_sql_udf_scalar",
+    "fn_sql_udtf_table",
+    "pipeline_compaction_apply",
     "join_fuzzy_band",
     "pipeline_quality_gate",
     "ts_ewma_hourly",
