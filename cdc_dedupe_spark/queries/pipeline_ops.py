@@ -796,7 +796,13 @@ def pipeline_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars", "text"
     )
     out = docs.join(F.broadcast(bins), ["lang", "source"])
-    write_partitioned_single_file_bins(out, _COMPACT_TABLE, ("lang", "bin_id"))
+    # pin the rewrite's shuffle width to the bin count (a metadata-sized
+    # aggregate): write parallelism ∝ output files at every scale, and
+    # AQE cannot coalesce the tiny-corpus case to a serial writer
+    n_bins = bins.select("lang", "bin_id").distinct().count()
+    write_partitioned_single_file_bins(
+        out, _COMPACT_TABLE, ("lang", "bin_id"), n_tasks=n_bins
+    )
     rb = spark.table(_COMPACT_TABLE)
     return rb.groupBy("lang", "bin_id").agg(
         F.countDistinct("source").cast("long").alias("bin_inputs"),

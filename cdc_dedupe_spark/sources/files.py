@@ -129,7 +129,10 @@ def drop_table_and_location(spark, table_name: str) -> None:
 
 
 def write_partitioned_single_file_bins(
-    df: DataFrame, table_name: str, partition_by: tuple[str, ...]
+    df: DataFrame,
+    table_name: str,
+    partition_by: tuple[str, ...],
+    n_tasks: int | None = None,
 ) -> None:
     """Persist a frame partitioned by ``partition_by`` with EXACTLY ONE
     file per partition-key combination — the compaction-rewrite layout
@@ -137,12 +140,24 @@ def write_partitioned_single_file_bins(
     repartition on the partition columns puts every combo in exactly one
     task, and the partitioned writer then emits one file per combo per
     task. File count == distinct-combo count by construction, pinned in
-    tests/test_round19_ops.py."""
+    tests/test_round19_ops.py.
+
+    ``n_tasks`` (normally the distinct-combo count, known to compaction
+    callers from their metadata-sized plan) pins the shuffle width so
+    write parallelism scales with the OUTPUT FILE count: a bare
+    column-only repartition() is an AQE sizing hint, and on a
+    byte-small corpus AQE coalesces it to ONE task — a serial write the
+    r19 bench skew probe flagged. With the width pinned, each task
+    carries ~1 combo at any scale."""
     spark = df.sparkSession
     drop_table_and_location(spark, table_name)
+    repartitioned = (
+        df.repartition(n_tasks, *partition_by)
+        if n_tasks
+        else df.repartition(*partition_by)
+    )
     (
-        df.repartition(*partition_by)
-        .write.mode("overwrite")
+        repartitioned.write.mode("overwrite")
         .partitionBy(*partition_by)
         .saveAsTable(table_name)
     )
