@@ -28,7 +28,8 @@ if str(_REPO) not in sys.path:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("names", nargs="+")
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--all", action="store_true", help="profile the whole registry once (build/action split CSV)")
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--explain", action="store_true", help="print explain('formatted') instead of timing")
@@ -90,7 +91,29 @@ def main() -> int:
             except Exception as e:
                 print(f"warm-up {warm} failed: {e}", file=sys.stderr)
 
-    tracker = spark.sparkContext.statusTracker
+    if args.all:
+        # One warm pass over the whole registry, build (query construction,
+        # incl. any eager jobs) vs action (the hash-fold execution) — the
+        # guide-§1 "where does the second go" census.
+        rows = []
+        for name in sorted(REGISTRY):
+            q = REGISTRY[name]
+            spark.sparkContext.setJobGroup(name, name)
+            t0 = time.perf_counter()
+            try:
+                df = q.spark(spark, sf_dir)
+                t_build = time.perf_counter() - t0
+                force_full_plan(df)
+                t_total = time.perf_counter() - t0
+                rows.append((name, t_build, t_total - t_build, t_total))
+                print(f"{name},{t_build:.3f},{t_total - t_build:.3f},{t_total:.3f}", flush=True)
+            except Exception as e:
+                print(f"{name},ERROR,{type(e).__name__}: {e}", flush=True)
+        tot_b = sum(r[1] for r in rows)
+        tot_a = sum(r[2] for r in rows)
+        print(f"# totals build={tot_b:.1f}s action={tot_a:.1f}s n={len(rows)}", flush=True)
+        spark.stop()
+        return 0
 
     for name in args.names:
         q = REGISTRY[name]
@@ -100,9 +123,13 @@ def main() -> int:
             if args.jobs:
                 jobs_before = set(spark.sparkContext.statusTracker().getJobIdsForGroup(name))
             t0 = time.perf_counter()
-            force_full_plan(q.spark(spark, sf_dir))
+            df = q.spark(spark, sf_dir)
+            t_build = time.perf_counter() - t0
+            force_full_plan(df)
             dt = time.perf_counter() - t0
             times.append(dt)
+            if i == args.n - 1:
+                print(f"  build(+any eager jobs)={t_build:6.3f}s action={dt - t_build:6.3f}s")
             if args.jobs and i == args.n - 1:
                 st = spark.sparkContext.statusTracker()
                 jids = sorted(set(st.getJobIdsForGroup(name)) - jobs_before)
