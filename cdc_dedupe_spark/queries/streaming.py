@@ -2147,8 +2147,12 @@ class SessTwsProcessor(StatefulProcessor):
     def close(self) -> None:
         pass
 
-    def _snapshot(self, key, via_timer: bool) -> pd.DataFrame:
-        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = self.state.get()
+    def _snapshot(self, key, via_timer: bool, st) -> pd.DataFrame:
+        # st is the tuple the caller just update()d — re-reading it from the
+        # state server would be one more socket/protobuf roundtrip PER KEY
+        # (pure-python protobuf runtime; measured r19, the TWS family's
+        # dominant cost is these per-key roundtrips, guide §4)
+        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = st
         return pd.DataFrame(
             [
                 {
@@ -2167,8 +2171,11 @@ class SessTwsProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
 
-        st = self.state.get() if self.state.exists() else (-1, -1, 0, 0, 0, 0, 0, 0)
-        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = st
+        # one get(): None means absent (exists()+get() was two roundtrips)
+        st = self.state.get()
+        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = (
+            st if st is not None else (-1, -1, 0, 0, 0, 0, 0, 0)
+        )
         chunks = [c for c in rows if len(c)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
@@ -2200,26 +2207,29 @@ class SessTwsProcessor(StatefulProcessor):
                 s = int(starts[-1])
                 o_s, o_l, o_n = int(ts[s]), int(ts[-1]), len(ts) - s
         seq += 1
-        self.state.update((o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq))
+        st = (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq)
+        self.state.update(st)
         # re-arm: exactly one pending timer per key, at open-gap expiry
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
         if o_s >= 0:
             self.handle.registerTimer(o_l // 1000 + _TWS_GAP_MS)
-        yield self._snapshot(key, False)
+        yield self._snapshot(key, False, st)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if not self.state.exists():
+        st = self.state.get()
+        if st is None:
             return
-        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = self.state.get()
+        (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = st
         if o_s >= 0 and o_l // 1000 + _TWS_GAP_MS <= expiredTimerInfo.getExpiryTimeInMs():
             c_sess += 1
             c_dur += o_l - o_s
             max_n = max(max_n, o_n)
             o_s, o_l, o_n = -1, -1, 0
             seq += 1
-            self.state.update((o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq))
-            yield self._snapshot(key, True)
+            st = (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq)
+            self.state.update(st)
+            yield self._snapshot(key, True, st)
 
 
 def sessionize_tws(stream: DataFrame) -> DataFrame:
@@ -2487,7 +2497,10 @@ class FeaturesBootstrapProcessor(StatefulProcessor):
         pass
 
     def _load(self):
-        return self.state.get() if self.state.exists() else (0,) * 10
+        # one get(): None means absent (exists()+get() was two roundtrips
+        # per key per batch through the pure-python protobuf channel)
+        st = self.state.get()
+        return st if st is not None else (0,) * 10
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
         row = initialState.iloc[0]
@@ -2531,9 +2544,10 @@ class FeaturesBootstrapProcessor(StatefulProcessor):
         return iter(())  # emission happens on the timer, once, post-fold
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if not self.state.exists():
+        st = self.state.get()
+        if st is None:
             return
-        (n, p, tc, te, tp, tsg, tv, cents, seen, seq) = self._load()
+        (n, p, tc, te, tp, tsg, tv, cents, seen, seq) = st
         seq += 1
         self.state.update((n, p, tc, te, tp, tsg, tv, cents, seen, seq))
         yield pd.DataFrame(
@@ -2705,7 +2719,9 @@ class RecentEventsProcessor(StatefulProcessor):
         pass
 
     def handleInputRows(self, key, rows, timerValues):
-        cur = [(int(t), int(e)) for (t, e) in self.recent.get()] if self.recent.exists() else []
+        # no exists() probe: the list iterator is empty for an absent list,
+        # and exists() was one extra roundtrip per key per batch
+        cur = [(int(t), int(e)) for (t, e) in self.recent.get()]
         for pdf in rows:
             cur.extend(
                 zip(
@@ -2718,7 +2734,8 @@ class RecentEventsProcessor(StatefulProcessor):
         cur.sort(key=lambda r: (-r[0], r[1]))
         cur = cur[:_RECENT_K]
         self.recent.put(cur)
-        seq = (self.seq.get()[0] if self.seq.exists() else 0) + 1
+        _s = self.seq.get()  # one roundtrip; None == absent
+        seq = (_s[0] if _s is not None else 0) + 1
         self.seq.update((seq,))
         yield pd.DataFrame(
             [
@@ -2841,13 +2858,13 @@ class UserCountsProcessor(StatefulProcessor):
             for u, c in pdf.groupby("user_id").size().items():
                 delta[int(u)] = delta.get(int(u), 0) + int(c)
         for u, c in delta.items():
-            base = (
-                self.counts.getValue((u,))[0]
-                if self.counts.containsKey((u,))
-                else 0
-            )
-            self.counts.updateValue((u,), (base + c,))
-        seq = (self.seq.get()[0] if self.seq.exists() else 0) + 1
+            # getValue returns None for an absent key — containsKey+getValue
+            # was two roundtrips per (key, user) per batch, and this loop is
+            # the hottest state path in the family (every user in the batch)
+            v = self.counts.getValue((u,))
+            self.counts.updateValue((u,), ((v[0] if v is not None else 0) + c,))
+        _s = self.seq.get()  # one roundtrip; None == absent
+        seq = (_s[0] if _s is not None else 0) + 1
         self.seq.update((seq,))
         entries = [(int(k[0]), int(v[0])) for k, v in self.counts.iterator()]
         yield pd.DataFrame(

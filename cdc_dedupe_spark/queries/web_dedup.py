@@ -270,7 +270,18 @@ def _register_pipeline_dedup_full() -> None:
         )
         ex = d.withColumn("digest", F.md5(F.substring("text", 1, 200)))
         keep0 = ex.groupBy("digest").agg(F.min("doc_id").alias("keeper0"))
-        ex2 = ex.join(keep0, "digest").select("doc_id", "source", "text", "keeper0")
+        # Lazy localCheckpoint (r19, guide §2.4): THREE subtrees consume the
+        # exact-dedup stage — the minhash band pipeline (via keepers), the
+        # CC node set, and the survivorship status join — and exchange
+        # reuse does not unify them, so the scan+md5+digest-join used to
+        # run three times per query. Materialize it once; ~|docs| rows of
+        # (id, source, text, keeper0). On a real cluster swap for reliable
+        # checkpoint() (operators/graph.py note).
+        ex2 = (
+            ex.join(keep0, "digest")
+            .select("doc_id", "source", "text", "keeper0")
+            .localCheckpoint(eager=False)
+        )
         keepers = ex2.filter(F.col("doc_id") == F.col("keeper0")).select("doc_id", "text")
 
         pairs = minhash_pairs(keepers).filter(F.col("minhash_sim") >= _MHC_MIN_SIM)
