@@ -361,7 +361,28 @@ def _bpe_stages(vocab: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     when fewer than K distinct pairs exist (tiny fixtures). Each
     stage's frames are lazily localCheckpoint'd — without lineage
     truncation the unrolled plan re-expands the upstream subtree per
-    reference, 2^K growth."""
+    reference, 2^K growth.
+
+    The 2K checkpoints each force physical planning + a fresh
+    whole-stage-codegen compile (expression ids differ per stage, janino
+    never cache-hits) — the connected_components finding (r19,
+    operators/graph.py), so the same scoped fix: the loop runs
+    interpreted, measured ~45% off the stage-construction wall (paired
+    A/B, 16.7 -> 9.8 s cold / 15.8 -> 8.5 s warm), executor time
+    unchanged at this vocab size. Unconditional rather than size-gated:
+    the vocab is Heaps'-law-bounded, and the per-stage kernels (HOF
+    transforms, a 1-row TakeOrdered, a broadcast BNLJ) are mostly
+    CodegenFallback expressions anyway, so codegen buys little at any
+    scale while the 2K compiles are a fixed tax."""
+    from ..session import temp_sql_confs
+
+    with temp_sql_confs(
+        vocab.sparkSession, {"spark.sql.codegen.wholeStage": "false"}
+    ):
+        return _bpe_stages_inner(vocab)
+
+
+def _bpe_stages_inner(vocab: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     v = vocab.localCheckpoint(eager=False)
     merges = []
     for it in range(1, _BPE_K + 1):
