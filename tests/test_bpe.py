@@ -124,3 +124,17 @@ def test_bpe_tokenize_plan_is_vocab_only(spark, sf_dir):
     df = REGISTRY["text_bpe_tokenize"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [word" in plan or "BroadcastHashJoin [coalesce(word" in plan, plan[:2000]
+
+
+def test_bpe_stages_scope_restores_codegen_conf(spark, sf_dir):
+    """r19: the train loop runs interpreted (scoped codegen-off) — the
+    scope must restore the session's whole-stage-codegen setting on exit
+    so every other query still plans under the session default."""
+    from cdc_dedupe_spark.queries.stats_ml import _bpe_stages, _bpe_vocab
+
+    conf = "spark.sql.codegen.wholeStage"
+    prev = spark.conf.get(conf, None)
+    v, merges = _bpe_stages(_bpe_vocab(spark, sf_dir))
+    assert spark.conf.get(conf, None) == prev
+    # and the loop's frames still evaluate (the scope only covered planning)
+    assert v.count() > 0
