@@ -84,6 +84,49 @@ def _maybe_rechunk(sf_dir: str, parts: int = 8) -> tuple[str, bool]:
         return sf_dir, False
 
 
+def _has_map(dt) -> bool:
+    """True when a schema (sub)type contains a MapType anywhere."""
+    from pyspark.sql.types import MapType
+
+    if dt is None:
+        return False
+    if isinstance(dt, MapType):
+        return True
+    if any(_has_map(f.dataType) for f in getattr(dt, "fields", [])):
+        return True
+    return _has_map(getattr(dt, "elementType", None))
+
+
+def force_full_plan(df) -> str:
+    """Evaluate the WHOLE plan, driver transfer O(1); return the eval
+    mode used.
+
+    ``count()`` lets Catalyst PRUNE every computed column a plain
+    projection emits — a map-only query measured by count() costs
+    only its scan, hiding the actual kernel (r13: this masked a
+    serial minhash signature pipeline for four rounds). A murmur3
+    hash of every output column folded into one SUM forces full
+    evaluation while collecting a single row.
+
+    The count() fallback is chosen EXPLICITLY from the schema — only
+    map-typed outputs, which hash() cannot take (those queries are
+    aggregates whose plans count() cannot prune meaningfully). Real
+    execution errors propagate to the per-query failure handler
+    instead of being silently re-run under count() with a doubled,
+    mislabeled time (ADVICE r13 #1).
+
+    Module-level (r20, ADVICE r19 #5) so scripts/qprof.py can import the
+    EXACT bench methodology instead of re-implementing it; behavior is
+    byte-identical to the r19 inline version."""
+    from pyspark.sql import functions as F
+
+    if any(_has_map(f.dataType) for f in df.schema.fields):
+        df.count()
+        return "count"
+    df.agg(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
+    return "hash"
+
+
 _LATENCY_CONFIG = """\
 source:
   format: compact
@@ -352,40 +395,7 @@ def main() -> int:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import MapType
-
-    def _has_map(dt) -> bool:
-        if dt is None:
-            return False
-        if isinstance(dt, MapType):
-            return True
-        if any(_has_map(f.dataType) for f in getattr(dt, "fields", [])):
-            return True
-        return _has_map(getattr(dt, "elementType", None))
-
-    def force_full_plan(df) -> str:
-        """Evaluate the WHOLE plan, driver transfer O(1); return the eval
-        mode used.
-
-        ``count()`` lets Catalyst PRUNE every computed column a plain
-        projection emits — a map-only query measured by count() costs
-        only its scan, hiding the actual kernel (r13: this masked a
-        serial minhash signature pipeline for four rounds). A murmur3
-        hash of every output column folded into one SUM forces full
-        evaluation while collecting a single row.
-
-        The count() fallback is chosen EXPLICITLY from the schema — only
-        map-typed outputs, which hash() cannot take (those queries are
-        aggregates whose plans count() cannot prune meaningfully). Real
-        execution errors propagate to the per-query failure handler
-        instead of being silently re-run under count() with a doubled,
-        mislabeled time (ADVICE r13 #1)."""
-        if any(_has_map(f.dataType) for f in df.schema.fields):
-            df.count()
-            return "count"
-        df.agg(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
-        return "hash"
+    from pyspark.sql import functions as F  # noqa: F401 (kept for later use)
 
     # Warm the JVM/Python-worker paths once so per-query numbers measure the
     # engine, not first-call startup (BASELINE.md: warm JVM, cached session).

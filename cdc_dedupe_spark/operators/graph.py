@@ -71,13 +71,40 @@ HOOKS_PER_ROUND = 3
 # interpreted evaluation dominates and codegen stays on.
 INTERPRETED_EDGE_MAX = 100_000_000
 
+# r20 (VERDICT r19 #2: the CC family is driver-bound — scaling ratio
+# ~1.0 at 8-vs-32 cores): under AQE every shuffle stage of every round
+# materializes as its OWN driver job, so one 3-hook round of joins/aggs
+# on a tiny label table submits ~10 single-task jobs — measured 57 jobs
+# for dedup_minhash_incremental, ~40 of them 1-task CC-loop stages, pure
+# job-submission latency that no core count can parallelize. Below the
+# same size gate the loop therefore also runs with AQE off and a shuffle
+# width derived from the EDGE COUNT (not the host): small graphs get the
+# few wide-enough partitions their row count justifies and each round
+# collapses to one probe job; big graphs keep AQE (skew splitting,
+# runtime coalescing) exactly as before.
+_LOOP_ROWS_PER_PARTITION = 2_000_000
+
 # Diagnostics from the most recent connected_components call (test pins:
 # driver rounds consumed = probe actions run; one action per round is the
-# loop's cost contract).
+# loop's cost contract). Single-threaded diagnostic only (ADVICE r19):
+# concurrent calls race on it — use the ``diag`` out-param for a
+# race-free per-call readout.
 last_round_count = 0
 
+# Debug/test gate (ADVICE r19): when True, assert the documented
+# edge-endpoints ⊆ nodes invariant with an anti-join count before the
+# loop (one extra job), so a future caller violating it fails loudly
+# instead of silently merging clusters through the fused hook. Off by
+# default — every in-repo caller derives edges from the node set.
+VALIDATE_EDGE_ENDPOINTS = False
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 20,
+    diag: dict | None = None,
+) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
     nodes: one column ``vec_id`` (any unique integral id).
@@ -86,12 +113,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     endpoint must be an id present in ``nodes`` (all in-repo callers derive
     edges from the node set; an unknown endpoint would now propagate labels
     through the fused hook instead of being dropped by the old re-attach
-    join).
+    join — set VALIDATE_EDGE_ENDPOINTS to check it at one extra job).
     Returns (vec_id, cluster_id). Nodes with no edges keep their own id.
     ``max_rounds`` counts driver rounds; each applies HOOKS_PER_ROUND
     edge-hops, so the reach budget is 3x the round budget.
+    ``diag``, when passed, receives {"rounds": n} — the race-free form of
+    the module-level last_round_count diagnostic.
     """
     spark = nodes.sparkSession
+    if VALIDATE_EDGE_ENDPOINTS:
+        ends = edges.select(F.col("u").alias("vec_id")).union(
+            edges.select(F.col("v").alias("vec_id"))
+        )
+        n_orphan = ends.join(nodes, "vec_id", "left_anti").count()
+        if n_orphan:
+            raise ValueError(
+                f"connected_components: {n_orphan} edge endpoint rows are "
+                "not in nodes — the fused self-loop hook would propagate "
+                "labels through them (see module docstring)"
+            )
     und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # Self-loops fuse the hook (see module docstring): every node appears
     # as both u (donates its own label to the min) and v (owns a row).
@@ -99,7 +139,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     und = und.distinct().localCheckpoint()
     # Row count is free here — the checkpoint blocks were just materialized —
     # and gates the interpreted-loop optimization on DATA size, not host.
-    interpreted = und.count() <= INTERPRETED_EDGE_MAX
+    n_edges = und.count()
+    interpreted = n_edges <= INTERPRETED_EDGE_MAX
     # Lazy checkpoints (eager=False): the SUM-convergence probe below is the
     # first action on each round's labels, so ONE job both materializes the
     # checkpoint blocks and computes the probe — the probe is free, vs. the
@@ -112,7 +153,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     prev_sum = None
     converged = False
     scope = (
-        _codegen_off(spark) if interpreted else nullcontext()
+        _small_loop_confs(spark, n_edges) if interpreted else nullcontext()
     )
     with scope:
         for _ in range(max_rounds):
@@ -139,6 +180,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
                 converged = True
                 break
             prev_sum = cur_sum
+    if diag is not None:
+        diag["rounds"] = last_round_count
     if not converged:
         # Labels were still moving when the round budget ran out; stale
         # labels mean wrong cluster assignments, so fail loudly rather
@@ -151,7 +194,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     return labels.select("vec_id", F.col("lbl").alias("cluster_id"))
 
 
-def _codegen_off(spark):
+def _small_loop_confs(spark, n_edges: int):
+    """Scoped loop confs for gate-sized graphs (≤ INTERPRETED_EDGE_MAX):
+    interpreted execution (r19 — per-round codegen never cache-hits),
+    AQE off and an edge-count-derived shuffle width (r20 — one probe job
+    per round instead of ~10 per-stage jobs; width scales with DATA, so
+    the setting is identical on any host at the same SF)."""
     from ..session import temp_sql_confs
 
-    return temp_sql_confs(spark, {"spark.sql.codegen.wholeStage": "false"})
+    width = max(1, min(200, -(-n_edges // _LOOP_ROWS_PER_PARTITION)))
+    return temp_sql_confs(
+        spark,
+        {
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(width),
+        },
+    )

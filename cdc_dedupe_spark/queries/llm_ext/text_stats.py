@@ -486,7 +486,15 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    # r20: c2 feeds its own broadcast AND c1's (broadcast builds re-run
+    # their subtree — each re-exploded the corpus). Checkpoint the
+    # Heaps'-bounded bigram table once; c1 then folds the materialized
+    # RDD instead of re-aggregating the explode.
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("n2").cast("long").alias("n1"))
     scored = (
         bg.join(F.broadcast(c2), ["w1", "w2"])
@@ -1168,7 +1176,13 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits text_lm_bigram's broadcast contract."""
     sc = text_lm_bigram(spark, sf_dir).select("doc_id", "lm_score_ppm")
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    s = sc.join(d, "doc_id")
+    # r20 (guide §2.4/§5): the scored frame feeds BOTH the threshold
+    # build (a broadcast, whose build re-executes its whole subtree) and
+    # the final bucket join — without lineage truncation the entire
+    # text_lm_bigram scoring pipeline ran twice per query. One lazy
+    # localCheckpoint of the 3-scalar-per-doc frame halves the LM work
+    # (within-query materialization, the minhash-band discipline).
+    s = sc.join(d, "doc_id").localCheckpoint(eager=False)
     h = s.groupBy("lang", "lm_score_ppm").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -612,16 +612,32 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
 
-    def sketch(etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .select(hv.alias("hv"))
-            .distinct()
-            .orderBy("hv")
-            .limit(_KSO_K)
+    # r20 plan collapse (guide §2.4): the original shape derived SIX
+    # distinct subtrees from the events scan (ska/skb/sku sketches,
+    # fa/fb exact domains, their union) — 56 Exchanges, the widest plan
+    # in the suite, each branch re-scanning + re-hashing + re-distincting
+    # the raw events. Every one of those sets is a function of ONE
+    # membership table: the distinct hash domain with per-set flags.
+    # Build (hv, in_a, in_b) with a single aggregation shuffle, checkpoint
+    # it lazily (within-query, the minhash-band discipline), and derive
+    # all six from the materialized 3-column frame. Values are untouched:
+    # distinct-per-side == flag filter over the distinct union domain.
+    base = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            hv.alias("hv"),
+            (F.col("event_type") == "click").alias("ia"),
+            (F.col("event_type") == "purchase").alias("ib"),
         )
+        .groupBy("hv")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+        .localCheckpoint(eager=False)
+    )
 
-    ska, skb = sketch("click"), sketch("purchase")
+    def sketch(flag: str) -> DataFrame:
+        return base.filter(F.col(flag)).select("hv").orderBy("hv").limit(_KSO_K)
+
+    ska, skb = sketch("in_a"), sketch("in_b")
     sku = ska.unionAll(skb).distinct().orderBy("hv").limit(_KSO_K)
     th = sku.agg(
         F.max("hv").alias("theta"), F.count(F.lit(1)).cast("long").alias("ku")
@@ -631,14 +647,10 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(skb.select(F.col("hv").alias("hb")), F.col("hv") == F.col("hb"), "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter_sketch"))
     )
-    fa = ev.filter(F.col("event_type") == "click").select(hv.alias("hv")).distinct()
-    fb = ev.filter(F.col("event_type") == "purchase").select(hv.alias("hv")).distinct()
     ex = (
-        fa.unionAll(fb)
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        base.agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
         .crossJoin(
-            fa.join(fb.select(F.col("hv").alias("h2")), F.col("hv") == F.col("h2"), "left_semi")
+            base.filter(F.col("in_a") & F.col("in_b"))
             .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
         )
     )

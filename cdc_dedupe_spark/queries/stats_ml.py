@@ -363,23 +363,13 @@ def _bpe_stages(vocab: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     truncation the unrolled plan re-expands the upstream subtree per
     reference, 2^K growth.
 
-    The 2K checkpoints each force physical planning + a fresh
-    whole-stage-codegen compile (expression ids differ per stage, janino
-    never cache-hits) — the connected_components finding (r19,
-    operators/graph.py), so the same scoped fix: the loop runs
-    interpreted, measured ~45% off the stage-construction wall (paired
-    A/B, 16.7 -> 9.8 s cold / 15.8 -> 8.5 s warm), executor time
-    unchanged at this vocab size. Unconditional rather than size-gated:
-    the vocab is Heaps'-law-bounded, and the per-stage kernels (HOF
-    transforms, a 1-row TakeOrdered, a broadcast BNLJ) are mostly
-    CodegenFallback expressions anyway, so codegen buys little at any
-    scale while the 2K compiles are a fixed tax."""
-    from ..session import temp_sql_confs
-
-    with temp_sql_confs(
-        vocab.sparkSession, {"spark.sql.codegen.wholeStage": "false"}
-    ):
-        return _bpe_stages_inner(vocab)
+    r20 note: r19 ran this loop interpreted (scoped codegen-off, the
+    connected_components treatment) on the strength of a local paired
+    A/B, but the driver's ground-truth bench regressed the whole family
+    0.68-0.77x (VERDICT r19 #1) — the compile-vs-kernel trade is
+    host-dependent and loses on the reference box, so the scope was
+    REVERTED to the r18 codegen-on shape."""
+    return _bpe_stages_inner(vocab)
 
 
 def _bpe_stages_inner(vocab: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
@@ -713,8 +703,17 @@ def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint(eager=False)
     )
-    ct = dt.groupBy(F.col("lang_true").alias("lang_c"), "token").agg(
-        F.sum("k").alias("cnt")
+    # r20 plan collapse (guide §2.4, and the r19 approx_percentile lesson:
+    # broadcast builds do NOT share exchanges — each broadcast re-executes
+    # its whole subtree). cls was broadcast twice (lp build + scoring) and
+    # crossJoined v twice, so the vocab count-distinct and the ct rollup
+    # each ran twice. Checkpoint ct (|langs|x|vocab| Heaps'-bounded rows)
+    # and a cls that CARRIES vocab (so lp needs no second v crossJoin),
+    # both lazily; every downstream branch then reads materialized RDDs.
+    ct = (
+        dt.groupBy(F.col("lang_true").alias("lang_c"), "token")
+        .agg(F.sum("k").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     v = dt.agg(F.countDistinct("token").alias("vocab"))
     nd = docs.groupBy(F.col("lang").alias("lang_c")).agg(F.count(F.lit(1)).alias("nd_c"))
@@ -731,6 +730,7 @@ def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang_c",
             "tot",
+            "vocab",
             micro(F.lit(1.0) / (F.col("tot") + F.col("vocab")).cast("double")).alias(
                 "dflt_micro"
             ),
@@ -738,10 +738,10 @@ def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "prior_micro"
             ),
         )
+        .localCheckpoint(eager=False)
     )
     lp = (
         ct.join(F.broadcast(cls), "lang_c")
-        .crossJoin(F.broadcast(v))
         .select(
             "lang_c",
             "token",

@@ -2120,6 +2120,33 @@ _TWS_OUT = StructType(
 )
 
 
+class _RowEmit:
+    """Per-task one-row DataFrame factory for TWS emissions (r20, guide
+    §4 — after the r19 roundtrip cut, the next per-key Python cost is
+    constructing the yielded pandas frame): ``pd.DataFrame([dict])``
+    measures ~260 us per call; a cached prototype + ``.copy()`` + `iat`
+    writes the same row in ~110 us. Column dtypes are pinned by the
+    first emitted row (every caller emits fixed-type rows, so the pin is
+    stable); values are untouched — this changes only how the one-row
+    frame is built."""
+
+    __slots__ = ("cols", "proto")
+
+    def __init__(self, cols: tuple) -> None:
+        self.cols = cols
+        self.proto = None
+
+    def __call__(self, *row) -> pd.DataFrame:
+        p = self.proto
+        if p is None:
+            self.proto = p = pd.DataFrame([row], columns=list(self.cols))
+            return p
+        df = p.copy()
+        for i, v in enumerate(row):
+            df.iat[0, i] = v
+        return df
+
+
 class SessTwsProcessor(StatefulProcessor):
     """StatefulProcessor for [[stream_sessionize_state_tws]]: the SAME
     bounded fold as _sess_fold (open session + closed rollups, 8 longs
@@ -2143,6 +2170,12 @@ class SessTwsProcessor(StatefulProcessor):
     def init(self, handle) -> None:
         self.handle = handle
         self.state = handle.getValueState("sess", _TWS_STATE)
+        self._emit = _RowEmit(
+            (
+                "user_id", "emit_seq", "via_timer", "n_closed", "n_sessions",
+                "n_events", "max_session_events", "total_duration_us",
+            )
+        )
 
     def close(self) -> None:
         pass
@@ -2153,19 +2186,15 @@ class SessTwsProcessor(StatefulProcessor):
         # (pure-python protobuf runtime; measured r19, the TWS family's
         # dominant cost is these per-key roundtrips, guide §4)
         (o_s, o_l, o_n, c_sess, c_dur, max_n, n_total, seq) = st
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": key[0],
-                    "emit_seq": seq,
-                    "via_timer": via_timer,
-                    "n_closed": c_sess,
-                    "n_sessions": c_sess + (1 if o_s >= 0 else 0),
-                    "n_events": n_total,
-                    "max_session_events": max(max_n, o_n),
-                    "total_duration_us": c_dur + (o_l - o_s if o_s >= 0 else 0),
-                }
-            ]
+        return self._emit(
+            key[0],
+            seq,
+            via_timer,
+            c_sess,
+            c_sess + (1 if o_s >= 0 else 0),
+            n_total,
+            max(max_n, o_n),
+            c_dur + (o_l - o_s if o_s >= 0 else 0),
         )
 
     def handleInputRows(self, key, rows, timerValues):
@@ -2492,6 +2521,12 @@ class FeaturesBootstrapProcessor(StatefulProcessor):
     def init(self, handle) -> None:
         self.handle = handle
         self.state = handle.getValueState("feat", _SUFB_STATE)
+        self._emit = _RowEmit(
+            (
+                "user_id", "emit_seq", "n_events", "n_purchases", "n_types",
+                "spend_cents", "last_seen_us",
+            )
+        )
 
     def close(self) -> None:
         pass
@@ -2550,18 +2585,8 @@ class FeaturesBootstrapProcessor(StatefulProcessor):
         (n, p, tc, te, tp, tsg, tv, cents, seen, seq) = st
         seq += 1
         self.state.update((n, p, tc, te, tp, tsg, tv, cents, seen, seq))
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": key[0],
-                    "emit_seq": seq,
-                    "n_events": n,
-                    "n_purchases": p,
-                    "n_types": tc + te + tp + tsg + tv,
-                    "spend_cents": cents,
-                    "last_seen_us": seen,
-                }
-            ]
+        yield self._emit(
+            key[0], seq, n, p, tc + te + tp + tsg + tv, cents, seen
         )
 
 
@@ -2737,17 +2762,11 @@ class RecentEventsProcessor(StatefulProcessor):
         _s = self.seq.get()  # one roundtrip; None == absent
         seq = (_s[0] if _s is not None else 0) + 1
         self.seq.update((seq,))
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": key[0],
-                    "emit_seq": seq,
-                    "rank": i + 1,
-                    "ts_us": t,
-                    "event_id": e,
-                }
-                for i, (t, e) in enumerate(cur)
-            ]
+        # from_records over prebuilt tuples: ~20% cheaper per key per
+        # batch than the list-of-dicts constructor (r20, guide §4)
+        yield pd.DataFrame.from_records(
+            [(key[0], seq, i + 1, t, e) for i, (t, e) in enumerate(cur)],
+            columns=("user_id", "emit_seq", "rank", "ts_us", "event_id"),
         )
 
 
@@ -2867,17 +2886,25 @@ class UserCountsProcessor(StatefulProcessor):
         seq = (_s[0] if _s is not None else 0) + 1
         self.seq.update((seq,))
         entries = [(int(k[0]), int(v[0])) for k, v in self.counts.iterator()]
+        # Vectorized emission (r20, guide §4): this snapshot walks the
+        # WHOLE tracked-user map (the declared contract), so the frame is
+        # the family's largest — dict-of-arrays construction is O(rows)
+        # numpy work instead of per-row dict/object churn.
+        import numpy as np
+
+        n_rows = len(entries)
         yield pd.DataFrame(
-            [
-                {
-                    "event_type": key[0],
-                    "emit_seq": seq,
-                    "user_id": u,
-                    "n_events": n,
-                    "n_users_tracked": len(entries),
-                }
-                for u, n in entries
-            ]
+            {
+                "event_type": np.full(n_rows, key[0], dtype=object),
+                "emit_seq": np.full(n_rows, seq, dtype="int64"),
+                "user_id": np.fromiter(
+                    (u for u, _ in entries), dtype="int64", count=n_rows
+                ),
+                "n_events": np.fromiter(
+                    (c for _, c in entries), dtype="int64", count=n_rows
+                ),
+                "n_users_tracked": np.full(n_rows, n_rows, dtype="int64"),
+            }
         )
 
 

@@ -49,23 +49,10 @@ def main() -> int:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import MapType
-
-    def _has_map(dt) -> bool:
-        if dt is None:
-            return False
-        if isinstance(dt, MapType):
-            return True
-        if any(_has_map(f.dataType) for f in getattr(dt, "fields", [])):
-            return True
-        return _has_map(getattr(dt, "elementType", None))
-
-    def force_full_plan(df) -> None:
-        if any(_has_map(f.dataType) for f in df.schema.fields):
-            df.count()
-        else:
-            df.agg(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
+    # Shared with bench.py (ADVICE r19 #5): one implementation of the
+    # map-type detection + full-plan hash-fold, so the "exactly the way
+    # bench.py does" guarantee cannot drift.
+    force_full_plan = bench.force_full_plan
 
     if args.explain or args.explain_out:
         out_dir = Path(args.explain_out) if args.explain_out else None

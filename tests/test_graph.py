@@ -123,3 +123,37 @@ def test_multi_hook_round_and_action_budget(spark):
     )
     jobs = len(sc.statusTracker().getJobIdsForGroup("cc_job_probe"))
     assert jobs <= 40, f"{jobs} jobs: an extra per-round action crept back in"
+
+
+def test_diag_out_param_reports_rounds(spark):
+    """r20 (ADVICE r19): the ``diag`` out-param is the race-free per-call
+    round readout — same value the module global reports."""
+    from cdc_dedupe_spark.operators import graph as graph_op
+
+    nodes = spark.range(6).selectExpr("id as vec_id")
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "u long, v long")
+    d: dict = {}
+    connected_components(nodes, edges, diag=d).count()
+    assert d["rounds"] == graph_op.last_round_count > 0
+
+
+def test_validate_edge_endpoints_gate(spark):
+    """r20 (ADVICE r19): with VALIDATE_EDGE_ENDPOINTS on, an edge endpoint
+    missing from ``nodes`` fails loudly instead of silently propagating
+    labels through the fused self-loop hook."""
+    import pytest
+
+    from cdc_dedupe_spark.operators import graph as graph_op
+
+    nodes = spark.createDataFrame([(0,), (1,)], "vec_id long")
+    bad = spark.createDataFrame([(1, 99)], "u long, v long")
+    graph_op.VALIDATE_EDGE_ENDPOINTS = True
+    try:
+        with pytest.raises(ValueError, match="not in nodes"):
+            connected_components(nodes, bad)
+        # and a clean graph still passes under the gate
+        assert connected_components(
+            nodes, spark.createDataFrame([(0, 1)], "u long, v long")
+        ).count() == 2
+    finally:
+        graph_op.VALIDATE_EDGE_ENDPOINTS = False
