@@ -340,46 +340,55 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _mh_band_key_sql(j: int) -> str:
+    """Spark-SQL twin of the band-key fold (1-based element_at, exactly
+    the DuckDB _sql_band_key arithmetic)."""
+    expr = "CAST(0 AS BIGINT)"
+    for r in range(_MH_ROWS):
+        expr = (
+            f"(({expr}) * {_MH_FOLD}"
+            f" + element_at(sig, {j * _MH_ROWS + r + 1})) % {_MH_FOLD_M}"
+        )
+    return expr
+
+
+# The shingle->hash->signature pipeline as ONE parsed SQL expression per
+# stage (r20, VERDICT r19 #5; guide §4 — the DRIVER-side Python boundary
+# counts too): building these trees with F.transform/F.array_min lambdas
+# cost ~1.1 s and ~2000 py4j socket roundtrips per consumer query
+# (cProfile: py4j send_command dominates minhash_pairs), five consumer
+# queries per bench run. F.expr hands the JVM one string to parse. The
+# SQL uses only dialect-shared syntax and the SAME arithmetic as both
+# the Column version it replaces and the DuckDB oracle twin
+# (_mh_sig_ctes); all consumers re-verified hash-exact.
+_MH_HS_SQL = (
+    "transform(array_distinct(transform("
+    "sequence(1, greatest(length(substring(text, 1, 200)) - 4, 1)),"
+    " i -> substring(substring(text, 1, 200), i, 5))),"
+    f" s -> ({SQL_TOKEN_HASH_WIDE.format(t='s')}) % {_MH_M})"
+)
+
+_MH_SIG_SQL = "array(" + ", ".join(
+    f"array_min(transform(hs, h -> (h * {a} + {b}) % {_MH_M}))"
+    for a, b in zip(_MH_A, _MH_B)
+) + ")"
+
+
 def minhash_pairs(d: DataFrame) -> DataFrame:
     """The fixed-hash-family MinHash LSH pair pipeline over any
     (doc_id, text) frame — factored from dedup_minhash_exact (r14) so
     compositions like [[pipeline_dedup_full]] can run it over a filtered
     corpus (e.g. exact-dedup keepers) instead of the raw table."""
-    hs = d.select(
-        "doc_id",
-        F.transform(
-            char_shingles(F.col("text"), n=5, prefix_len=200),
-            lambda s: token_hash_wide(s) % _MH_M,
-        ).alias("hs"),
-    )
-
-    def perm(a: int, b: int):
-        # closure (not default args): transform inspects the lambda arity
-        return lambda h: (h * a + b) % _MH_M
-
-    sig = hs.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform("hs", perm(a, b))) for a, b in zip(_MH_A, _MH_B)]
-        ).alias("sig"),
-    )
-    def band_key(j: int) -> Column:
-        k = F.lit(0).cast("long")
-        for r in range(_MH_ROWS):
-            k = (k * _MH_FOLD + F.element_at("sig", j * _MH_ROWS + r + 1)) % _MH_FOLD_M
-        return k
-
+    hs = d.select("doc_id", F.expr(_MH_HS_SQL).alias("hs"))
+    sig = hs.select("doc_id", F.expr(_MH_SIG_SQL).alias("sig"))
+    bands_struct = "array(" + ", ".join(
+        f"named_struct('j', {j}, 'key', {_mh_band_key_sql(j)})"
+        for j in range(_MH_BANDS)
+    ) + ")"
     bands = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), band_key(j).alias("key"))
-                    for j in range(_MH_BANDS)
-                ]
-            )
-        ).alias("b"),
+        F.explode(F.expr(bands_struct)).alias("b"),
     ).select("doc_id", "sig", F.col("b.j").alias("j"), F.col("b.key").alias("key"))
     # Lazy localCheckpoint before the self-join: the two aliases would
     # otherwise each re-run the whole shingle->hash->signature pipeline
@@ -391,10 +400,10 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     # (operators/graph.py note).
     bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
-    n_eq = F.aggregate(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    n_eq = F.expr(
+        "aggregate(zip_with(a.sig, b.sig,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, x) -> acc + x)"
     )
     # Score BEFORE the pair-dedup so the dropDuplicates shuffle carries 3
     # scalars per candidate, not two 8-long signature arrays; the score is
